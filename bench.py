@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized (collect) — results are small
+(aggregations / top-k), so driver transfer is negligible and the
+timing covers the complete plan execution.  Per-query time is the
+median of 3 runs, matching the reference's benchmark methodology
+(BASELINE.md: all reference numbers are 3-run medians); cold-run
+total is also reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from samyama_graph_spark.session import get_spark
+    from samyama_graph_spark.workloads import REGISTRY
+
+    spark = get_spark(app_name="samyama-bench")
+
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    total = 0.0
+    for name, spec in sorted(REGISTRY.items()):
+        samples: list[float] = []
+        failed = False
+        for i in range(runs):
+            t0 = time.perf_counter()
+            try:
+                spec.fn(spark, sf_dir).collect()
+            except Exception as e:  # noqa: BLE001 — record failures, keep benching
+                print(f"# FAIL {name}: {e}", file=sys.stderr)
+                failed = True
+                break
+            samples.append(time.perf_counter() - t0)
+        if failed or not samples:
+            timings[name] = -1.0
+            continue
+        cold[name] = round(samples[0], 4)
+        timings[name] = round(statistics.median(samples), 4)
+        total += timings[name]
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec_median_of_%d" % runs,
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "cold_run": cold,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""PropertyGraph: the engine's data layer.
+
+The reference engine stores nodes in a versioned arena with a label
+index, edges as decomposed endpoint/type/property arrays, and a frozen
+CSR adjacency (reference: src/graph/store.rs:294-340, :504-536).  In
+Spark all of that collapses into columnar DataFrames:
+
+- one **node DataFrame per label** (``id: long`` + typed property
+  columns) — the per-label split *is* the label index: a label scan
+  becomes a single-table parquet scan with column pruning, and
+  Catalyst statistics stay per-label (like the reference's catalog
+  triple stats, src/graph/catalog.rs:63-140);
+- one **edge DataFrame per edge type** (``src: long, dst: long`` +
+  property columns) — the per-type split *is* the edge-type index;
+  "CSR adjacency sorted by source" becomes a shuffle/sort on ``src``
+  that Catalyst performs for a sort-merge join, or a broadcast when
+  the side is dimension-sized.
+
+Node ids are globally unique across labels (loaders offset per-table
+key ranges), so edges can reference any node without a label tag.
+
+Multi-label nodes (reference: src/graph/node.rs:107-121) are modelled
+by listing the same id under several label tables; the unified view
+aggregates labels back into an ``array<string>`` column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Reserved column names (GraphFrames conventions).
+ID = "id"
+SRC = "src"
+DST = "dst"
+
+
+@dataclass
+class EdgeMeta:
+    """Planner metadata for one edge type: endpoint labels + stats."""
+
+    src_label: str | None = None
+    dst_label: str | None = None
+
+
+@dataclass
+class PropertyGraph:
+    """A property graph as per-label node tables + per-type edge tables.
+
+    ``nodes[label]`` must contain an ``id`` column (long, globally
+    unique).  ``edges[edge_type]`` must contain ``src`` and ``dst``
+    columns referencing node ids; any other columns are edge
+    properties.
+    """
+
+    spark: SparkSession
+    nodes: dict[str, DataFrame]
+    edges: dict[str, DataFrame]
+    edge_meta: dict[str, EdgeMeta] = field(default_factory=dict)
+
+    # ---------------------------------------------------------------- labels
+    def labels(self) -> list[str]:
+        """SHOW LABELS (reference: operator.rs ShowLabelsOperator)."""
+        return sorted(self.nodes)
+
+    def edge_types(self) -> list[str]:
+        """SHOW RELATIONSHIP TYPES (reference: ShowRelationshipTypesOperator)."""
+        return sorted(self.edges)
+
+    def property_keys(self) -> list[str]:
+        """SHOW PROPERTY KEYS: union of all non-reserved columns."""
+        keys: set[str] = set()
+        for df in self.nodes.values():
+            keys.update(c for c in df.columns if c != ID)
+        for df in self.edges.values():
+            keys.update(c for c in df.columns if c not in (SRC, DST))
+        return sorted(keys)
+
+    def schema_visualization(self) -> DataFrame:
+        """db.schema.visualization: distinct (src_label, type, dst_label)."""
+        rows = [
+            (m.src_label, t, m.dst_label)
+            for t, m in sorted(self.edge_meta.items())
+        ]
+        return self.spark.createDataFrame(
+            rows or [(None, None, None)], "src_label string, type string, dst_label string"
+        ).filter(F.col("type").isNotNull())
+
+    # ---------------------------------------------------------------- scans
+    def node_df(self, label: str | None = None) -> DataFrame:
+        """Node scan.  With a label: one table (partition-pruned scan).
+
+        Without: the unified view — union of all label tables on the
+        common-column superset with per-row ``labels`` arrays (the
+        reference's full NodeScan, operator.rs:1981).
+        """
+        if label is not None:
+            if label not in self.nodes:
+                raise KeyError(f"unknown label {label!r}; have {self.labels()}")
+            return self.nodes[label]
+        return self.unified_nodes()
+
+    def edge_df(self, edge_type: str | None = None) -> DataFrame:
+        """Edge scan by type, or the unified all-types view."""
+        if edge_type is not None:
+            if edge_type not in self.edges:
+                raise KeyError(
+                    f"unknown edge type {edge_type!r}; have {self.edge_types()}"
+                )
+            return self.edges[edge_type]
+        return self.unified_edges()
+
+    def unified_nodes(self) -> DataFrame:
+        """All nodes: ``id, labels: array<string>, <all property columns>``.
+
+        Built with ``unionByName(allowMissingColumns=True)`` so each
+        label contributes its typed columns and others are NULL, then
+        grouped by id to merge multi-label rows.  Properties of the
+        same name across labels must be union-compatible.
+        """
+        parts = []
+        for label, df in self.nodes.items():
+            parts.append(df.withColumn("_label", F.lit(label)))
+        if not parts:
+            return self.spark.createDataFrame([], "id long, labels array<string>")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        prop_cols = [c for c in out.columns if c not in (ID, "_label")]
+        agg = [F.collect_set("_label").alias("labels")] + [
+            F.first(c, ignorenulls=True).alias(c) for c in prop_cols
+        ]
+        return out.groupBy(ID).agg(*agg)
+
+    def unified_edges(self) -> DataFrame:
+        """All edges: ``src, dst, type, <property columns>``."""
+        parts = []
+        for etype, df in self.edges.items():
+            parts.append(df.withColumn("type", F.lit(etype)))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "src long, dst long, type string"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    # ------------------------------------------------------------ degrees
+    def degrees(
+        self, edge_type: str | None = None, direction: str = "out"
+    ) -> DataFrame:
+        """Degree per node id: ``id, degree``.
+
+        The reference answers degree-shaped aggregations with a
+        dedicated adjacency-count operator (ADR-017,
+        operator.rs:3985); in Spark the natural plan — a partial-agg
+        groupBy on the edge table, no node join — is already that
+        fast path.
+        """
+        e = self.edge_df(edge_type)
+        if direction == "out":
+            key = SRC
+        elif direction == "in":
+            key = DST
+        elif direction == "both":
+            both = e.select(F.col(SRC).alias(ID)).unionAll(
+                e.select(F.col(DST).alias(ID))
+            )
+            return both.groupBy(ID).agg(F.count(F.lit(1)).alias("degree"))
+        else:
+            raise ValueError(f"direction must be out/in/both, got {direction!r}")
+        return e.groupBy(F.col(key).alias(ID)).agg(F.count(F.lit(1)).alias("degree"))
+
+    # ------------------------------------------------------------- counts
+    def count_nodes(self, label: str | None = None) -> int:
+        """O(metadata) node count — parquet row-group stats make
+        ``count()`` on a bare scan a metadata operation (the
+        reference's LabelCountOperator, operator.rs:2164)."""
+        if label is not None:
+            return self.nodes[label].count()
+        return sum(df.count() for df in self.nodes.values())
+
+    def count_edges(self, edge_type: str | None = None) -> int:
+        if edge_type is not None:
+            return self.edges[edge_type].count()
+        return sum(df.count() for df in self.edges.values())
+
+    # ------------------------------------------------------------ register
+    def register_views(self, prefix: str = "") -> None:
+        """Register every table as a temp view for spark.sql access."""
+        for label, df in self.nodes.items():
+            df.createOrReplaceTempView(f"{prefix}{label.lower()}_nodes")
+        for etype, df in self.edges.items():
+            df.createOrReplaceTempView(f"{prefix}{etype.lower()}_edges")
