@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from samyama_graph_spark.session import get_spark
-    from samyama_graph_spark.workloads import REGISTRY
+    from samyama_graph_spark.workloads import REGISTRY, load_all_workloads
+
+    load_all_workloads()
 
     spark = get_spark(app_name="samyama-bench")
 

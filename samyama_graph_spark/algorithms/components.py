@@ -1,0 +1,99 @@
+"""Connected components (WCC) and community detection (CDLP).
+
+Reference semantics: crates/samyama-graph-algorithms/src/community.rs:58
+(WCC) and cdlp.rs:38 (synchronous label propagation, LDBC Graphalytics
+CDLP: label := smallest among the most frequent neighbor labels, fixed
+iteration count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.algorithms.util import (
+    checkpoint,
+    symmetrize,
+    vertices_from_edges,
+)
+
+
+def wcc(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
+    """Weakly connected components: ``(id, component)`` where component
+    is the minimum vertex id in the component.
+
+    Min-id propagation over the undirected edge set until fixpoint —
+    O(diameter) rounds of (join on src, min by dst).  Each round is
+    two shuffles on the same key layout; lineage checkpointed per
+    round.  (Hash-to-min converges fine at this diameter; large-star/
+    small-star would cut round count on very-high-diameter graphs.)
+    """
+    und = checkpoint(symmetrize(edges))
+    comp = vertices_from_edges(edges).select(
+        "id", F.col("id").alias("component")
+    )
+    comp = checkpoint(comp)
+
+    for _ in range(max_iterations):
+        # candidate = min component among in-neighbors (undirected: all)
+        cand = (
+            und.join(comp, und["src"] == comp["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_comp = (
+            comp.join(cand, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_comp = checkpoint(new_comp)
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
+def cdlp(edges: DataFrame, iterations: int = 10, directed: bool = False) -> DataFrame:
+    """Community detection by synchronous label propagation.
+
+    LDBC/Graphalytics CDLP rule (reference cdlp.rs:38): each round
+    every vertex adopts the smallest label among the most frequent
+    labels of its neighbors (undirected mode counts each direction).
+    Returns ``(id, label)``.
+    """
+    nbrs = edges.select("src", "dst") if directed else symmetrize(edges)
+    nbrs = checkpoint(nbrs)
+    labels = vertices_from_edges(edges).select("id", F.col("id").alias("label"))
+    labels = checkpoint(labels)
+
+    for _ in range(iterations):
+        counts = (
+            nbrs.join(labels, nbrs["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("vid"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("vid").alias("id"), F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select(
+                "id", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
+            )
+        )
+        labels = checkpoint(labels)
+    return labels

@@ -1,0 +1,112 @@
+"""Path algorithms: BFS, weighted SSSP, shortest path length.
+
+Reference semantics: crates/samyama-graph-algorithms/src/pathfinding.rs
+(BFS :19, Dijkstra :91) and the shortestPath operator
+(src/query/executor/operator.rs:7527).  Dijkstra's priority queue is
+inherently sequential; the distributed equivalent is frontier-based
+Bellman-Ford relaxation — same fixpoint, O(shortest-path-hops) rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.algorithms.util import checkpoint, symmetrize
+
+
+def bfs(
+    edges: DataFrame,
+    source: int,
+    max_depth: int = 30,
+    directed: bool = True,
+) -> DataFrame:
+    """Unweighted BFS from one source: ``(id, depth)`` for reachable ids.
+
+    Frontier expansion: each round joins the frontier against edges on
+    src and anti-joins the visited set — the reference's visited-set
+    BFS (operator.rs:3003) in shuffle form.
+    """
+    e = edges.select("src", "dst") if directed else symmetrize(edges)
+    e = checkpoint(e)
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], "id long, depth int")
+    frontier = visited
+
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        nxt = checkpoint(nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = checkpoint(visited.unionByName(nxt))
+        frontier = nxt
+    return visited
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    weight_col: str = "weight",
+    max_rounds: int = 50,
+    directed: bool = True,
+) -> DataFrame:
+    """Weighted single-source shortest paths: ``(id, dist)``.
+
+    Frontier Bellman-Ford: only vertices whose distance improved last
+    round propagate relaxations, so each round shuffles just the
+    active frontier joined to its out-edges.  Converges to Dijkstra's
+    fixpoint for non-negative weights.
+    """
+    e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+        )
+    e = checkpoint(e)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0.0)], "id long, dist double")
+    frontier = dist
+
+    for _ in range(max_rounds):
+        cand = (
+            e.join(frontier, e["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+        )
+        joined = cand.join(dist.withColumnRenamed("dist", "old"), "id", "left")
+        improved = joined.filter(
+            F.col("old").isNull() | (F.col("d") < F.col("old"))
+        ).select("id", F.col("d").alias("dist"))
+        improved = checkpoint(improved)
+        if improved.limit(1).count() == 0:
+            break
+        dist = checkpoint(
+            dist.join(improved.select("id"), "id", "left_anti").unionByName(improved)
+        )
+        frontier = improved
+    return dist
+
+
+def shortest_path_length(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    max_depth: int = 30,
+    directed: bool = True,
+) -> int | None:
+    """Hop count of the shortest path source->target (None if unreachable).
+    Cypher: MATCH p = shortestPath((a)-[*]->(b)) RETURN length(p)."""
+    reached = bfs(edges, source, max_depth=max_depth, directed=directed)
+    row = reached.filter(F.col("id") == target).select("depth").first()
+    return None if row is None else int(row[0])

@@ -481,11 +481,20 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_all_workloads() -> dict[str, QuerySpec]:
+    """Import every workload module (each registers into REGISTRY)."""
+    import samyama_graph_spark.workloads_graph  # noqa: F401
+
+    return REGISTRY
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    load_all_workloads()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def all_oracles() -> dict[str, str]:
+    load_all_workloads()
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
     }

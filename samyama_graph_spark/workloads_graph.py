@@ -1,0 +1,288 @@
+"""Graph-algorithm and traversal workloads with DuckDB oracles.
+
+Iterative algorithms are oracle-checked by *unrolling* the iteration
+into chained CTEs (PageRank) or exploiting the TPC-H graph's layered
+DAG structure (BFS / SSSP) — the oracle is plain ANSI SQL, so the
+driver's DuckDB gate fully validates numeric results, not just row
+counts.
+
+Global-id arithmetic in the SQL mirrors loaders.ID_BASE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.algorithms import pagerank, sssp, triangle_count, wcc
+from samyama_graph_spark.loaders import ID_BASE, tpch_graph
+from samyama_graph_spark.operators import var_length_expand
+from samyama_graph_spark.workloads import query
+
+_C = ID_BASE["Customer"]
+_N = ID_BASE["Nation"]
+_R = ID_BASE["Region"]
+_S = ID_BASE["Supplier"]
+_P = ID_BASE["Part"]
+_O = ID_BASE["Order"]
+
+# Shared SQL fragment: the PLACED ∪ IN_NATION ∪ IN_REGION edge list.
+_EDGES_SQL = f"""
+    SELECT o_custkey + {_C} AS src, o_orderkey + {_O} AS dst FROM orders
+    UNION ALL SELECT c_custkey + {_C}, c_nationkey + {_N} FROM customer
+    UNION ALL SELECT s_suppkey + {_S}, s_nationkey + {_N} FROM supplier
+    UNION ALL SELECT n_nationkey + {_N}, n_regionkey + {_R} FROM nation
+"""
+
+
+def _rank_edges(g) -> DataFrame:
+    placed = g.edge_df("PLACED").select("src", "dst")
+    in_nation = g.edge_df("IN_NATION").select("src", "dst")
+    in_region = g.edge_df("IN_REGION").select("src", "dst")
+    return placed.unionByName(in_nation).unionByName(in_region)
+
+
+# --------------------------------------------------------------------------
+# Var-length expand (reference: VarLengthExpandOperator operator.rs:3003)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "var_length_reachability",
+    f"""
+    SELECT n_name AS name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey = 1
+    UNION
+    SELECT r_name AS name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_custkey = 1
+    """,
+)
+def var_length_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH (c:Customer)-[*1..2]->(x) WHERE id(c)=$c RETURN DISTINCT x.name
+    over the IN_NATION/IN_REGION hierarchy."""
+    g = tpch_graph(spark, sf_dir)
+    edges = g.edge_df("IN_NATION").select("src", "dst").unionByName(
+        g.edge_df("IN_REGION").select("src", "dst")
+    )
+    starts = spark.createDataFrame([(ID_BASE["Customer"] + 1,)], "id long")
+    reached = var_length_expand(starts, edges, 1, 2)
+    names = g.node_df("Nation").select("id", "name").unionByName(
+        g.node_df("Region").select("id", "name")
+    )
+    return (
+        reached.join(names, reached["node"] == names["id"]).select("name").distinct()
+    )
+
+
+@query(
+    "bfs_layers",
+    f"""
+    WITH d1 AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_custkey = 1
+    ), d2 AS (
+        SELECT DISTINCT l_partkey AS k FROM lineitem
+        WHERE l_orderkey IN (SELECT k FROM d1)
+    ), d3 AS (
+        SELECT DISTINCT l_suppkey AS k FROM lineitem
+        WHERE l_partkey IN (SELECT k FROM d2)
+    )
+    SELECT 0 AS depth, 1 AS n
+    UNION ALL SELECT 1, count(*) FROM d1
+    UNION ALL SELECT 2, count(*) FROM d2
+    UNION ALL SELECT 3, count(*) FROM d3
+    """,
+)
+def bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS frontier sizes from one customer through
+    PLACED -> CONTAINS -> SUPPLIED_BY (a layered DAG, so first-reach
+    depth == layer, making the SQL oracle exact)."""
+    from samyama_graph_spark.algorithms import bfs
+
+    g = tpch_graph(spark, sf_dir)
+    edges = (
+        g.edge_df("PLACED")
+        .select("src", "dst")
+        .unionByName(g.edge_df("CONTAINS").select("src", "dst"))
+        .unionByName(g.edge_df("SUPPLIED_BY").select("src", "dst"))
+    )
+    reached = bfs(edges, ID_BASE["Customer"] + 1, max_depth=3)
+    return (
+        reached.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("depth").cast("int").alias("depth"), F.col("n").cast("long"))
+    )
+
+
+# --------------------------------------------------------------------------
+# WCC (reference: community.rs:58) — star components over PLACED
+# --------------------------------------------------------------------------
+
+
+@query(
+    "wcc_placed_components",
+    f"""
+    SELECT o_custkey + {_C} AS component, count(*) + 1 AS n
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def wcc_placed_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the customer–order bipartite graph:
+    each component is one customer star; component id = min vertex id
+    (the customer, since the Customer id range is below Order's)."""
+    g = tpch_graph(spark, sf_dir)
+    comp = wcc(g.edge_df("PLACED").select("src", "dst"))
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# PageRank (reference: pagerank.rs:35) — oracle = unrolled CTE chain
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+
+
+def _pagerank_oracle_sql(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))",
+        "nn AS (SELECT count(*) AS n FROM verts)",
+        "deg AS (SELECT v.id, COALESCE(dd.cnt, 0) AS out_deg FROM verts v "
+        "LEFT JOIN (SELECT src AS id, count(*) AS cnt FROM edges GROUP BY src) dd "
+        "ON v.id = dd.id)",
+        "pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k - 1}"
+        ctes.append(
+            f"""pr{k} AS (
+    SELECT g.id,
+        {1.0 - d} / (SELECT n FROM nn)
+        + {d} * (SELECT COALESCE(sum(p.rank), 0) FROM {p} p
+                 JOIN deg dg ON p.id = dg.id WHERE dg.out_deg = 0)
+              / (SELECT n FROM nn)
+        + {d} * COALESCE(m.msg, 0) AS rank
+    FROM deg g LEFT JOIN (
+        SELECT e.dst AS id, sum(p.rank / dg.out_deg) AS msg
+        FROM edges e JOIN {p} p ON e.src = p.id JOIN deg dg ON dg.id = e.src
+        GROUP BY e.dst) m ON m.id = g.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT id, round(rank * (SELECT n FROM nn), 6) AS rank_scaled
+    FROM pr{iters} ORDER BY rank_scaled DESC, id LIMIT 20"""
+    )
+
+
+@query("pagerank_top20", _pagerank_oracle_sql())
+def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL algo.pageRank: 5 iterations, d=0.85, over
+    PLACED ∪ IN_NATION ∪ IN_REGION; rank scaled by N (so values are
+    O(1) and rounding to 6 decimals is meaningful)."""
+    g = tpch_graph(spark, sf_dir)
+    edges = _rank_edges(g)
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    n = ranks.count()
+    return (
+        ranks.select(
+            "id", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_scaled")
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# SSSP (reference: pathfinding.rs:91 Dijkstra) — layered DAG oracle
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sssp_weighted",
+    f"""
+    WITH d1 AS (
+        SELECT o_orderkey + {_O} AS id, 1.0 AS dist
+        FROM orders WHERE o_custkey = 1
+    ), d2 AS (
+        SELECT l_partkey + {_P} AS id, min(d1.dist + l_quantity) AS dist
+        FROM lineitem JOIN d1 ON l_orderkey + {_O} = d1.id
+        GROUP BY l_partkey
+    ), d3 AS (
+        SELECT l_suppkey + {_S} AS id, min(d2.dist + l_quantity) AS dist
+        FROM lineitem JOIN d2 ON l_partkey + {_P} = d2.id
+        GROUP BY l_suppkey
+    )
+    SELECT id, dist FROM (
+        SELECT {_C} + 1 AS id, 0.0 AS dist
+        UNION ALL SELECT id, dist FROM d1
+        UNION ALL SELECT id, dist FROM d2
+        UNION ALL SELECT id, dist FROM d3
+    )
+    """,
+)
+def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL algo.weightedPath (Dijkstra fixpoint via frontier
+    Bellman-Ford): distances from customer 1 over PLACED (w=1),
+    CONTAINS (w=quantity), SUPPLIED_BY (w=quantity).  Weights are
+    small integers stored as doubles, so distances are exact and the
+    hash comparison is safe without rounding."""
+    g = tpch_graph(spark, sf_dir)
+    edges = (
+        g.edge_df("PLACED")
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+        .unionByName(
+            g.edge_df("CONTAINS").select(
+                "src", "dst", F.col("quantity").alias("weight")
+            )
+        )
+        .unionByName(
+            g.edge_df("SUPPLIED_BY").select(
+                "src", "dst", F.col("quantity").alias("weight")
+            )
+        )
+    )
+    return sssp(edges, ID_BASE["Customer"] + 1, max_rounds=8)
+
+
+# --------------------------------------------------------------------------
+# Triangle count (reference: topology.rs:14) over the co-order part graph
+# --------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count_coorder",
+    """
+    WITH pe AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT count(*) AS triangles
+    FROM pe e1 JOIN pe e2 ON e1.v = e2.u JOIN pe e3
+      ON e2.v = e3.v AND e3.u = e1.u
+    """,
+)
+def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL algo.triangleCount on the part co-purchase graph (parts
+    appearing in the same order).  The engine uses degree-oriented
+    wedge closing; the oracle counts ordered triangles u<v<w directly."""
+    g = tpch_graph(spark, sf_dir)
+    li = g.edge_df("CONTAINS").select(
+        F.col("src").alias("order_id"), F.col("dst").alias("part_id")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.order_id") == F.col("b.order_id"))
+               & (F.col("a.part_id") < F.col("b.part_id")))
+        .select(F.col("a.part_id").alias("src"), F.col("b.part_id").alias("dst"))
+        .distinct()
+    )
+    n = triangle_count(pairs)
+    return pairs.sparkSession.createDataFrame([(n,)], "triangles long")

@@ -1,0 +1,137 @@
+"""Algorithm correctness on hand-computed fixtures (the reference's
+unit-test style: small graphs with exact expected outputs, cf. its
+crates/samyama-graph-algorithms test modules and Graphalytics
+validation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.algorithms import (
+    bfs,
+    cdlp,
+    lcc,
+    pagerank,
+    shortest_path_length,
+    sssp,
+    triangle_count,
+    wcc,
+)
+from samyama_graph_spark.operators import shortest_path, var_length_expand
+
+
+@pytest.fixture(scope="module")
+def tri_graph(spark):
+    # triangle 1-2-3 plus a tail 3-4, plus isolated pair 5-6
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+
+
+def test_triangle_count(spark, tri_graph):
+    assert triangle_count(tri_graph) == 1
+
+
+def test_lcc(spark, tri_graph):
+    got = {r["id"]: r["lcc"] for r in lcc(tri_graph).collect()}
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(1.0)
+    assert got[3] == pytest.approx(1.0 / 3.0)
+    assert got[4] == 0.0
+    assert got[5] == 0.0
+
+
+def test_wcc(spark, tri_graph):
+    got = {r["id"]: r["component"] for r in wcc(tri_graph).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_bfs_depths(spark, chain):
+    got = {r["id"]: r["depth"] for r in bfs(chain, 1).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_undirected(spark, chain):
+    got = {r["id"]: r["depth"] for r in bfs(chain, 3, directed=False).collect()}
+    assert got == {3: 0, 2: 1, 4: 1, 1: 2}
+
+
+def test_sssp(spark):
+    # 1->2 (1.0), 2->3 (1.0), 1->3 (5.0): shortest 1->3 is 2.0 via 2
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0)], "src long, dst long, weight double"
+    )
+    got = {r["id"]: r["dist"] for r in sssp(e, 1).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0}
+
+
+def test_shortest_path_length(spark, chain):
+    assert shortest_path_length(chain, 1, 4) == 3
+    assert shortest_path_length(chain, 4, 1) is None
+    assert shortest_path_length(chain, 4, 1, directed=False) == 3
+
+
+def test_pagerank_vs_numpy(spark, tri_graph):
+    """Independent oracle: dense power iteration in numpy with the same
+    semantics (uniform init, dangling redistribution)."""
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)]
+    ids = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out_deg = {v: 0 for v in ids}
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        nxt = np.zeros(n)
+        dangling = sum(r[idx[v]] for v in ids if out_deg[v] == 0)
+        for s, t in edges:
+            nxt[idx[t]] += r[idx[s]] / out_deg[s]
+        r = (1 - d) / n + d * nxt + d * dangling / n
+    expected = {v: r[idx[v]] for v in ids}
+
+    got = {row["id"]: row["rank"] for row in pagerank(tri_graph, 10).collect()}
+    assert set(got) == set(expected)
+    for v in ids:
+        assert got[v] == pytest.approx(expected[v], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_cdlp_two_cliques(spark):
+    # two triangles bridged by one edge: labels converge to clique minima
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["label"] for r in cdlp(e, 10).collect()}
+    assert got[1] == got[2] == 1
+    assert got[5] == got[6]
+
+
+def test_var_length_expand(spark, chain):
+    starts = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {
+        (r["start"], r["node"]): r["hops"]
+        for r in var_length_expand(starts, chain, 1, 2).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 1, (2, 4): 2}
+
+
+def test_shortest_path_pairs(spark, chain):
+    starts = spark.createDataFrame([(1,)], "id long")
+    targets = spark.createDataFrame([(3,), (4,)], "id long")
+    got = {
+        (r["start"], r["target"]): r["hops"]
+        for r in shortest_path(starts, targets, chain).collect()
+    }
+    assert got == {(1, 3): 2, (1, 4): 3}

@@ -5,10 +5,11 @@ from __future__ import annotations
 
 import pytest
 
-from samyama_graph_spark.workloads import REGISTRY
+from samyama_graph_spark.workloads import REGISTRY, load_all_workloads
 
 from tests.util import assert_matches_oracle
 
+load_all_workloads()
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle)
 
 
