@@ -1,0 +1,57 @@
+"""Shared primitives for the datapipe operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash: int(md5(s)[0:15], 16).
+
+    Chosen because the identical expression exists in any SQL engine
+    with md5 (DuckDB: ``('0x' || substr(md5(s),1,15))::BIGINT``), so
+    every hash-derived operator (MinHash, SimHash, fingerprints) is
+    cross-engine reproducible.  60 bits keeps the value positive in a
+    signed 64-bit long.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """The DuckDB-side twin of hash60 (keep in lockstep!)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def seeded(seed: int, col: Column) -> Column:
+    """Family of independent hash functions: H_i(s) = hash60(i || '|' || s)."""
+    return hash60(F.concat(F.lit(str(seed)), F.lit("|"), col))
+
+
+def seeded_sql(seed: int, expr: str) -> str:
+    return hash60_sql(f"'{seed}' || '|' || {expr}")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (single-space split for cross-engine
+    parity with DuckDB string_split)."""
+    return F.split(col, " ")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Array of k-word shingles joined by single spaces.
+
+    Built with HOFs (sequence + transform + element_at), all JVM-side.
+    Documents shorter than k words produce an empty array.
+    """
+    ws = tokens(col)
+    n = F.size(ws)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )

@@ -1,0 +1,304 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding near-dup.
+
+Every operator is a DataFrame pipeline whose candidate generation is
+a blocking/bucketing join — the property that makes it viable at
+100TB (no all-pairs stage ever materializes).  Hashes come from
+common.hash60 so the whole pipeline is reproducible in any engine
+with md5 (the driver's DuckDB oracle re-runs it verbatim).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as op
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.datapipe.common import (
+    hash60,
+    seeded,
+    tokens,
+    word_shingles,
+)
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: ``(content_hash, keep_id, n_dups)``.
+
+    keep_id is the minimum id of each duplicate group (deterministic
+    survivor selection).  One shuffle on the 60-bit content hash.
+    """
+    return (
+        df.select(hash60(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ------------------------------------------------------- shingle foundation
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc: ``(id, shingle)``."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def _pair_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """True Jaccard for candidate pairs: ``(x, y, jacc)``.
+
+    |A∩B| via a shingle-equality join restricted to candidate pairs,
+    |A∪B| = |A|+|B|-|A∩B|.  The semi-join onto candidates keeps the
+    shingle join linear in candidate count, not quadratic in docs.
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.select(F.col("id").alias("x"), "shingle")
+    b = shingles.select(F.col("id").alias("y"), "shingle")
+    inter = (
+        a.join(pairs, "x")
+        .join(b, ["y", "shingle"])
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "x").withColumnRenamed("n", "nx"), "x")
+        .join(sizes.withColumnRenamed("id", "y").withColumnRenamed("n", "ny"), "y")
+        .select(
+            "x",
+            "y",
+            (F.col("i") / (F.col("nx") + F.col("ny") - F.col("i"))).alias("jacc"),
+        )
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: ``(id, mh0..mh{n-1})``.
+
+    One explode of the shingle set, num_hashes seeded hash columns,
+    one grouped min-aggregation — a single shuffle on doc id.
+    """
+    hashed = shingles.select(
+        "id",
+        *[seeded(i, F.col("shingle")).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
+
+
+def lsh_candidates(
+    sigs: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Banded-LSH candidate pairs ``(x, y)`` (x < y).
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing all minhashes in any band land in the same bucket.
+    Bucket join is an equi-join on the band struct — shuffle by bucket,
+    never all-pairs.
+    """
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"mh{b * rows + r}").alias(f"v{r}") for r in range(rows)],
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bkt"))
+    l = buckets.select(F.col("id").alias("x"), "bkt")
+    r = buckets.select(F.col("id").alias("y"), "bkt")
+    return (
+        l.join(r, "bkt")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline:
+    shingle -> minhash -> band-bucket -> candidate join -> exact-Jaccard
+    verification.  Returns ``(x, y, jacc)`` with jacc >= threshold.
+    """
+    sh = shingle_sets(df, text_col, id_col, k)
+    sigs = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidates(sigs, num_hashes, bands)
+    return _pair_jaccard(sh, cand).filter(F.col("jacc") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exhaustive-within-block n-gram Jaccard pairs (the exact
+    baseline LSH approximates).  ``block_cols`` restricts comparisons
+    to equal blocking keys; with none, candidates are pairs sharing at
+    least one shingle (still a shingle-equality join, not a cross
+    join — docs with zero overlap never pair, their Jaccard is 0).
+    """
+    sh = shingle_sets(df, text_col, id_col, k)
+    if block_cols:
+        blocks = df.select(F.col(id_col).alias("id"), *block_cols)
+        a = blocks.toDF("x", *[f"{c}_x" for c in block_cols])
+        b = blocks.toDF("y", *[f"{c}_y" for c in block_cols])
+        cond = functools.reduce(
+            op.and_, [F.col(f"{c}_x") == F.col(f"{c}_y") for c in block_cols]
+        )
+        pairs = a.join(b, cond & (F.col("x") < F.col("y"))).select("x", "y")
+    else:
+        a = sh.select(F.col("id").alias("x"), "shingle")
+        b = sh.select(F.col("id").alias("y"), "shingle")
+        pairs = (
+            a.join(b, "shingle")
+            .filter(F.col("x") < F.col("y"))
+            .select("x", "y")
+            .distinct()
+        )
+    return _pair_jaccard(sh, pairs).filter(F.col("jacc") >= threshold)
+
+
+# ----------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 60  # fits hash60's positive range
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash per doc: ``(id, sim)``.
+
+    Per distinct token: hash60, expand to ±1 per bit position via a
+    sequence/transform HOF, then element-wise array sum per doc and
+    sign -> bit.  All JVM-side; one shuffle on doc id.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .distinct()
+        .withColumn("h", hash60(F.col("tok")))
+    )
+    # shift amounts must be literals in Spark's shiftright/shiftleft, so
+    # the per-bit ±1 expansion is a static 60-column aggregation — still
+    # one shuffle, and codegen handles wide aggregate lists fine.
+    summed = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return summed.select("id", sim.alias("sim"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs ``(x, y, hamming)`` with hamming <= max.
+
+    Candidate generation by the pigeonhole principle: split the
+    signature into ``chunks`` bit-ranges; any pair within
+    max_hamming <= chunks*(chunk tolerance) shares at least one exact
+    chunk when max_hamming < chunks, and in general bucketing by each
+    chunk catches pairs differing in fewer than ``chunks`` chunks.
+    Bucket-join per chunk, then exact popcount(xor) verification.
+    """
+    sig = simhash(df, text_col, id_col)
+    width = SIMHASH_BITS // chunks
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("sim"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("v"),
+        )
+        for c in range(chunks)
+    ]
+    buckets = sig.select("id", "sim", F.explode(F.array(*chunk_cols)).alias("bkt"))
+    l = buckets.select(F.col("id").alias("x"), F.col("sim").alias("sx"), "bkt")
+    r = buckets.select(F.col("id").alias("y"), F.col("sim").alias("sy"), "bkt")
+    cand = (
+        l.join(r, "bkt")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y", "sx", "sy")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sx").bitwiseXOR(F.col("sy")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("x", "y", "hamming")
+    )
+
+
+# ------------------------------------------------------ embedding near-dup
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ``(x, y, cos)`` with cos >= threshold.
+
+    Exhaustive within blocks (``block_col``); at scale, feed this the
+    bucket assignments from similarity.knn_lsh instead of a label
+    column.  Dot products via zip_with/aggregate HOFs in double
+    precision.
+    """
+    from samyama_graph_spark.datapipe.similarity import cosine
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a = base.select(F.col("id").alias("x"), F.col("v").alias("vx"), "blk")
+    b = base.select(F.col("id").alias("y"), F.col("v").alias("vy"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y", cosine(F.col("vx"), F.col("vy")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns.
+
+Reference parity: the vector subsystem (src/vector/index.rs; HNSW
+search :196-258, metrics L2/Cosine/InnerProduct :71-77) exposed as
+``db.index.vector.queryNodes(label, prop, vec, k)``.  HNSW is a
+single-node in-memory structure; the Spark-native equivalents are:
+
+- exact brute-force top-k (distributed scan + TakeOrderedAndProject):
+  the correctness baseline, and at 100TB often the right answer when
+  the query batch is large (one pass scores everything);
+- random-hyperplane LSH bucketing for sub-scan candidate retrieval,
+  re-ranked exactly — the scale path for selective queries.
+
+All arithmetic is double precision through zip_with/aggregate HOFs
+(JVM codegen, no Python).
+"""
+
+from __future__ import annotations
+
+
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+_METRICS = {"cosine": cosine, "l2": l2, "dot": dot}
+
+
+def _score(metric: str, v: Column, q: Column) -> tuple[Column, bool]:
+    """(score column, descending?) — L2 ranks ascending, others descending."""
+    if metric not in _METRICS:
+        raise ValueError(f"metric must be one of {sorted(_METRICS)}")
+    return _METRICS[metric](v, q), metric != "l2"
+
+
+def knn_bruteforce(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k: ``(id, score)``, deterministic tie-break on id.
+
+    The orderBy+limit compiles to TakeOrderedAndProject: each
+    partition keeps a k-heap, the driver merges k*partitions rows —
+    no global sort, scales linearly with the scan.
+    """
+    q = F.lit(query_vec).cast("array<double>")
+    v = F.col(vec_col).cast("array<double>")
+    score, desc = _score(metric, v, q)
+    scored = df.select(F.col(id_col).alias("id"), score.alias("score"))
+    order = [F.desc("score") if desc else F.asc("score"), F.asc("id")]
+    return scored.orderBy(*order).limit(k)
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no numpy needed at
+    plan-build time so plans stay serializable/repeatable)."""
+    state = seed
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v · plane_i)."""
+    bits = [
+        F.when(dot(vec, F.lit(p).cast("array<double>")) >= 0, 1 << i).otherwise(0)
+        for i, p in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("long")
+
+
+def knn_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    metric: str = "cosine",
+    num_planes: int = 4,
+    num_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe ``num_tables`` hyperplane-LSH tables,
+    union candidates whose bucket matches the query's, re-rank
+    exactly.  The scan prunes to matching buckets (a partition-
+    prunable filter once bucket ids are materialized as a partition
+    column at write time)."""
+    dim = len(query_vec)
+    v = F.col(vec_col).cast("array<double>")
+    cands = None
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, num_planes, seed + t * 1000)
+        qsig = 0
+        for i, p in enumerate(planes):
+            s = sum(x * y for x, y in zip(query_vec, p))
+            if s >= 0:
+                qsig += 1 << i
+        tbl = df.filter(lsh_bucket(v, planes) == F.lit(qsig))
+        cands = tbl if cands is None else cands.unionByName(tbl)
+    cands = cands.dropDuplicates([id_col])
+    return knn_bruteforce(cands, vec_col, id_col, query_vec, k, metric)
+
+
+def knn_join_bruteforce(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Batch k-NN join: for every left row, its top-k right rows —
+    ``(x, y, score, rn)``.  Cross-join scored then window top-k; use
+    only with a blocked/bucketed right side at scale."""
+    from pyspark.sql import Window
+
+    a = left.select(F.col(id_col).alias("x"), F.col(vec_col).cast("array<double>").alias("vx"))
+    b = right.select(F.col(id_col).alias("y"), F.col(vec_col).cast("array<double>").alias("vy"))
+    score, desc = _score(metric, F.col("vx"), F.col("vy"))
+    scored = a.crossJoin(b).select("x", "y", score.alias("score"))
+    w = Window.partitionBy("x").orderBy(
+        F.desc("score") if desc else F.asc("score"), F.asc("y")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1,0 +1,107 @@
+"""Text analysis operators: token stats, quality scoring, language
+identification, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen); formulas are
+deliberately simple closed-form so the DuckDB oracle can evaluate the
+identical computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.datapipe.common import hash60, tokens, word_shingles
+
+STOPWORDS = ["the", "a", "an", "of", "and", "or", "in", "on", "to", "is"]
+
+# Marker words per language for the n-gram/stopword language-ID
+# heuristic.  (Real corpora would use character n-gram profiles; the
+# driver's synthetic docs share one vocabulary, so the heuristic's
+# value here is the deterministic, cross-engine-checkable plumbing.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "y", "es"],
+    "fr": ["le", "la", "et", "est", "un"],
+    "zh": ["de", "shi", "he", "zai", "le"],
+}
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, n_chars, n_tokens, n_distinct_tokens, avg_token_len)``."""
+    ws = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).alias("n_chars"),
+        F.size(ws).alias("n_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_tokens"),
+        F.round(
+            (F.length(text_col) - F.size(ws) + 1) / F.size(ws), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality in [0,1]: length band + lexical diversity +
+    stopword presence: ``(id, quality)``.
+
+    quality = 0.4 * min(n_tokens/50, 1)
+            + 0.4 * (n_distinct/n_tokens)
+            + 0.2 * min(stopword_ratio*5, 1)
+    """
+    ws = tokens(F.col(text_col))
+    n_tok = F.size(ws)
+    n_dis = F.size(F.array_distinct(ws))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    q = (
+        0.4 * F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        + 0.4 * (n_dis / n_tok)
+        + 0.2 * F.least(n_stop / n_tok * 5.0, F.lit(1.0))
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.round(q, 6).alias("quality")
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-word language ID: ``(id, lang_guess, lang_hits)``.
+
+    Scores each language by marker-word hits in the token bag; picks
+    the highest count, ties broken alphabetically ('en' wins a total
+    tie only if no other language scored).
+    """
+    ws = tokens(F.col(text_col))
+    # struct(hits, -rank, lang): array_max picks highest hit count,
+    # ties resolved to the alphabetically-first language (max of -rank).
+    ranked = []
+    for i, lang in enumerate(sorted(LANG_MARKERS)):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        cnt = F.size(F.filter(ws, lambda w: F.array_contains(markers, w)))
+        ranked.append(
+            F.struct(
+                cnt.alias("hits"), F.lit(-i).alias("nrank"), F.lit(lang).alias("lang")
+            )
+        )
+    top = F.array_max(F.array(*ranked))
+    return df.select(
+        F.col(id_col).alias("id"),
+        top["lang"].alias("lang_guess"),
+        top["hits"].alias("lang_hits"),
+    )
+
+
+def text_fingerprint(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Document fingerprint: min/max k-shingle hash pair — a compact
+    content signature stable under token reordering at the edges:
+    ``(id, fp_min, fp_max)``."""
+    sh = word_shingles(F.col(text_col), k)
+    hashes = F.transform(sh, lambda s: hash60(s))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+    )

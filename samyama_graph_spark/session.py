@@ -49,3 +49,26 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Needed wherever a Pandas UDF / mapInPandas closure references this
+    package: the driver process may import us from a path the executor
+    workers don't have (cluster mode, or a harness with its own cwd).
+    Idempotent per session.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_samyama_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="samyama_pkg_")
+    zip_base = os.path.join(staging, "samyama_graph_spark")
+    shutil.copytree(pkg_dir, os.path.join(zip_base, "samyama_graph_spark"))
+    archive = shutil.make_archive(zip_base, "zip", zip_base)
+    sc.addPyFile(archive)
+    sc._samyama_shipped = True

@@ -1,0 +1,373 @@
+"""Training-data pipeline workloads with DuckDB oracles.
+
+The MinHash/SimHash pipelines are validated end-to-end: the oracle SQL
+re-runs the identical pipeline (same md5-prefix hash family, same
+shingling, same banding) in DuckDB, so candidate generation AND
+verification must agree bit-for-bit, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.datapipe.common import hash60_sql, seeded_sql
+from samyama_graph_spark.datapipe.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from samyama_graph_spark.datapipe.multimodal import extract_features, synthetic_media
+from samyama_graph_spark.datapipe.similarity import knn_bruteforce, knn_lsh
+from samyama_graph_spark.datapipe.text import (
+    STOPWORDS,
+    LANG_MARKERS,
+    language_id,
+    quality_score,
+    text_fingerprint,
+    token_stats,
+)
+from samyama_graph_spark.loaders import load_tables
+from samyama_graph_spark.workloads import query
+
+# Shared oracle fragment: distinct 3-word shingles per doc (1-based
+# DuckDB list indexing; docs shorter than 3 words produce no rows).
+_SHINGLES_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+        FROM tok WHERE len(ws) >= 3),
+sh AS (SELECT DISTINCT doc_id AS id,
+              ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       FROM idx)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT {hash60_sql('text')} AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+_MH_HASHES = 8
+_MH_BANDS = 4
+_MH_THRESHOLD = 0.5
+
+
+def _minhash_oracle() -> str:
+    rows = _MH_HASHES // _MH_BANDS
+    mh_cols = ",\n        ".join(
+        f"min({seeded_sql(i, 's')}) AS mh{i}" for i in range(_MH_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, {vs} FROM sig".format(
+            b=b,
+            vs=", ".join(
+                f"mh{b * rows + r} AS v{r}" for r in range(rows)
+            ),
+        )
+        for b in range(_MH_BANDS)
+    )
+    band_eq = " AND ".join(f"a.v{r} = b.v{r}" for r in range(rows))
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT id, {mh_cols} FROM sh GROUP BY id),
+    bkt AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.id AS x, b.id AS y
+             FROM bkt a JOIN bkt b ON a.band = b.band AND {band_eq}
+             WHERE a.id < b.id),
+    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (SELECT c.x, c.y, count(*) AS i
+              FROM cand c JOIN sh a ON a.id = c.x
+              JOIN sh b ON b.id = c.y AND b.s = a.s
+              GROUP BY c.x, c.y)
+    SELECT x, y, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jacc
+    FROM inter JOIN sz sa ON sa.id = x JOIN sz sb ON sb.id = y
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= {_MH_THRESHOLD}
+    """
+
+
+@query("minhash_lsh_dedup", _minhash_oracle())
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        k=3,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+    return df.select("x", "y", F.round("jacc", 6).alias("jacc"))
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+@query(
+    "ngram_jaccard_block",
+    f"""
+    WITH {_SHINGLES_CTE},
+    blocks AS (SELECT d1.doc_id AS x, d2.doc_id AS y
+               FROM documents d1 JOIN documents d2
+                 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id),
+    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (SELECT p.x, p.y, count(*) AS i
+              FROM blocks p JOIN sh a ON a.id = p.x
+              JOIN sh b ON b.id = p.y AND b.s = a.s
+              GROUP BY p.x, p.y)
+    SELECT x, y, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jacc
+    FROM inter JOIN sz sa ON sa.id = x JOIN sz sb ON sb.id = y
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.3
+    """,
+)
+def ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.3,
+        block_cols=["lang"],
+    )
+    return df.select("x", "y", F.round("jacc", 6).alias("jacc"))
+
+
+# ------------------------------------------------------------------ SimHash
+
+_SH_CHUNKS = 4
+_SH_WIDTH = 60 // _SH_CHUNKS
+_SH_MAXHAM = 6
+
+
+def _simhash_oracle() -> str:
+    h = hash60_sql("w")
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT id, sim, {c} AS c, (sim >> {c * _SH_WIDTH}) & {(1 << _SH_WIDTH) - 1} AS v FROM sig"
+        for c in range(_SH_CHUNKS)
+    )
+    return f"""
+    WITH tokh AS (
+        SELECT DISTINCT doc_id AS id, {h} AS hv
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    bitsum AS (
+        SELECT id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sm
+        FROM tokh CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+        GROUP BY id, b
+    ),
+    sig AS (
+        SELECT id, sum(CASE WHEN sm > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sim
+        FROM bitsum GROUP BY id
+    ),
+    chunks AS ({chunk_selects}),
+    cand AS (
+        SELECT DISTINCT a.id AS x, b.id AS y, a.sim AS sx, b.sim AS sy
+        FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v
+        WHERE a.id < b.id
+    )
+    SELECT x, y, bit_count(xor(sx, sy)) AS hamming
+    FROM cand WHERE bit_count(xor(sx, sy)) <= {_SH_MAXHAM}
+    """
+
+
+@query("simhash_dedup", _simhash_oracle())
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = simhash_near_dups(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        max_hamming=_SH_MAXHAM,
+        chunks=_SH_CHUNKS,
+    )
+    return df.select("x", "y", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ------------------------------------------------------ embedding near-dup
+
+
+@query(
+    "embedding_near_dup",
+    """
+    WITH ee AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    nrm AS (SELECT vec_id, sum(v * v) AS nn FROM ee GROUP BY vec_id),
+    dp AS (SELECT a.vec_id AS x, b.vec_id AS y, sum(a.v * b.v) AS d
+           FROM ee a JOIN ee b ON a.i = b.i AND a.label = b.label
+                     AND a.vec_id < b.vec_id
+           GROUP BY 1, 2)
+    SELECT x, y, round(d / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cos
+    FROM dp JOIN nrm na ON na.vec_id = x JOIN nrm nb ON nb.vec_id = y
+    WHERE d / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.35
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = embedding_near_dups(
+        _embs(spark, sf_dir), "embedding", "vec_id", threshold=0.35,
+        block_col="label",
+    )
+    return df.select("x", "y", F.round("cos", 6).alias("cos"))
+
+
+# ------------------------------------------------------------------- k-NN
+
+
+@query(
+    "knn_cosine_top10",
+    """
+    WITH qe AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings WHERE vec_id = 0),
+    ee AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    s AS (SELECT vec_id, sum(v * qv) AS dp, sum(v * v) AS nv, sum(qv * qv) AS nq
+          FROM ee JOIN qe USING (i) GROUP BY vec_id)
+    SELECT vec_id AS id, round(dp / (sqrt(nv) * sqrt(nq)), 6) AS score
+    FROM s ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id LIMIT 10
+    """,
+)
+def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """db.index.vector.queryNodes equivalent: exact cosine top-10 for
+    the vec_id=0 embedding.  The query vector is a parameter (one-row
+    lookup), the scan itself never collects."""
+    embs = _embs(spark, sf_dir)
+    qv = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = knn_bruteforce(embs, "embedding", "vec_id", qv, k=10, metric="cosine")
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+@query("knn_lsh_top10", None)  # approximate: rows-only driver check
+def knn_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN variant; recall vs brute force asserted in
+    tests/test_datapipe.py rather than an exact oracle."""
+    embs = _embs(spark, sf_dir)
+    qv = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = knn_lsh(embs, "embedding", "vec_id", qv, k=10, metric="cosine")
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+# ------------------------------------------------------------ text analysis
+
+
+@query(
+    "token_stats",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id AS id,
+           length(text) AS n_chars,
+           len(ws) AS n_tokens,
+           len(list_distinct(ws)) AS n_distinct_tokens,
+           round((length(text) - len(ws) + 1) * 1.0 / len(ws), 6) AS avg_token_len
+    FROM t
+    """,
+)
+def token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = token_stats(_docs(spark, sf_dir), "text", "doc_id")
+    return df.select(
+        "id",
+        F.col("n_chars").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_distinct_tokens").cast("long"),
+        "avg_token_len",
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "quality_scores",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, len(ws) AS nt, len(list_distinct(ws)) AS nd,
+                 len(list_filter(ws, w -> w IN ({_STOP_IN}))) AS ns
+          FROM t)
+    SELECT doc_id AS id,
+           round(0.4 * least(nt / 50.0, 1.0)
+               + 0.4 * (nd * 1.0 / nt)
+               + 0.2 * least(ns * 5.0 / nt, 1.0), 6) AS quality
+    FROM s
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _langid_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n           ".join(
+        "len(list_filter(ws, w -> w IN ({}))) AS h_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        others = [f"h_{lang} >= h_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(others) if others else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    greatest = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    h AS (SELECT doc_id,
+           {hit_cols}
+          FROM t)
+    SELECT doc_id AS id, {case_sql} AS lang_guess, {greatest} AS lang_hits
+    FROM h
+    """
+
+
+@query("language_id", _langid_oracle())
+def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = language_id(_docs(spark, sf_dir), "text", "doc_id")
+    return df.select("id", "lang_guess", F.col("lang_hits").cast("long"))
+
+
+@query(
+    "text_fingerprints",
+    f"""
+    WITH {_SHINGLES_CTE},
+    fp AS (SELECT id, min({hash60_sql('s')}) AS fp_min,
+                  max({hash60_sql('s')}) AS fp_max
+           FROM sh GROUP BY id)
+    SELECT d.doc_id AS id, fp.fp_min, fp.fp_max
+    FROM documents d LEFT JOIN fp ON fp.id = d.doc_id
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fingerprint(_docs(spark, sf_dir), "text", "doc_id")
+
+
+# -------------------------------------------------------------- multimodal
+
+
+@query("multimodal_features", None)  # stubbed decode: rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media
+    (decode kernel stubbed; plumbing real)."""
+    media = synthetic_media(spark, 64)
+    feats = extract_features(media, dim=8)
+    return feats.select("media_id", "n_bytes", F.size("feature").alias("dim"))

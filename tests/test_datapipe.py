@@ -1,0 +1,46 @@
+"""Datapipe operator tests beyond the oracle gate: approximate-recall
+guarantees, multimodal plumbing, determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.datapipe.multimodal import extract_features, synthetic_media
+from samyama_graph_spark.datapipe.similarity import knn_bruteforce, knn_lsh
+from samyama_graph_spark.loaders import load_tables
+
+
+def _query_vec(embs):
+    return [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_knn_lsh_recall(spark, sf_dir):
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = _query_vec(embs)
+    exact = {r["id"] for r in knn_bruteforce(embs, "embedding", "vec_id", qv, 10).collect()}
+    approx = {r["id"] for r in knn_lsh(embs, "embedding", "vec_id", qv, 10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall} ({exact} vs {approx})"
+
+
+def test_knn_l2_and_dot(spark, sf_dir):
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = _query_vec(embs)
+    l2 = knn_bruteforce(embs, "embedding", "vec_id", qv, 5, metric="l2").collect()
+    assert l2[0]["id"] == 0 and abs(l2[0]["score"]) < 1e-9  # self has distance 0
+    dp = knn_bruteforce(embs, "embedding", "vec_id", qv, 5, metric="dot").collect()
+    assert len(dp) == 5
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, 16)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 16
+    by_id = {r["media_id"]: r for r in feats}
+    assert by_id[3]["n_bytes"] == len(b"payload-3")
+    assert len(by_id[3]["feature"]) == 8
+    # deterministic: same input -> same feature
+    feats2 = extract_features(synthetic_media(spark, 16), dim=8).collect()
+    assert {r["media_id"]: r["feature"] for r in feats2} == {
+        r["media_id"]: r["feature"] for r in feats
+    }
