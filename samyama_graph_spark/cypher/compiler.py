@@ -1,0 +1,533 @@
+"""Pattern/clause compiler: AST -> DataFrame plan.
+
+Division of labor (SURVEY.md §3-4): this compiler decides pattern
+join order and clause chaining — everything the reference does in
+planner.rs (Scan -> Expand -> Filter -> Aggregate -> Sort -> Limit
+assembly, planner.rs:1047-1230; ExpandInto insertion,
+logical_optimizer.rs:117; semi-join rewrite for EXISTS) — and emits a
+declarative DataFrame expression.  Catalyst then owns predicate
+pushdown, column pruning, join strategy, and limit pushdown.
+
+Representation: every Cypher variable is one top-level struct column
+(nodes: id + properties + _labels; edges: src/dst + properties +
+_type), so projection/filter expressions are plain struct-field
+accesses and Catalyst's column pruning trims unused fields.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.cypher import ast as A
+from samyama_graph_spark.cypher.expressions import (
+    CompileError,
+    Scope,
+    VarInfo,
+    collect_aggregates,
+    compile_expr,
+    expr_name,
+    is_aggregate,
+)
+from samyama_graph_spark.cypher.functions import AGGREGATES, aggregate_fn
+from samyama_graph_spark.graph import PropertyGraph
+
+
+@dataclass
+class State:
+    frame: DataFrame | None
+    scope: Scope
+    anon: int = 0
+
+    def fresh(self, prefix: str) -> str:
+        self.anon += 1
+        return f"__{prefix}_{self.anon}"
+
+
+class Compiler:
+    def __init__(self, graph: PropertyGraph, params: dict[str, Any] | None = None):
+        self.g = graph
+        self.params = params or {}
+
+    # ------------------------------------------------------------ entry
+    def compile_query(self, q: A.Query) -> DataFrame:
+        frames = [self.compile_single(p) for p in q.parts]
+        out = frames[0]
+        for i, f in enumerate(frames[1:]):
+            out = out.unionByName(f)
+            if not q.union_all[i]:
+                out = out.distinct()
+        return out
+
+    def compile_single(self, sq: A.SingleQuery) -> DataFrame:
+        st = State(None, Scope({}, self.params))
+        for clause in sq.clauses:
+            if isinstance(clause, A.MatchClause):
+                if clause.optional:
+                    self._optional_match(st, clause)
+                else:
+                    self._match(st, clause)
+            elif isinstance(clause, A.UnwindClause):
+                self._unwind(st, clause)
+            elif isinstance(clause, A.WithClause):
+                self._project(
+                    st, clause.items, clause.distinct, clause.where,
+                    clause.order_by, clause.skip, clause.limit, final=False,
+                )
+            elif isinstance(clause, A.CallClause):
+                self._call(st, clause)
+            else:
+                raise CompileError(f"unsupported clause {type(clause).__name__}")
+        if sq.ret is None:
+            if st.frame is None:
+                raise CompileError("query produced no frame")
+            return st.frame
+        r = sq.ret
+        if r.star:
+            items = [
+                A.ReturnItem(A.Variable(v), v)
+                for v in sorted(st.scope.vars)
+                if not v.startswith("__")
+            ] + r.items
+        else:
+            items = r.items
+        return self._project(
+            st, items, r.distinct, None, r.order_by, r.skip, r.limit, final=True
+        )
+
+    # ---------------------------------------------------------- sources
+    def _node_source(self, label: str | None, var: str) -> DataFrame:
+        """One-struct-column DataFrame for a node variable."""
+        if label is not None:
+            df = self.g.node_df(label)
+            fields = [F.col(c).alias(c) for c in df.columns]
+            fields.append(F.array(F.lit(label)).alias("_labels"))
+        else:
+            df = self.g.unified_nodes()
+            fields = [
+                F.col(c).alias(c) for c in df.columns if c != "labels"
+            ]
+            fields.append(F.col("labels").alias("_labels"))
+        return df.select(F.struct(*fields).alias(var))
+
+    def _edge_source(self, types: list[str], var: str, direction: str) -> DataFrame:
+        """One-struct-column edge DataFrame, pre-oriented src->dst in
+        traversal direction ('both' = union of both orientations)."""
+        if types:
+            parts = []
+            for t in types:
+                df = self.g.edge_df(t)
+                parts.append(df.withColumn("_type", F.lit(t)))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+        else:
+            df = self.g.unified_edges().withColumnRenamed("type", "_type")
+        cols = df.columns
+        fwd = F.struct(*[F.col(c).alias(c) for c in cols])
+        if direction == "out":
+            oriented = df.select(fwd.alias(var))
+        elif direction == "in":
+            swapped = F.struct(
+                *[
+                    F.col("dst").alias("src") if c == "src"
+                    else F.col("src").alias("dst") if c == "dst"
+                    else F.col(c).alias(c)
+                    for c in cols
+                ]
+            )
+            oriented = df.select(swapped.alias(var))
+        else:  # both
+            swapped = F.struct(
+                *[
+                    F.col("dst").alias("src") if c == "src"
+                    else F.col("src").alias("dst") if c == "dst"
+                    else F.col(c).alias(c)
+                    for c in cols
+                ]
+            )
+            oriented = df.select(fwd.alias(var)).unionByName(
+                df.select(swapped.alias(var))
+            )
+        return oriented
+
+    # ------------------------------------------------------------ match
+    def _match(self, st: State, clause: A.MatchClause) -> None:
+        for path in clause.paths:
+            self._add_path(st, path)
+        if clause.where is not None:
+            self._apply_where(st, clause.where)
+
+    def _bind_node(self, st: State, np: A.NodePattern) -> str:
+        """Ensure the node pattern's variable is bound; returns var name."""
+        var = np.var or st.fresh("n")
+        if var in st.scope.vars:
+            self._check_rebind(st, var, np)
+            return var
+        src = self._node_source(np.labels[0] if np.labels else None, var)
+        st.frame = src if st.frame is None else st.frame.crossJoin(src)
+        st.scope.vars[var] = VarInfo(
+            "node", var, np.labels[0] if np.labels else None
+        )
+        self._inline_props(st, var, np.properties)
+        if len(np.labels) > 1:
+            for extra in np.labels[1:]:
+                ids = self.g.node_df(extra).select(F.col("id").alias("__xid"))
+                st.frame = st.frame.join(
+                    ids, F.col(f"{var}.id") == F.col("__xid"), "left_semi"
+                )
+        return var
+
+    def _check_rebind(self, st: State, var: str, np: A.NodePattern) -> None:
+        if np.labels:
+            info = st.scope.vars[var]
+            if info.label and info.label not in np.labels:
+                raise CompileError(
+                    f"variable {var} re-labeled {info.label} -> {np.labels}"
+                )
+        self._inline_props(st, var, np.properties)
+
+    def _inline_props(self, st: State, var: str, props: dict[str, A.Expr]) -> None:
+        for k, v in props.items():
+            st.frame = st.frame.filter(
+                F.col(f"{var}.{k}") == compile_expr(v, st.scope)
+            )
+
+    def _add_path(self, st: State, path: A.PatternPath) -> None:
+        if path.shortest is not None or path.path_var is not None:
+            raise CompileError(
+                "named paths / shortestPath() are served by CALL algo.* "
+                "procedures in this engine"
+            )
+        left = self._bind_node(st, path.nodes[0])
+        for i, ep in enumerate(path.edges):
+            right_np = path.nodes[i + 1]
+            if ep.min_hops is not None:
+                left = self._var_length_hop(st, left, ep, right_np)
+                continue
+            evar = ep.var or st.fresh("e")
+            if evar in st.scope.vars:
+                raise CompileError(f"edge variable {evar} bound twice")
+            esrc = self._edge_source(ep.types, evar, ep.direction)
+            st.frame = st.frame.join(
+                esrc, F.col(f"{left}.id") == F.col(f"{evar}.src")
+            )
+            st.scope.vars[evar] = VarInfo(
+                "edge", evar, ep.types[0] if len(ep.types) == 1 else None
+            )
+            self._inline_props(st, evar, ep.properties)
+            rvar = right_np.var or st.fresh("n")
+            if rvar in st.scope.vars:
+                # ExpandInto: both endpoints bound -> existence predicate
+                self._check_rebind(st, rvar, right_np)
+                st.frame = st.frame.filter(
+                    F.col(f"{evar}.dst") == F.col(f"{rvar}.id")
+                )
+            else:
+                nsrc = self._node_source(
+                    right_np.labels[0] if right_np.labels else None, rvar
+                )
+                st.frame = st.frame.join(
+                    nsrc, F.col(f"{evar}.dst") == F.col(f"{rvar}.id")
+                )
+                st.scope.vars[rvar] = VarInfo(
+                    "node", rvar, right_np.labels[0] if right_np.labels else None
+                )
+                self._inline_props(st, rvar, right_np.properties)
+            left = rvar
+
+    def _var_length_hop(
+        self, st: State, left: str, ep: A.EdgePattern, right_np: A.NodePattern
+    ) -> str:
+        """``-[:T*min..max]->`` via the multi-source BFS operator."""
+        from samyama_graph_spark.operators.traversal import var_length_expand
+
+        if ep.var is not None:
+            raise CompileError("binding an edge variable on *var-length is unsupported")
+        if ep.types:
+            parts = [self.g.edge_df(t).select("src", "dst") for t in ep.types]
+            edges = parts[0]
+            for p in parts[1:]:
+                edges = edges.unionByName(p)
+        else:
+            edges = self.g.unified_edges().select("src", "dst")
+        max_hops = ep.max_hops if ep.max_hops is not None else 20
+        starts = st.frame.select(F.col(f"{left}.id").alias("id")).distinct()
+        reach = var_length_expand(
+            starts, edges, ep.min_hops, max_hops, direction=ep.direction
+        ).withColumnRenamed("start", "__vl_start").withColumnRenamed(
+            "node", "__vl_node"
+        )
+        st.frame = st.frame.join(
+            reach, F.col(f"{left}.id") == F.col("__vl_start")
+        )
+        rvar = right_np.var or st.fresh("n")
+        if rvar in st.scope.vars:
+            self._check_rebind(st, rvar, right_np)
+            st.frame = st.frame.filter(
+                F.col("__vl_node") == F.col(f"{rvar}.id")
+            )
+        else:
+            nsrc = self._node_source(
+                right_np.labels[0] if right_np.labels else None, rvar
+            )
+            st.frame = st.frame.join(
+                nsrc, F.col("__vl_node") == F.col(f"{rvar}.id")
+            )
+            st.scope.vars[rvar] = VarInfo(
+                "node", rvar, right_np.labels[0] if right_np.labels else None
+            )
+            self._inline_props(st, rvar, right_np.properties)
+        st.frame = st.frame.drop("__vl_start", "__vl_node", "hops")
+        return rvar
+
+    # -------------------------------------------------- optional / where
+    def _with_row_id(self, st: State) -> DataFrame:
+        """Stable row identity for correlated left joins.
+
+        monotonically_increasing_id is only safe if the frame isn't
+        recomputed differently on the two sides of the self-join, so
+        pin it with localCheckpoint.
+        """
+        base = st.frame.withColumn("__row_id", F.monotonically_increasing_id())
+        return base.localCheckpoint(eager=False)
+
+    def _optional_match(self, st: State, clause: A.MatchClause) -> None:
+        if st.frame is None:
+            # OPTIONAL MATCH as first clause == plain MATCH then pad —
+            # treat as a plain match (reference behaves likewise for
+            # the non-empty case)
+            self._match(st, clause)
+            return
+        base = self._with_row_id(st)
+        before_cols = set(base.columns)
+        sub = State(base, Scope(dict(st.scope.vars), st.scope.params))
+        for path in clause.paths:
+            self._add_path(sub, path)
+        if clause.where is not None:
+            self._apply_where(sub, clause.where)
+        new_cols = [c for c in sub.frame.columns if c not in before_cols]
+        right = sub.frame.select("__row_id", *new_cols)
+        st.frame = base.join(right, "__row_id", "left").drop("__row_id")
+        for v, info in sub.scope.vars.items():
+            if v not in st.scope.vars:
+                st.scope.vars[v] = info
+
+    def _split_conjuncts(self, e: A.Expr) -> list[A.Expr]:
+        if isinstance(e, A.BinaryOp) and e.op == "AND":
+            return self._split_conjuncts(e.left) + self._split_conjuncts(e.right)
+        return [e]
+
+    def _apply_where(self, st: State, where: A.Expr) -> None:
+        plain: list[A.Expr] = []
+        for c in self._split_conjuncts(where):
+            if isinstance(c, A.ExistsSubquery):
+                self._exists_join(st, c, anti=False)
+            elif (
+                isinstance(c, A.UnaryOp)
+                and c.op == "NOT"
+                and isinstance(c.operand, A.ExistsSubquery)
+            ):
+                self._exists_join(st, c.operand, anti=True)
+            else:
+                plain.append(c)
+        if plain:
+            cond = None
+            for c in plain:
+                col = compile_expr(c, st.scope)
+                cond = col if cond is None else (cond & col)
+            st.frame = st.frame.filter(cond)
+
+    def _exists_join(self, st: State, ex: A.ExistsSubquery, anti: bool) -> None:
+        """EXISTS{pattern} -> left-semi; NOT EXISTS -> left-anti
+        (reference: semi_join_detector.rs / eval_exists_subquery)."""
+        base = self._with_row_id(st)
+        sub = State(base, Scope(dict(st.scope.vars), st.scope.params))
+        for path in ex.pattern:
+            self._add_path(sub, path)
+        if ex.where is not None:
+            self._apply_where(sub, ex.where)
+        keys = sub.frame.select("__row_id")
+        how = "left_anti" if anti else "left_semi"
+        st.frame = base.join(keys, "__row_id", how).drop("__row_id")
+
+    # ------------------------------------------------------------ unwind
+    def _unwind(self, st: State, clause: A.UnwindClause) -> None:
+        if st.frame is None:
+            spark = self.g.spark
+            st.frame = spark.range(1).select(F.lit(1).alias("__one"))
+        col = compile_expr(clause.expr, st.scope)
+        st.frame = st.frame.select("*", F.explode(col).alias(clause.alias))
+        if "__one" in st.frame.columns:
+            st.frame = st.frame.drop("__one")
+        st.scope.vars[clause.alias] = VarInfo("value", clause.alias)
+
+    # ------------------------------------------------------------- call
+    def _call(self, st: State, clause: A.CallClause) -> None:
+        from samyama_graph_spark.cypher.procedures import run_procedure
+
+        if st.frame is not None:
+            raise CompileError("CALL after other clauses is unsupported")
+        args = [
+            compile_expr(a, Scope({}, self.params)) if not isinstance(a, A.Literal)
+            else a.value
+            for a in clause.args
+        ]
+        # literal args arrive as plain Python values
+        lit_args = []
+        for a in clause.args:
+            if isinstance(a, A.Literal):
+                lit_args.append(a.value)
+            elif isinstance(a, A.ListLiteral):
+                lit_args.append([x.value for x in a.items])  # type: ignore[union-attr]
+            elif isinstance(a, A.Parameter):
+                lit_args.append(self.params[a.name])
+            else:
+                raise CompileError("CALL arguments must be literals/parameters")
+        df = run_procedure(self.g, clause.procedure.lower(), lit_args)
+        if clause.yields:
+            df = df.select(*clause.yields)
+        st.frame = df
+        for c in df.columns:
+            st.scope.vars[c] = VarInfo("value", c)
+
+    # ------------------------------------------------------- projection
+    def _project(
+        self,
+        st: State,
+        items: list[A.ReturnItem],
+        distinct: bool,
+        where: A.Expr | None,
+        order_by: list[tuple[A.Expr, bool]],
+        skip: A.Expr | None,
+        limit: A.Expr | None,
+        final: bool,
+    ) -> DataFrame:
+        if st.frame is None:
+            # RETURN 1 — constant projection off a single row
+            st.frame = self.g.spark.range(1).select(F.lit(1).alias("__one"))
+        names = [it.alias or expr_name(it.expr) for it in items]
+        if len(set(names)) != len(names):
+            raise CompileError(f"duplicate output names {names}")
+        has_agg = any(is_aggregate(it.expr) for it in items)
+
+        # ORDER BY may reference (a) an output alias/item, or (b) an
+        # expression over pre-projection variables: (b) is carried as
+        # hidden sort columns through the projection.
+        def classify_order():
+            specs = []  # ("alias", name) | ("expr", A.Expr)
+            for oe, asc in order_by:
+                key = expr_name(oe)
+                matched = None
+                for n, it in zip(names, items):
+                    if key == n or key == expr_name(it.expr):
+                        matched = n
+                        break
+                specs.append((matched, oe, asc))
+            return specs
+
+        order_specs = classify_order()
+
+        if has_agg:
+            # Two-phase: aggregates evaluate in groupBy().agg() under
+            # synthetic names; outer expressions then combine them.
+            agg_nodes: list[A.FunctionCall] = []
+            for it in items:
+                collect_aggregates(it.expr, agg_nodes)
+            for matched, oe, _ in order_specs:
+                if matched is None:
+                    collect_aggregates(oe, agg_nodes)
+            key_items = [
+                (n, it) for n, it in zip(names, items) if not is_aggregate(it.expr)
+            ]
+            key_cols = [
+                compile_expr(it.expr, st.scope).alias(n) for n, it in key_items
+            ]
+            agg_cols = []
+            subs: dict[int, F.Column] = {}
+            for i, node in enumerate(agg_nodes):
+                cname = f"__agg_{i}"
+                agg_cols.append(
+                    self._compile_one_agg(node, st.scope).alias(cname)
+                )
+                subs[id(node)] = F.col(cname)
+            if not agg_cols:  # ORDER BY-only aggregates edge case
+                agg_cols = [F.count(F.lit(1)).alias("__agg_dummy")]
+            grouped = st.frame.groupBy(*key_cols).agg(*agg_cols)
+
+            post = Scope({}, st.scope.params, {}, subs)
+            for n, it in key_items:
+                post.vars[n] = VarInfo("value", n)
+            out_cols = []
+            for n, it in zip(names, items):
+                if is_aggregate(it.expr):
+                    out_cols.append(compile_expr(it.expr, post).alias(n))
+                else:
+                    out_cols.append(F.col(f"`{n}`"))
+            hidden = []
+            for j, (matched, oe, _) in enumerate(order_specs):
+                if matched is None:
+                    hidden.append(compile_expr(oe, post).alias(f"__ord_{j}"))
+            frame = grouped.select(*out_cols, *hidden)
+        else:
+            cols = [
+                compile_expr(it.expr, st.scope).alias(n)
+                for n, it in zip(names, items)
+            ]
+            hidden = []
+            for j, (matched, oe, _) in enumerate(order_specs):
+                if matched is None:
+                    hidden.append(compile_expr(oe, st.scope).alias(f"__ord_{j}"))
+            frame = st.frame.select(*cols, *hidden)
+
+        new_scope = Scope({}, st.scope.params)
+        for n, it in zip(names, items):
+            kind, label = "value", None
+            if isinstance(it.expr, A.Variable):
+                old = st.scope.vars.get(it.expr.name)
+                if old is not None:
+                    kind, label = old.kind, old.label
+            new_scope.vars[n] = VarInfo(kind, n, label)
+
+        if distinct:
+            frame = frame.distinct()
+        if where is not None:
+            tmp = State(frame, new_scope)
+            self._apply_where(tmp, where)
+            frame = tmp.frame
+
+        if order_by:
+            sort_cols = []
+            for j, (matched, oe, asc) in enumerate(order_specs):
+                col = F.col(f"`{matched}`") if matched else F.col(f"__ord_{j}")
+                sort_cols.append(col.asc() if asc else col.desc())
+            frame = frame.orderBy(*sort_cols)
+        drop_cols = [c for c in frame.columns if c.startswith("__ord_") or c == "__agg_dummy"]
+        if drop_cols:
+            frame = frame.drop(*drop_cols)
+        if skip is not None:
+            frame = frame.offset(int(_lit_value(skip, st)))
+        if limit is not None:
+            frame = frame.limit(int(_lit_value(limit, st)))
+
+        st.frame = frame
+        st.scope = new_scope
+        return frame
+
+    def _compile_one_agg(self, e: A.FunctionCall, scope: Scope):
+        if e.name == "count" and not e.args:
+            return F.count(F.lit(1))
+        arg = compile_expr(e.args[0], scope)
+        extra = compile_expr(e.args[1], scope) if len(e.args) > 1 else None
+        return aggregate_fn(e.name, arg, e.distinct, extra)
+
+
+def _lit_value(e: A.Expr, st: State):
+    if isinstance(e, A.Literal):
+        return e.value
+    if isinstance(e, A.Parameter):
+        return st.scope.params[e.name]
+    raise CompileError("SKIP/LIMIT must be literal or parameter")

@@ -1,0 +1,346 @@
+"""AST expression -> pyspark Column compilation.
+
+3-valued logic, CASE, list HOFs (comprehension -> transform/filter,
+quantifiers -> forall/exists, reduce -> aggregate), string predicates,
+IN, regex — the expression surface of SURVEY.md §2.1/§2.2.  Catalyst
+natively implements Cypher's 3VL for comparisons/AND/OR, so the
+mapping is direct.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.cypher import ast as A
+from samyama_graph_spark.cypher.functions import AGGREGATES, SCALARS
+
+
+class CompileError(ValueError):
+    pass
+
+
+@dataclass
+class VarInfo:
+    kind: str  # "node" | "edge" | "value"
+    column: str  # top-level column name in the frame
+    label: str | None = None  # node label / edge type when known
+
+
+@dataclass
+class Scope:
+    """Variable bindings visible to expressions."""
+
+    vars: dict[str, VarInfo] = field(default_factory=dict)
+    params: dict[str, Any] = field(default_factory=dict)
+    # lambda-bound names (list comprehension / reduce) -> Column
+    locals: dict[str, Column] = field(default_factory=dict)
+    # pre-computed aggregate sub-expressions: id(ast-node) -> Column
+    # (two-phase aggregation: aggregates evaluate in groupBy().agg(),
+    # outer expressions then reference their result columns)
+    agg_subs: dict[int, Column] = field(default_factory=dict)
+
+    def child_with_local(self, name: str, col: Column) -> "Scope":
+        s = Scope(self.vars, self.params, dict(self.locals), self.agg_subs)
+        s.locals[name] = col
+        return s
+
+
+def is_aggregate(e: A.Expr) -> bool:
+    """Does this expression contain an aggregate call anywhere —
+    detection for implicit GROUP BY (reference planner.rs:1057-1096)."""
+    if isinstance(e, A.FunctionCall) and e.name in AGGREGATES:
+        return True
+    return any(is_aggregate(c) for c in _children(e))
+
+
+def expr_name(e: A.Expr) -> str:
+    """Canonical output column name for an unaliased item."""
+    if isinstance(e, A.Variable):
+        return e.name
+    if isinstance(e, A.Property):
+        return f"{expr_name(e.subject)}.{e.key}"
+    if isinstance(e, A.FunctionCall):
+        inner = ", ".join(expr_name(a) for a in e.args) if e.args else "*"
+        d = "DISTINCT " if e.distinct else ""
+        return f"{e.name}({d}{inner})"
+    if isinstance(e, A.Literal):
+        return repr(e.value)
+    return "expr"
+
+
+def collect_aggregates(e: A.Expr, out: list[A.FunctionCall]) -> None:
+    """Top-most aggregate FunctionCall nodes anywhere in the tree."""
+    if isinstance(e, A.FunctionCall):
+        if e.name in AGGREGATES:
+            out.append(e)
+            return
+        for a in e.args:
+            collect_aggregates(a, out)
+        return
+    for child in _children(e):
+        collect_aggregates(child, out)
+
+
+def _children(e: A.Expr) -> list[A.Expr]:
+    if isinstance(e, A.FunctionCall):
+        return list(e.args)
+    if isinstance(e, A.BinaryOp):
+        return [e.left, e.right]
+    if isinstance(e, A.UnaryOp):
+        return [e.operand]
+    if isinstance(e, A.Property):
+        return [e.subject]
+    if isinstance(e, A.CaseExpr):
+        out = [e.subject] if e.subject else []
+        for c, v in e.whens:
+            out += [c, v]
+        if e.default:
+            out.append(e.default)
+        return out
+    if isinstance(e, A.ListIndex):
+        return [e.subject, e.index]
+    if isinstance(e, A.ListSlice):
+        return [x for x in (e.subject, e.start, e.end) if x is not None]
+    if isinstance(e, A.ListLiteral):
+        return e.items
+    if isinstance(e, A.MapLiteral):
+        return list(e.entries.values())
+    if isinstance(e, A.ListComprehension):
+        return [x for x in (e.source, e.where, e.projection) if x is not None]
+    if isinstance(e, A.QuantifiedPredicate):
+        return [e.source, e.predicate]
+    if isinstance(e, A.ReduceExpr):
+        return [e.init, e.source, e.body]
+    return []
+
+
+def compile_expr(e: A.Expr, scope: Scope) -> Column:
+    if id(e) in scope.agg_subs:
+        return scope.agg_subs[id(e)]
+
+    if isinstance(e, A.Literal):
+        if isinstance(e.value, list):
+            return F.array(*[compile_expr(A.Literal(v), scope) for v in e.value])
+        return F.lit(e.value)
+
+    if isinstance(e, A.Parameter):
+        if e.name not in scope.params:
+            raise CompileError(f"missing parameter ${e.name}")
+        v = scope.params[e.name]
+        if isinstance(v, list):
+            return F.array(*[F.lit(x) for x in v])
+        return F.lit(v)
+
+    if isinstance(e, A.Variable):
+        if e.name in scope.locals:
+            return scope.locals[e.name]
+        info = scope.vars.get(e.name)
+        if info is None:
+            raise CompileError(f"unknown variable {e.name}")
+        return F.col(info.column)
+
+    if isinstance(e, A.Property):
+        subj = compile_expr(e.subject, scope)
+        return subj.getField(e.key) if not isinstance(e.subject, A.MapLiteral) else subj[e.key]
+
+    if isinstance(e, A.BinaryOp):
+        return _binary(e, scope)
+
+    if isinstance(e, A.UnaryOp):
+        x = compile_expr(e.operand, scope)
+        if e.op == "NOT":
+            return ~x
+        if e.op == "NEG":
+            return -x
+        if e.op == "IS_NULL":
+            return x.isNull()
+        if e.op == "IS_NOT_NULL":
+            return x.isNotNull()
+        raise CompileError(f"unary {e.op}")
+
+    if isinstance(e, A.FunctionCall):
+        return _call(e, scope)
+
+    if isinstance(e, A.CaseExpr):
+        out = None
+        for cond, val in e.whens:
+            c = (
+                compile_expr(cond, scope)
+                if e.subject is None
+                else compile_expr(e.subject, scope) == compile_expr(cond, scope)
+            )
+            v = compile_expr(val, scope)
+            out = F.when(c, v) if out is None else out.when(c, v)
+        if out is None:
+            raise CompileError("CASE with no WHEN")
+        return out.otherwise(compile_expr(e.default, scope)) if e.default else out
+
+    if isinstance(e, A.ListIndex):
+        subj = compile_expr(e.subject, scope)
+        idx = compile_expr(e.index, scope)
+        # Cypher is 0-based; element_at is 1-based (negatives from end)
+        return F.when(idx >= 0, F.element_at(subj, (idx + 1).cast("int"))).otherwise(
+            F.element_at(subj, idx.cast("int"))
+        )
+
+    if isinstance(e, A.ListSlice):
+        subj = compile_expr(e.subject, scope)
+        start = compile_expr(e.start, scope) if e.start else F.lit(0)
+        end = compile_expr(e.end, scope) if e.end else F.size(subj)
+        start = F.when(start < 0, F.size(subj) + start).otherwise(start)
+        end = F.when(end < 0, F.size(subj) + end).otherwise(end)
+        return F.slice(subj, (start + 1).cast("int"), F.greatest(end - start, F.lit(0)).cast("int"))
+
+    if isinstance(e, A.ListLiteral):
+        return F.array(*[compile_expr(x, scope) for x in e.items])
+
+    if isinstance(e, A.MapLiteral):
+        pairs = []
+        for k, v in e.entries.items():
+            pairs += [F.lit(k), compile_expr(v, scope)]
+        return F.create_map(*pairs)
+
+    if isinstance(e, A.ListComprehension):
+        src = compile_expr(e.source, scope)
+        if e.where is not None:
+            src = F.filter(
+                src,
+                lambda x: compile_expr(
+                    e.where, scope.child_with_local(e.var, x)
+                ),
+            )
+        if e.projection is not None:
+            src = F.transform(
+                src,
+                lambda x: compile_expr(
+                    e.projection, scope.child_with_local(e.var, x)
+                ),
+            )
+        return src
+
+    if isinstance(e, A.QuantifiedPredicate):
+        src = compile_expr(e.source, scope)
+        pred = lambda x: compile_expr(e.predicate, scope.child_with_local(e.var, x))  # noqa: E731
+        if e.kind == "all":
+            return F.forall(src, pred)
+        if e.kind == "any":
+            return F.exists(src, pred)
+        if e.kind == "none":
+            return ~F.exists(src, pred)
+        if e.kind == "single":
+            return F.size(F.filter(src, pred)) == 1
+        raise CompileError(f"quantifier {e.kind}")
+
+    if isinstance(e, A.ReduceExpr):
+        src = compile_expr(e.source, scope)
+        init = compile_expr(e.init, scope)
+        return F.aggregate(
+            src,
+            init,
+            lambda acc, x: compile_expr(
+                e.body,
+                scope.child_with_local(e.acc, acc).child_with_local(e.var, x),
+            ),
+        )
+
+    if isinstance(e, (A.ExistsSubquery, A.CountSubquery)):
+        raise CompileError(
+            "EXISTS{}/COUNT{} subqueries are only supported as top-level "
+            "WHERE conjuncts (compiled to semi/anti joins)"
+        )
+
+    raise CompileError(f"cannot compile {type(e).__name__}")
+
+
+def _binary(e: A.BinaryOp, scope: Scope) -> Column:
+    op = e.op
+    l = compile_expr(e.left, scope)
+    r = compile_expr(e.right, scope)
+    if op == "=":
+        return l == r
+    if op == "<>":
+        return l != r
+    if op == "<":
+        return l < r
+    if op == "<=":
+        return l <= r
+    if op == ">":
+        return l > r
+    if op == ">=":
+        return l >= r
+    if op == "AND":
+        return l & r
+    if op == "OR":
+        return l | r
+    if op == "XOR":
+        return (l | r) & ~(l & r)
+    if op == "+":
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        return l / r
+    if op == "%":
+        return l % r
+    if op == "^":
+        return F.pow(l, r)
+    if op == "STARTS_WITH":
+        return l.startswith(r)
+    if op == "ENDS_WITH":
+        return l.endswith(r)
+    if op == "CONTAINS":
+        return l.contains(r)
+    if op == "=~":
+        return l.rlike(compile_expr(e.right, scope).cast("string")) if not isinstance(
+            e.right, A.Literal
+        ) else l.rlike(e.right.value)
+    if op == "IN":
+        return F.array_contains(r, l)
+    raise CompileError(f"binary {op}")
+
+
+def _call(e: A.FunctionCall, scope: Scope) -> Column:
+    name = e.name
+    if name in AGGREGATES:
+        raise CompileError(
+            f"aggregate {name}() outside aggregation context"
+        )
+    # graph-metadata functions need VarInfo
+    if name in ("id", "elementid"):
+        return _subject_field(e, scope, "id")
+    if name == "labels":
+        v = e.args[0]
+        if isinstance(v, A.Variable):
+            info = scope.vars.get(v.name)
+            if info and info.label:
+                return F.array(F.lit(info.label))
+        return compile_expr(v, scope).getField("_labels")
+    if name == "type":
+        v = e.args[0]
+        if isinstance(v, A.Variable):
+            info = scope.vars.get(v.name)
+            if info and info.label:
+                return F.lit(info.label)
+        return compile_expr(v, scope).getField("_type")
+    if name == "startnode":
+        return compile_expr(e.args[0], scope).getField("src")
+    if name == "endnode":
+        return compile_expr(e.args[0], scope).getField("dst")
+    if name == "properties":
+        return compile_expr(e.args[0], scope)
+    if name == "exists":
+        return compile_expr(e.args[0], scope).isNotNull()
+    if name in SCALARS:
+        args = [compile_expr(a, scope) for a in e.args]
+        return SCALARS[name](*args)
+    raise CompileError(f"unknown function {name}")
+
+
+def _subject_field(e: A.FunctionCall, scope: Scope, fld: str) -> Column:
+    return compile_expr(e.args[0], scope).getField(fld)

@@ -483,6 +483,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_all_workloads() -> dict[str, QuerySpec]:
     """Import every workload module (each registers into REGISTRY)."""
+    import samyama_graph_spark.workloads_cypher  # noqa: F401
     import samyama_graph_spark.workloads_datapipe  # noqa: F401
     import samyama_graph_spark.workloads_graph  # noqa: F401
 

@@ -1,0 +1,227 @@
+"""Cypher-front-end workloads: the same oracle-checked semantics as the
+DataFrame-API entries, but driven through the full
+parse -> compile -> Catalyst stack, so the driver's gate validates the
+Cypher engine end-to-end at sf=0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.cypher import CypherEngine
+from samyama_graph_spark.loaders import ID_BASE, load_tables, tpch_graph
+from samyama_graph_spark.workloads import query
+
+_ENGINES: dict[tuple[int, str], CypherEngine] = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        _ENGINES[key] = CypherEngine(tpch_graph(spark, sf_dir))
+    return _ENGINES[key]
+
+
+@query(
+    "cypher_flagship",
+    """
+    SELECT c_name AS name, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE o_totalprice > 50000
+    GROUP BY c_name
+    ORDER BY total_spent DESC, name
+    LIMIT 10
+    """,
+)
+def cypher_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)
+        WHERE o.totalprice > 50000
+        RETURN c.name AS name, count(o) AS n_orders,
+               round(sum(o.totalprice), 2) AS total_spent
+        ORDER BY total_spent DESC, name
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "cypher_optional_match",
+    """
+    SELECT c_name AS name, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_name
+    """,
+)
+def cypher_optional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (c:Customer)
+        OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+        RETURN c.name AS name, count(o.id) AS n_orders
+        """
+    )
+
+
+@query(
+    "cypher_exists",
+    """
+    SELECT c_name AS name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def cypher_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (c:Customer)
+        WHERE EXISTS { (c)-[:PLACED]->(o:Order) WHERE o.totalprice > 300000 }
+        RETURN c.name AS name
+        """
+    )
+
+
+@query(
+    "cypher_not_exists",
+    """
+    SELECT c_name AS name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def cypher_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).query(
+        "MATCH (c:Customer) WHERE NOT EXISTS { (c)-[:PLACED]->(:Order) } "
+        "RETURN c.name AS name"
+    )
+
+
+@query(
+    "cypher_var_length",
+    """
+    SELECT n_name AS name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey = 1
+    UNION
+    SELECT r_name AS name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_custkey = 1
+    """,
+)
+def cypher_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
+        WHERE id(c) = $cid
+        RETURN DISTINCT x.name AS name
+        """,
+        {"cid": ID_BASE["Customer"] + 1},
+    )
+
+
+@query(
+    "cypher_two_hop_agg",
+    """
+    SELECT n_name AS nation, count(DISTINCT o_custkey) AS n_buyers
+    FROM nation
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    GROUP BY n_name
+    """,
+)
+def cypher_two_hop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (n:Nation)<-[:IN_NATION]-(c:Customer)-[:PLACED]->(o:Order)
+        RETURN n.name AS nation, count(DISTINCT c.id) AS n_buyers
+        """
+    )
+
+
+@query(
+    "cypher_with_unwind",
+    """
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def cypher_with_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (p:Part)
+        UNWIND split(p.type, ' ') AS word
+        RETURN word, count(*) AS n
+        """
+    )
+
+
+@query(
+    "cypher_union",
+    """
+    SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT c_name AS name FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def cypher_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (c:Customer) WHERE c.acctbal > 9000 RETURN c.name AS name
+        UNION
+        MATCH (c:Customer) WHERE c.mktsegment = 'BUILDING' RETURN c.name AS name
+        """
+    )
+
+
+@query(
+    "cypher_case_projection",
+    """
+    SELECT o_orderkey + 6000000000 AS oid,
+           CASE WHEN o_totalprice >= 200000 THEN 'large'
+                WHEN o_totalprice >= 100000 THEN 'medium'
+                ELSE 'small' END AS bucket
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def cypher_case_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (o:Order) WHERE o.orderpriority = '1-URGENT'
+        RETURN id(o) AS oid,
+               CASE WHEN o.totalprice >= 200000 THEN 'large'
+                    WHEN o.totalprice >= 100000 THEN 'medium'
+                    ELSE 'small' END AS bucket
+        """
+    )
+
+
+@query(
+    "cypher_knn_procedure",
+    f"""
+    WITH qe AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings WHERE vec_id = 0),
+    ee AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    s AS (SELECT vec_id, sum(v * qv) AS dp, sum(v * v) AS nv, sum(qv * qv) AS nq
+          FROM ee JOIN qe USING (i) GROUP BY vec_id)
+    SELECT vec_id + {ID_BASE["Document"]} AS nodeId,
+           round(dp / (sqrt(nv) * sqrt(nq)), 6) AS score
+    FROM s ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id LIMIT 10
+    """,
+)
+def cypher_knn_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL db.index.vector.queryNodes('Document','embedding',$q,10) —
+    the reference's vector-search procedure (planner.rs:1231-1277)
+    through the Cypher CALL path."""
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = _engine(spark, sf_dir).query(
+        "CALL db.index.vector.queryNodes('Document', 'embedding', $q, 10)",
+        {"q": qv},
+    )
+    return out.select("nodeId", F.round("score", 6).alias("score"))

@@ -1,0 +1,224 @@
+"""Cypher engine end-to-end tests on the F1 social-micro fixture
+(FIXTURES.md; modeled on the reference's tests/advanced_cypher.rs
+fixture graph)."""
+
+from __future__ import annotations
+
+import pytest
+
+from samyama_graph_spark.cypher import CypherEngine
+from samyama_graph_spark.cypher.parser import parse
+from samyama_graph_spark.graph import EdgeMeta, PropertyGraph
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    persons = spark.createDataFrame(
+        [
+            (1, "Alice", 30, "NY"),
+            (2, "Bob", 25, "SF"),
+            (3, "Charlie", 35, "NY"),
+            (4, "David", 40, "SF"),
+            (5, "Eve", 28, "CHI"),
+        ],
+        "id long, name string, age long, city string",
+    )
+    companies = spark.createDataFrame(
+        [(10, "Acme", 1990), (11, "Globex", 2000)],
+        "id long, name string, founded long",
+    )
+    knows = spark.createDataFrame(
+        [(1, 2, 2020, 0.9), (1, 3, 2019, 0.7), (2, 4, 2021, 0.5), (3, 5, 2018, 0.8)],
+        "src long, dst long, since long, strength double",
+    )
+    works = spark.createDataFrame(
+        [(1, 10, "eng", 2015), (2, 10, "mgr", 2018), (3, 11, "eng", 2019)],
+        "src long, dst long, position string, since long",
+    )
+    g = PropertyGraph(
+        spark,
+        {"Person": persons, "Company": companies},
+        {"KNOWS": knows, "WORKS_AT": works},
+        {
+            "KNOWS": EdgeMeta("Person", "Person"),
+            "WORKS_AT": EdgeMeta("Person", "Company"),
+        },
+    )
+    return CypherEngine(g)
+
+
+def rows(engine, q, params=None):
+    return [tuple(r) for r in engine.query(q, params).collect()]
+
+
+def test_scan_filter_order(engine):
+    assert rows(
+        engine, "MATCH (n:Person) WHERE n.age > 28 RETURN n.name AS name ORDER BY name"
+    ) == [("Alice",), ("Charlie",), ("David",)]
+
+
+def test_expand_with_edge_props(engine):
+    got = rows(
+        engine,
+        "MATCH (a:Person)-[k:KNOWS]->(b:Person) "
+        "RETURN a.name AS a, b.name AS b, k.since AS since ORDER BY a, b",
+    )
+    assert got == [
+        ("Alice", "Bob", 2020),
+        ("Alice", "Charlie", 2019),
+        ("Bob", "David", 2021),
+        ("Charlie", "Eve", 2018),
+    ]
+
+
+def test_reverse_and_undirected(engine):
+    assert rows(
+        engine,
+        "MATCH (a:Person)<-[:KNOWS]-(b:Person) RETURN a.name AS a, b.name AS b ORDER BY a",
+    ) == [("Bob", "Alice"), ("Charlie", "Alice"), ("David", "Bob"), ("Eve", "Charlie")]
+    got = dict(
+        rows(
+            engine,
+            "MATCH (a:Person)-[:KNOWS]-(b:Person) RETURN a.name AS a, count(*) AS n ORDER BY a",
+        )
+    )
+    assert got == {"Alice": 2, "Bob": 2, "Charlie": 2, "David": 1, "Eve": 1}
+
+
+def test_optional_match(engine):
+    got = rows(
+        engine,
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:WORKS_AT]->(c:Company) "
+        "RETURN a.name AS name, c.name AS company ORDER BY name",
+    )
+    assert ("David", None) in got and ("Alice", "Acme") in got
+
+
+def test_exists_and_not_exists(engine):
+    assert rows(
+        engine,
+        "MATCH (a:Person) WHERE EXISTS { (a)-[:WORKS_AT]->(:Company) } "
+        "RETURN a.name AS name ORDER BY name",
+    ) == [("Alice",), ("Bob",), ("Charlie",)]
+    assert rows(
+        engine,
+        "MATCH (a:Person) WHERE NOT EXISTS { (a)-[:WORKS_AT]->() } "
+        "RETURN a.name AS name ORDER BY name",
+    ) == [("David",), ("Eve",)]
+
+
+def test_var_length(engine):
+    got = rows(
+        engine,
+        "MATCH (a:Person {name: 'Alice'})-[:KNOWS*1..2]->(b) "
+        "RETURN b.name AS b ORDER BY b",
+    )
+    assert got == [("Bob",), ("Charlie",), ("David",), ("Eve",)]
+
+
+def test_var_length_exact(engine):
+    got = rows(
+        engine,
+        "MATCH (a:Person {name: 'Alice'})-[:KNOWS*2]->(b) RETURN b.name AS b ORDER BY b",
+    )
+    assert got == [("David",), ("Eve",)]
+
+
+def test_with_pipeline(engine):
+    got = rows(
+        engine,
+        "MATCH (p:Person) WITH p.city AS city, count(*) AS n WHERE n > 1 "
+        "RETURN city, n ORDER BY city",
+    )
+    assert got == [("NY", 2), ("SF", 2)]
+
+
+def test_unwind_union_distinct(engine):
+    assert rows(engine, "UNWIND [3,1,2] AS x RETURN x ORDER BY x") == [
+        (1,), (2,), (3,),
+    ]
+    got = rows(
+        engine,
+        "MATCH (p:Person) RETURN p.city AS v UNION MATCH (p:Person) RETURN p.name AS v",
+    )
+    assert len(got) == 8  # 3 cities + 5 names, distinct
+
+
+def test_aggregates(engine):
+    got = rows(
+        engine,
+        "MATCH (p:Person) RETURN sum(p.age) AS total, avg(p.age) AS mean, "
+        "min(p.age) AS lo, max(p.age) AS hi, count(DISTINCT p.city) AS cities",
+    )
+    assert got == [(158, 31.6, 25, 40, 3)]
+
+
+def test_order_by_unprojected(engine):
+    assert rows(
+        engine, "MATCH (p:Person) RETURN p.name AS name ORDER BY p.age DESC LIMIT 2"
+    ) == [("David",), ("Charlie",)]
+
+
+def test_case_string_ops_params(engine):
+    got = rows(
+        engine,
+        "MATCH (p:Person) WHERE p.age > $a RETURN p.name AS name, "
+        "CASE WHEN p.city = 'NY' THEN 'east' ELSE 'other' END AS coast ORDER BY name",
+        {"a": 29},
+    )
+    assert got == [("Alice", "east"), ("Charlie", "east"), ("David", "other")]
+
+
+def test_graph_meta_functions(engine):
+    got = rows(
+        engine,
+        "MATCH (p:Person {name:'Alice'}) RETURN id(p) AS i, labels(p) AS l",
+    )
+    assert got == [(1, ["Person"])]
+    got = rows(
+        engine,
+        "MATCH (:Person {name:'Alice'})-[k:KNOWS]->(:Person {name:'Bob'}) "
+        "RETURN type(k) AS t, startNode(k) AS s, endNode(k) AS e",
+    )
+    assert got == [("KNOWS", 1, 2)]
+
+
+def test_list_ops(engine):
+    assert rows(engine, "RETURN [1,2,3][0] AS a, [1,2,3][-1] AS b, [1,2,3,4][1..3] AS c") == [
+        (1, 3, [2, 3])
+    ]
+    assert rows(engine, "RETURN reduce(acc = 0, x IN [1,2,3] | acc + x) AS t") == [(6,)]
+    assert rows(
+        engine, "RETURN all(x IN [2,4] WHERE x % 2 = 0) AS a, any(x IN [1,3] WHERE x > 2) AS b"
+    ) == [(True, True)]
+    assert rows(
+        engine, "RETURN [x IN range(1,5) WHERE x % 2 = 1 | x * 10] AS odds"
+    ) == [([10, 30, 50],)]
+
+
+def test_call_procedures(engine):
+    assert rows(engine, "CALL db.labels") == [("Company",), ("Person",)]
+    assert rows(engine, "CALL db.relationshipTypes") == [("KNOWS",), ("WORKS_AT",)]
+    pr = rows(
+        engine,
+        "CALL algo.pageRank(5) YIELD nodeId, score "
+        "RETURN nodeId, round(score, 4) AS r ORDER BY r DESC LIMIT 1",
+    )
+    assert pr[0][0] == 10  # Acme has highest in-degree mass
+
+
+def test_multi_path_join(engine):
+    # comma patterns with shared variable
+    got = rows(
+        engine,
+        "MATCH (a:Person)-[:KNOWS]->(b:Person), (a)-[:WORKS_AT]->(c:Company) "
+        "RETURN a.name AS a, b.name AS b, c.name AS c ORDER BY a, b",
+    )
+    assert ("Alice", "Bob", "Acme") in got and ("Charlie", "Eve", "Globex") in got
+
+
+def test_parse_errors():
+    with pytest.raises(Exception):
+        parse("MATCH (a:Person RETURN a")
+    with pytest.raises(Exception):
+        parse("FROB (a) RETURN a")
