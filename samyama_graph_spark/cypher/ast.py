@@ -204,6 +204,43 @@ class CallClause:
     yields: list[str] = field(default_factory=list)
 
 
+# ----------------------------------------------------------- write clauses
+
+
+@dataclass
+class CreateClause:
+    paths: list[PatternPath]
+
+
+@dataclass
+class SetItem:
+    target: Property  # n.prop
+    value: Expr
+
+
+@dataclass
+class SetClause:
+    items: list[SetItem]
+
+
+@dataclass
+class RemoveClause:
+    items: list[Property]
+
+
+@dataclass
+class DeleteClause:
+    vars: list[str]
+    detach: bool = False
+
+
+@dataclass
+class MergeClause:
+    path: PatternPath
+    on_create: list[SetItem] = field(default_factory=list)
+    on_match: list[SetItem] = field(default_factory=list)
+
+
 @dataclass
 class SingleQuery:
     # ordered reading clauses: MatchClause | UnwindClause | WithClause | CallClause

@@ -39,7 +39,19 @@ class CypherEngine:
         return ast
 
     def query(self, text: str, params: dict[str, Any] | None = None) -> DataFrame:
+        """Read query -> result DataFrame.  Queries containing write
+        clauses are routed to the write executor; the summary counters
+        DataFrame is returned and the session graph is swapped to the
+        new version (MutQueryExecutor equivalent)."""
+        from samyama_graph_spark.cypher.writes import WriteExecutor, has_write_clause
+
         ast = self._parse_cached(text)
+        if len(ast.parts) == 1 and has_write_clause(ast.parts[0]):
+            new_graph, summary = WriteExecutor(self.graph, params).execute(
+                ast.parts[0]
+            )
+            self.graph = new_graph
+            return summary
         return Compiler(self.graph, params).compile_query(ast)
 
     def explain(self, text: str, params: dict[str, Any] | None = None) -> str:

@@ -111,6 +111,31 @@ class Parser:
             elif self.at_kw("call"):
                 self.next()
                 clauses.append(self.parse_call())
+            elif self.at_kw("create"):
+                self.next()
+                paths = [self.parse_path()]
+                while self.try_punct(","):
+                    paths.append(self.parse_path())
+                clauses.append(A.CreateClause(paths))
+            elif self.at_kw("merge"):
+                self.next()
+                clauses.append(self.parse_merge())
+            elif self.at_kw("set"):
+                self.next()
+                clauses.append(A.SetClause(self.parse_set_items()))
+            elif self.at_kw("remove"):
+                self.next()
+                items = [self.expr_postfix()]
+                while self.try_punct(","):
+                    items.append(self.expr_postfix())
+                clauses.append(A.RemoveClause(items))  # type: ignore[arg-type]
+            elif self.at_kw("detach"):
+                self.next()
+                self.eat_kw("delete")
+                clauses.append(A.DeleteClause(self._var_list(), detach=True))
+            elif self.at_kw("delete"):
+                self.next()
+                clauses.append(A.DeleteClause(self._var_list(), detach=False))
             elif self.at_kw("return"):
                 self.next()
                 ret = self.parse_return()
@@ -118,6 +143,40 @@ class Parser:
             else:
                 break
         return A.SingleQuery(clauses, ret)
+
+    def _var_list(self) -> list[str]:
+        out = [self.ident()]
+        while self.try_punct(","):
+            out.append(self.ident())
+        return out
+
+    def parse_set_items(self) -> list[A.SetItem]:
+        items = []
+        while True:
+            target = self.expr_postfix()
+            if not isinstance(target, A.Property):
+                raise ParseError("SET target must be a property access")
+            self.eat_punct("=")
+            items.append(A.SetItem(target, self.expr()))
+            if not self.try_punct(","):
+                break
+        return items
+
+    def parse_merge(self) -> A.MergeClause:
+        path = self.parse_path()
+        on_create: list[A.SetItem] = []
+        on_match: list[A.SetItem] = []
+        while self.at_kw("on"):
+            self.next()
+            if self.try_kw("create"):
+                self.eat_kw("set")
+                on_create = self.parse_set_items()
+            elif self.try_kw("match"):
+                self.eat_kw("set")
+                on_match = self.parse_set_items()
+            else:
+                raise ParseError(f"expected CREATE or MATCH after ON at {self.peek()}")
+        return A.MergeClause(path, on_create, on_match)
 
     # ------------------------------------------------------------ clauses
     def parse_match(self, optional: bool) -> A.MatchClause:

@@ -1,0 +1,386 @@
+"""Write-clause execution: CREATE / MERGE / SET / REMOVE / DELETE.
+
+Reference semantics: CreateNode/CreateEdge/MatchCreateEdge/Merge/
+Delete/SetProperty/RemoveProperty operators (operator.rs:5157-7425).
+On immutable DataFrames these become copy-on-write graph versions: a
+write produces a NEW PropertyGraph whose tables are the old ones plus
+union/join/anti-join deltas — the session (CypherEngine) swaps its
+graph pointer, so subsequent queries see the mutation (the reference's
+MutQueryExecutor equivalent, executor/mod.rs:311-366).
+
+Scale note: deltas are DataFrame unions, never collected; only new-id
+assignment reads one scalar (current max id).  Periodically persisting
+the graph back to parquet compacts the union chain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.cypher import ast as A
+from samyama_graph_spark.cypher.compiler import Compiler, State
+from samyama_graph_spark.cypher.expressions import (
+    CompileError,
+    Scope,
+    VarInfo,
+    compile_expr,
+)
+from samyama_graph_spark.graph import EdgeMeta, PropertyGraph
+
+WRITE_CLAUSES = (
+    A.CreateClause, A.MergeClause, A.SetClause, A.RemoveClause, A.DeleteClause,
+)
+
+
+def has_write_clause(sq: A.SingleQuery) -> bool:
+    return any(isinstance(c, WRITE_CLAUSES) for c in sq.clauses)
+
+
+class WriteExecutor:
+    def __init__(self, graph: PropertyGraph, params: dict[str, Any] | None = None):
+        self.g = graph
+        self.params = params or {}
+        self.nodes = dict(graph.nodes)
+        self.edges = dict(graph.edges)
+        self.edge_meta = dict(graph.edge_meta)
+        self.counters = {"nodes_created": 0, "edges_created": 0,
+                        "properties_set": 0, "nodes_deleted": 0}
+
+    # ------------------------------------------------------------- entry
+    def execute(self, sq: A.SingleQuery) -> tuple[PropertyGraph, DataFrame]:
+        if sq.ret is not None:
+            raise CompileError("RETURN after write clauses is not supported yet")
+        compiler = Compiler(self._current_graph(), self.params)
+        st = State(None, Scope({}, self.params))
+        for clause in sq.clauses:
+            # reads must see writes from earlier clauses of this query
+            compiler.g = self._current_graph()
+            if isinstance(clause, A.MatchClause):
+                if clause.optional:
+                    compiler._optional_match(st, clause)
+                else:
+                    compiler._match(st, clause)
+            elif isinstance(clause, A.UnwindClause):
+                compiler._unwind(st, clause)
+            elif isinstance(clause, A.WithClause):
+                compiler._project(
+                    st, clause.items, clause.distinct, clause.where,
+                    clause.order_by, clause.skip, clause.limit, final=False,
+                )
+            elif isinstance(clause, A.CreateClause):
+                for path in clause.paths:
+                    self._create_path(st, path)
+            elif isinstance(clause, A.MergeClause):
+                self._merge(st, clause)
+            elif isinstance(clause, A.SetClause):
+                self._set(st, clause.items)
+            elif isinstance(clause, A.RemoveClause):
+                self._remove(st, clause.items)
+            elif isinstance(clause, A.DeleteClause):
+                self._delete(st, clause)
+            else:
+                raise CompileError(f"unsupported clause {type(clause).__name__}")
+        g2 = self._current_graph()
+        summary = self.g.spark.createDataFrame(
+            [tuple(self.counters.values())],
+            ", ".join(f"{k} long" for k in self.counters),
+        )
+        return g2, summary
+
+    def _current_graph(self) -> PropertyGraph:
+        return PropertyGraph(self.g.spark, self.nodes, self.edges, self.edge_meta)
+
+    # -------------------------------------------------------------- utils
+    def _next_id_base(self) -> int:
+        cur = 0
+        for df in self.nodes.values():
+            m = df.agg(F.max("id")).first()[0]
+            if m is not None:
+                cur = max(cur, int(m))
+        return cur + 1
+
+    def _literal_props(self, props: dict[str, A.Expr], scope: Scope) -> dict[str, Any]:
+        out = {}
+        for k, v in props.items():
+            if isinstance(v, A.Literal):
+                out[k] = v.value
+            elif isinstance(v, A.Parameter):
+                out[k] = self.params[v.name]
+            else:
+                out[k] = None  # computed per-row later
+        return out
+
+    # ------------------------------------------------------------- create
+    def _create_path(self, st: State, path: A.PatternPath) -> None:
+        """CREATE a path pattern.
+
+        Literal-only (no frame): one new row per node / edge.  With a
+        bound frame: per-frame-row creation for new nodes, edge rows
+        between bound endpoints (MatchCreateEdge, operator.rs:6070).
+        """
+        scope = st.scope
+        spark = self.g.spark
+        node_ids: dict[int, str] = {}  # position -> id column expr name
+
+        if st.frame is None:
+            # pure literal CREATE: assign consecutive ids
+            base = self._next_id_base()
+            bound_ids: dict[str, int] = {}
+            for i, np in enumerate(path.nodes):
+                var = np.var
+                if var and var in scope.vars:
+                    raise CompileError(
+                        f"CREATE of bound variable {var} without a frame"
+                    )
+                label = np.labels[0] if np.labels else None
+                if label is None:
+                    raise CompileError("CREATE node requires a label")
+                props = {
+                    k: (v.value if isinstance(v, A.Literal) else self.params[v.name])
+                    for k, v in np.properties.items()
+                }
+                nid = base
+                base += 1
+                row_schema = "id long" + "".join(
+                    f", {k} {_sql_type(props[k])}" for k in props
+                )
+                row = spark.createDataFrame([(nid, *props.values())], row_schema)
+                self._append_nodes(label, row)
+                if var:
+                    bound_ids[var] = nid
+                node_ids[i] = nid  # type: ignore[assignment]
+            for i, ep in enumerate(path.edges):
+                et = ep.types[0] if ep.types else None
+                if et is None:
+                    raise CompileError("CREATE edge requires a type")
+                src_i, dst_i = (i, i + 1) if ep.direction != "in" else (i + 1, i)
+                props = {
+                    k: (v.value if isinstance(v, A.Literal) else self.params[v.name])
+                    for k, v in ep.properties.items()
+                }
+                row_schema = "src long, dst long" + "".join(
+                    f", {k} {_sql_type(props[k])}" for k in props
+                )
+                row = spark.createDataFrame(
+                    [(node_ids[src_i], node_ids[dst_i], *props.values())], row_schema
+                )
+                self._append_edges(et, row)
+            return
+
+        # frame-bound CREATE: only edges between bound nodes + new nodes
+        # anchored per row
+        frame = st.frame
+        for i, np in enumerate(path.nodes):
+            var = np.var
+            if var is None or var not in scope.vars:
+                raise CompileError(
+                    "CREATE with a frame requires all pattern nodes bound "
+                    "(per-row node creation lands in a later round)"
+                )
+        for i, ep in enumerate(path.edges):
+            et = ep.types[0] if ep.types else None
+            if et is None:
+                raise CompileError("CREATE edge requires a type")
+            lvar = path.nodes[i].var
+            rvar = path.nodes[i + 1].var
+            src, dst = (lvar, rvar) if ep.direction != "in" else (rvar, lvar)
+            cols = [
+                F.col(f"{src}.id").alias("src"),
+                F.col(f"{dst}.id").alias("dst"),
+            ]
+            for k, v in ep.properties.items():
+                cols.append(compile_expr(v, scope).alias(k))
+            self._append_edges(et, frame.select(*cols))
+
+    def _append_nodes(self, label: str, rows: DataFrame) -> None:
+        if label in self.nodes:
+            self.nodes[label] = self.nodes[label].unionByName(
+                rows, allowMissingColumns=True
+            )
+        else:
+            self.nodes[label] = rows
+        self.counters["nodes_created"] += rows.count()
+
+    def _append_edges(self, etype: str, rows: DataFrame) -> None:
+        if etype in self.edges:
+            self.edges[etype] = self.edges[etype].unionByName(
+                rows, allowMissingColumns=True
+            )
+        else:
+            self.edges[etype] = rows
+            self.edge_meta.setdefault(etype, EdgeMeta())
+        self.counters["edges_created"] += rows.count()
+
+    # -------------------------------------------------------------- merge
+    def _merge(self, st: State, clause: A.MergeClause) -> None:
+        path = clause.path
+        if len(path.nodes) == 1 and not path.edges:
+            self._merge_node(st, path.nodes[0], clause)
+            return
+        if st.frame is not None and len(path.nodes) == 2 and len(path.edges) == 1:
+            self._merge_edge(st, path, clause)
+            return
+        raise CompileError("MERGE supports single nodes or bound-endpoint edges")
+
+    def _merge_node(self, st: State, np: A.NodePattern, clause: A.MergeClause) -> None:
+        label = np.labels[0] if np.labels else None
+        if label is None:
+            raise CompileError("MERGE node requires a label")
+        scope = st.scope
+        props = {
+            k: (v.value if isinstance(v, A.Literal) else self.params[v.name])
+            for k, v in np.properties.items()
+        }
+        existing = self.nodes.get(label)
+        match_df = None
+        if existing is not None:
+            cond = None
+            for k, v in props.items():
+                c = F.col(k) == F.lit(v)
+                cond = c if cond is None else (cond & c)
+            match_df = existing.filter(cond) if cond is not None else existing
+        matched = match_df is not None and match_df.limit(1).count() > 0
+        if matched:
+            if clause.on_match and np.var:
+                ids = match_df.select("id")
+                self._apply_set_to_ids(label, ids, clause.on_match, scope)
+        else:
+            nid = self._next_id_base()
+            all_props = dict(props)
+            for item in clause.on_create:
+                v = item.value
+                all_props[item.target.key] = (
+                    v.value if isinstance(v, A.Literal) else self.params[v.name]
+                )
+            row_schema = "id long" + "".join(
+                f", {k} {_sql_type(v)}" for k, v in all_props.items()
+            )
+            row = self.g.spark.createDataFrame(
+                [(nid, *all_props.values())], row_schema
+            )
+            self._append_nodes(label, row)
+
+    def _merge_edge(self, st: State, path: A.PatternPath, clause: A.MergeClause) -> None:
+        ep = path.edges[0]
+        et = ep.types[0] if ep.types else None
+        if et is None:
+            raise CompileError("MERGE edge requires a type")
+        lvar, rvar = path.nodes[0].var, path.nodes[1].var
+        if lvar not in st.scope.vars or rvar not in st.scope.vars:
+            raise CompileError("MERGE edge endpoints must be bound")
+        src, dst = (lvar, rvar) if ep.direction != "in" else (rvar, lvar)
+        want = st.frame.select(
+            F.col(f"{src}.id").alias("src"), F.col(f"{dst}.id").alias("dst")
+        ).distinct()
+        existing = self.edges.get(et)
+        missing = (
+            want if existing is None
+            else want.join(existing.select("src", "dst"), ["src", "dst"], "left_anti")
+        )
+        cols = [F.col("src"), F.col("dst")]
+        out = missing.select(*cols)
+        for k, v in ep.properties.items():
+            out = out.withColumn(
+                k, F.lit(v.value if isinstance(v, A.Literal) else self.params[v.name])
+            )
+        self._append_edges(et, out)
+
+    # ---------------------------------------------------------- set/remove
+    def _set(self, st: State, items: list[A.SetItem]) -> None:
+        if st.frame is None:
+            raise CompileError("SET requires a preceding MATCH")
+        by_var: dict[str, list[A.SetItem]] = {}
+        for it in items:
+            subj = it.target.subject
+            if not isinstance(subj, A.Variable):
+                raise CompileError("SET target must be var.prop")
+            by_var.setdefault(subj.name, []).append(it)
+        for var, var_items in by_var.items():
+            info = st.scope.vars.get(var)
+            if info is None or info.kind != "node" or info.label is None:
+                raise CompileError(f"SET target {var} must be a labeled node")
+            updates = st.frame.select(
+                F.col(f"{var}.id").alias("id"),
+                *[
+                    compile_expr(it.value, st.scope).alias(f"__new_{it.target.key}")
+                    for it in var_items
+                ],
+            ).dropDuplicates(["id"])
+            self._apply_updates(info.label, updates,
+                                {it.target.key: f"__new_{it.target.key}" for it in var_items})
+
+    def _apply_set_to_ids(self, label, ids, items, scope):
+        updates = ids.dropDuplicates(["id"])
+        mapping = {}
+        for it in items:
+            v = it.value
+            val = v.value if isinstance(v, A.Literal) else self.params[v.name]
+            updates = updates.withColumn(f"__new_{it.target.key}", F.lit(val))
+            mapping[it.target.key] = f"__new_{it.target.key}"
+        self._apply_updates(label, updates, mapping)
+
+    def _apply_updates(self, label: str, updates: DataFrame,
+                       mapping: dict[str, str]) -> None:
+        # __touched distinguishes "row updated to NULL" (REMOVE) from
+        # "row not in the update set" — coalesce alone can't.
+        tbl = self.nodes[label]
+        joined = tbl.join(updates.withColumn("__touched", F.lit(True)), "id", "left")
+        cols = []
+        for c in tbl.columns:
+            if c in mapping:
+                cols.append(
+                    F.when(F.col("__touched"), F.col(mapping[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        for key, newcol in mapping.items():
+            if key not in tbl.columns:
+                cols.append(F.col(newcol).alias(key))
+        self.nodes[label] = joined.select(*cols)
+        self.counters["properties_set"] += len(mapping)
+
+    def _remove(self, st: State, items: list[A.Property]) -> None:
+        sets = [A.SetItem(p, A.Literal(None)) for p in items]
+        self._set(st, sets)
+
+    # -------------------------------------------------------------- delete
+    def _delete(self, st: State, clause: A.DeleteClause) -> None:
+        if st.frame is None:
+            raise CompileError("DELETE requires a preceding MATCH")
+        for var in clause.vars:
+            info = st.scope.vars.get(var)
+            if info is None:
+                raise CompileError(f"unknown variable {var}")
+            if info.kind == "node":
+                if info.label is None:
+                    raise CompileError("DELETE of unlabeled nodes unsupported")
+                ids = st.frame.select(F.col(f"{var}.id").alias("id")).distinct()
+                self.nodes[info.label] = self.nodes[info.label].join(
+                    ids, "id", "left_anti"
+                )
+                self.counters["nodes_deleted"] += ids.count()
+                if clause.detach:
+                    for et, edf in list(self.edges.items()):
+                        self.edges[et] = edf.join(
+                            ids, edf["src"] == ids["id"], "left_anti"
+                        ).join(ids, F.col("dst") == ids["id"], "left_anti")
+            elif info.kind == "edge":
+                raise CompileError(
+                    "DELETE of edge variables lands with edge identity support"
+                )
+
+
+def _sql_type(v: Any) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    return "string"

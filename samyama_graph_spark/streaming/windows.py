@@ -1,0 +1,150 @@
+"""Windowed / stateful streaming operators over the events stream.
+
+Patterns: readStream -> withWatermark -> window()/session_window()
+aggregations -> writeStream; custom stateful logic via
+applyInPandasWithState.  Each transformation is expressed on a plain
+DataFrame so it runs identically in batch mode (used by tests and
+oracles) and streaming mode.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (parquet TIMESTAMP(NANOS))
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """The events parquet directory as a file-source stream.
+
+    The nanos timestamp arrives as long (legacy conf) and is converted
+    exactly like the batch loader, so stream and batch rows agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = sf_dir
+    if path.endswith(".parquet") and os.path.isfile(path):
+        # file-source streams require a directory: stage a symlink dir
+        staging = tempfile.mkdtemp(prefix="samyama_stream_")
+        os.symlink(path, os.path.join(staging, os.path.basename(path)))
+        path = staging
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def hourly_windows(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windows per event type with late-data watermark:
+    ``(event_type, window_start, n, total)``."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            "event_type", F.col("w.start").alias("window_start"), "n", "total"
+        )
+    )
+
+
+def sliding_windows(
+    events: DataFrame, size: str = "1 hour", slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding windows: ``(event_type, window_start, n)``."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy("event_type", F.window("ts", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based): ``(user_id, session_start,
+    session_end, n_events)``."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stateful_running_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value
+    total via applyInPandasWithState — the pattern for operators that
+    windowed aggregation can't express (per-key accumulators, custom
+    eviction).  Emits one row per user per micro-batch:
+    ``(user_id, n_events, total_value)``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    from samyama_graph_spark.session import ensure_shipped
+
+    ensure_shipped(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming frame to completion with availableNow and
+    return the in-memory sink contents as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

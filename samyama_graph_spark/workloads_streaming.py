@@ -1,0 +1,64 @@
+"""Streaming workloads: the stream is driven to completion
+(availableNow trigger -> memory sink) and its output is compared to
+the batch SQL oracle — stream/batch parity is the correctness
+contract of Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.streaming.windows import (
+    events_stream,
+    hourly_windows,
+    run_stream_to_memory,
+    stateful_running_totals,
+)
+from samyama_graph_spark.workloads import query
+
+_COUNTER = {"n": 0}
+
+
+def _qname(base: str) -> str:
+    _COUNTER["n"] += 1
+    return f"{base}_{_COUNTER['n']}"
+
+
+@query(
+    "streaming_hourly_windows",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS window_start,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream -> watermark -> tumbling window agg -> memory sink;
+    1-hour window starts coincide with date_trunc('hour')."""
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_stream_to_memory(
+        hourly_windows(stream), _qname("wl_hourly"), "complete"
+    )
+
+
+@query(
+    "streaming_stateful_totals",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals; the final per-user state
+    must equal the batch aggregate."""
+    from pyspark.sql import Window
+
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    got = run_stream_to_memory(
+        stateful_running_totals(stream), _qname("wl_totals"), "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        got.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )

@@ -1,0 +1,121 @@
+"""Write-clause tests: CREATE / MERGE / SET / REMOVE / DELETE build and
+mutate a session graph (modeled on the reference's CREATE-driven test
+fixtures, tests/advanced_cypher.rs:17-40)."""
+
+from __future__ import annotations
+
+import pytest
+
+from samyama_graph_spark.cypher import CypherEngine
+from samyama_graph_spark.graph import PropertyGraph
+
+
+@pytest.fixture()
+def engine(spark):
+    persons = spark.createDataFrame(
+        [(1, "Alice", 30), (2, "Bob", 25)], "id long, name string, age long"
+    )
+    knows = spark.createDataFrame([(1, 2, 2020)], "src long, dst long, since long")
+    return CypherEngine(PropertyGraph(spark, {"Person": persons}, {"KNOWS": knows}))
+
+
+def names(engine):
+    return sorted(
+        r[0]
+        for r in engine.query("MATCH (p:Person) RETURN p.name AS n").collect()
+    )
+
+
+def test_create_node(engine):
+    engine.query("CREATE (n:Person {name: 'Carol', age: 33})")
+    assert names(engine) == ["Alice", "Bob", "Carol"]
+    got = engine.query(
+        "MATCH (p:Person {name:'Carol'}) RETURN p.age AS age"
+    ).collect()
+    assert got[0]["age"] == 33
+
+
+def test_create_path_literal(engine):
+    engine.query(
+        "CREATE (a:Person {name:'X', age: 1})-[:KNOWS {since: 2024}]->"
+        "(b:Person {name:'Y', age: 2})"
+    )
+    got = engine.query(
+        "MATCH (a:Person {name:'X'})-[k:KNOWS]->(b) "
+        "RETURN b.name AS b, k.since AS s"
+    ).collect()
+    assert [(r["b"], r["s"]) for r in got] == [("Y", 2024)]
+
+
+def test_match_create_edge(engine):
+    engine.query(
+        "MATCH (a:Person {name:'Bob'}), (b:Person {name:'Alice'}) "
+        "CREATE (a)-[:KNOWS {since: 2023}]->(b)"
+    )
+    got = engine.query(
+        "MATCH (:Person {name:'Bob'})-[k:KNOWS]->(p) RETURN p.name AS n, k.since AS s"
+    ).collect()
+    assert [(r["n"], r["s"]) for r in got] == [("Alice", 2023)]
+
+
+def test_merge_existing_and_new(engine):
+    engine.query("MERGE (n:Person {name: 'Alice'})")
+    assert names(engine) == ["Alice", "Bob"]  # no duplicate
+    engine.query(
+        "MERGE (n:Person {name: 'Dana'}) ON CREATE SET n.age = 44"
+    )
+    assert names(engine) == ["Alice", "Bob", "Dana"]
+    got = engine.query(
+        "MATCH (p:Person {name:'Dana'}) RETURN p.age AS age"
+    ).collect()
+    assert got[0]["age"] == 44
+
+
+def test_merge_on_match(engine):
+    engine.query(
+        "MERGE (n:Person {name: 'Alice'}) ON MATCH SET n.age = 31"
+    )
+    got = engine.query("MATCH (p:Person {name:'Alice'}) RETURN p.age AS a").collect()
+    assert got[0]["a"] == 31
+
+
+def test_merge_edge(engine):
+    engine.query(
+        "MATCH (a:Person {name:'Alice'}), (b:Person {name:'Bob'}) "
+        "MERGE (a)-[:KNOWS]->(b)"
+    )
+    n = engine.query(
+        "MATCH (:Person)-[k:KNOWS]->(:Person) RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    assert n == 1  # edge already existed; MERGE didn't duplicate
+
+
+def test_set_property(engine):
+    engine.query("MATCH (p:Person {name:'Bob'}) SET p.age = 26, p.city = 'SF'")
+    got = engine.query(
+        "MATCH (p:Person {name:'Bob'}) RETURN p.age AS a, p.city AS c"
+    ).collect()
+    assert (got[0]["a"], got[0]["c"]) == (26, "SF")
+    # others untouched
+    got = engine.query(
+        "MATCH (p:Person {name:'Alice'}) RETURN p.age AS a"
+    ).collect()
+    assert got[0]["a"] == 30
+
+
+def test_remove_property(engine):
+    engine.query("MATCH (p:Person {name:'Bob'}) REMOVE p.age")
+    got = engine.query("MATCH (p:Person {name:'Bob'}) RETURN p.age AS a").collect()
+    assert got[0]["a"] is None
+
+
+def test_detach_delete(engine):
+    engine.query("MATCH (p:Person {name:'Alice'}) DETACH DELETE p")
+    assert names(engine) == ["Bob"]
+    n = engine.query("MATCH ()-[k:KNOWS]->() RETURN count(*) AS n").collect()[0]["n"]
+    assert n == 0  # incident edge removed
+
+
+def test_write_summary_counters(engine):
+    s = engine.query("CREATE (n:Person {name: 'Zed', age: 9})").collect()[0]
+    assert s["nodes_created"] == 1
