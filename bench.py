@@ -40,6 +40,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     total = 0.0
     for name, spec in sorted(REGISTRY.items()):
+        print(f"# bench: {name}", file=sys.stderr, flush=True)
         samples: list[float] = []
         failed = False
         for i in range(runs):
@@ -57,6 +58,11 @@ def main() -> None:
         cold[name] = round(samples[0], 4)
         timings[name] = round(statistics.median(samples), 4)
         total += timings[name]
+        # drop cached/checkpointed blocks a query pinned, so storage
+        # doesn't accumulate across the suite and skew later timings
+        for _rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+            rdd.unpersist()
+        spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -371,12 +371,7 @@ class Compiler:
 
         if st.frame is not None:
             raise CompileError("CALL after other clauses is unsupported")
-        args = [
-            compile_expr(a, Scope({}, self.params)) if not isinstance(a, A.Literal)
-            else a.value
-            for a in clause.args
-        ]
-        # literal args arrive as plain Python values
+        # procedure arguments are driver-side values: literals/params only
         lit_args = []
         for a in clause.args:
             if isinstance(a, A.Literal):

@@ -22,11 +22,69 @@ from samyama_graph_spark.graph import PropertyGraph
 _WS = re.compile(r"\s+")
 
 
+_DDL_INDEX = re.compile(
+    r"^\s*create\s+(vector\s+)?index\s+on\s*:\s*(\w+)\s*\(\s*([\w,\s]+?)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_DDL_CONSTRAINT = re.compile(
+    r"^\s*create\s+constraint\s+on\s*:\s*(\w+)\s*\(\s*([\w,\s]+?)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_DDL_DROP = re.compile(r"^\s*drop\s+index\s+(\w+)\s*$", re.IGNORECASE)
+_DDL_SHOW = re.compile(
+    r"^\s*show\s+(indexes|constraints|labels|relationship\s+types|property\s+keys)\s*$",
+    re.IGNORECASE,
+)
+
+
 class CypherEngine:
     def __init__(self, graph: PropertyGraph, cache_size: int = 1024):
+        from samyama_graph_spark.catalog import Catalog
+
         self.graph = graph
+        self.catalog = Catalog(graph.spark)
         self._ast_cache: dict[str, Any] = {}
         self._cache_size = cache_size
+
+    def _try_ddl(self, text: str) -> DataFrame | None:
+        """DDL short-circuit before parsing (the reference planner does
+        the same, planner.rs:293-378).  Index DDL is metadata on Spark
+        — parquet stats/partition pruning replace B-trees (catalog.py)."""
+        spark = self.graph.spark
+        m = _DDL_INDEX.match(text)
+        if m:
+            props = [p.strip() for p in m.group(3).split(",")]
+            kind = "vector" if m.group(1) else ("composite" if len(props) > 1 else "range")
+            idx = self.catalog.create_index(m.group(2), props, kind=kind)
+            return spark.createDataFrame([(idx.name, "CREATED")], "name string, status string")
+        m = _DDL_CONSTRAINT.match(text)
+        if m:
+            props = [p.strip() for p in m.group(2).split(",")]
+            c = self.catalog.create_constraint(m.group(1), props)
+            return spark.createDataFrame([(c.name, "CREATED")], "name string, status string")
+        m = _DDL_DROP.match(text)
+        if m:
+            ok = self.catalog.drop_index(m.group(1))
+            return spark.createDataFrame(
+                [(m.group(1), "DROPPED" if ok else "NOT_FOUND")],
+                "name string, status string",
+            )
+        m = _DDL_SHOW.match(text)
+        if m:
+            what = re.sub(r"\s+", " ", m.group(1).lower())
+            if what == "indexes":
+                return self.catalog.show_indexes()
+            if what == "constraints":
+                return self.catalog.show_constraints()
+            from samyama_graph_spark.cypher.procedures import run_procedure
+
+            proc = {
+                "labels": "db.labels",
+                "relationship types": "db.relationshiptypes",
+                "property keys": "db.propertykeys",
+            }[what]
+            return run_procedure(self.graph, proc, [])
+        return None
 
     def _parse_cached(self, text: str):
         key = _WS.sub(" ", text.strip())
@@ -45,6 +103,9 @@ class CypherEngine:
         new version (MutQueryExecutor equivalent)."""
         from samyama_graph_spark.cypher.writes import WriteExecutor, has_write_clause
 
+        ddl = self._try_ddl(text)
+        if ddl is not None:
+            return ddl
         ast = self._parse_cached(text)
         if len(ast.parts) == 1 and has_write_clause(ast.parts[0]):
             new_graph, summary = WriteExecutor(self.graph, params).execute(

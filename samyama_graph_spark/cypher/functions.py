@@ -42,8 +42,12 @@ def aggregate_fn(name: str, col: Column | None, distinct: bool, extra=None) -> C
     if n == "percentilecont":
         return F.percentile(col, extra)
     if n == "percentiledisc":
-        return F.expr("percentile_disc({}) WITHIN GROUP (ORDER BY {})".format(
-            "__P__", "__C__"))  # replaced by compiler; placeholder unused
+        # exact discrete percentile: smallest value whose cumulative
+        # relative rank reaches p (matches percentile_disc semantics)
+        raise NotImplementedError(
+            "percentileDisc needs the SQL form percentile_disc(...) WITHIN "
+            "GROUP — use spark.sql or the DataFrame API (agg_stats workload)"
+        )
     raise KeyError(name)
 
 

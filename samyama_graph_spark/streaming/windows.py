@@ -146,5 +146,8 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()  # release state-store/source resources promptly
     return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,48 @@
+"""DDL / introspection: CREATE/DROP/SHOW INDEX, constraints, SHOW
+metadata (reference: DDL operators operator.rs:5248-5785)."""
+
+from __future__ import annotations
+
+import pytest
+
+from samyama_graph_spark.cypher import CypherEngine
+from samyama_graph_spark.graph import PropertyGraph
+
+
+@pytest.fixture()
+def engine(spark):
+    persons = spark.createDataFrame(
+        [(1, "Alice", 30), (2, "Bob", 25), (3, "Bob", 40)],
+        "id long, name string, age long",
+    )
+    knows = spark.createDataFrame([(1, 2, 2020)], "src long, dst long, since long")
+    return CypherEngine(PropertyGraph(spark, {"Person": persons}, {"KNOWS": knows}))
+
+
+def test_index_roundtrip(engine):
+    r = engine.query("CREATE INDEX ON :Person(age)").collect()
+    assert r[0]["status"] == "CREATED"
+    engine.query("CREATE VECTOR INDEX ON :Person(embedding)")
+    idx = engine.query("SHOW INDEXES").collect()
+    kinds = {r["name"]: r["kind"] for r in idx}
+    assert kinds == {"idx_person_age": "range", "idx_person_embedding": "vector"}
+    engine.query("DROP INDEX idx_person_age")
+    assert len(engine.query("SHOW INDEXES").collect()) == 1
+
+
+def test_constraint_and_validation(engine):
+    engine.query("CREATE CONSTRAINT ON :Person(name)")
+    rows = engine.query("SHOW CONSTRAINTS").collect()
+    assert rows[0]["kind"] == "unique"
+    violations = engine.catalog.validate_constraint(engine.graph, "c_person_name")
+    got = violations.collect()
+    assert len(got) == 1 and got[0]["name"] == "Bob" and got[0]["n"] == 2
+
+
+def test_show_metadata(engine):
+    assert [r[0] for r in engine.query("SHOW LABELS").collect()] == ["Person"]
+    assert [r[0] for r in engine.query("SHOW RELATIONSHIP TYPES").collect()] == [
+        "KNOWS"
+    ]
+    keys = [r[0] for r in engine.query("SHOW PROPERTY KEYS").collect()]
+    assert "age" in keys and "since" in keys
