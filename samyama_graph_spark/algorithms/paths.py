@@ -27,24 +27,33 @@ def bfs(
     src and anti-joins the visited set — the reference's visited-set
     BFS (operator.rs:3003) in shuffle form.
     """
-    e = edges.select("src", "dst") if directed else symmetrize(edges)
-    e = checkpoint(e)
+    e = checkpoint(edges.select("src", "dst") if directed else symmetrize(edges))
     spark = edges.sparkSession
     visited = spark.createDataFrame([(source, 0)], "id long, depth int")
     frontier = visited
+    frontier_n = visited_n = 1
+    # broadcast small frontier/visited sides: the (large) edge table
+    # then never shuffles — one map-side join per round
+    small = 1_000_000
 
     for d in range(1, max_depth + 1):
+        f = F.broadcast(frontier) if frontier_n < small else frontier
+        v = visited.select("id")
+        if visited_n < small:
+            v = F.broadcast(v)
         nxt = (
-            e.join(frontier, e["src"] == frontier["id"])
+            e.join(f, e["src"] == f["id"])
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
+            .join(v, "id", "left_anti")
             .withColumn("depth", F.lit(d))
         )
         nxt = checkpoint(nxt)
-        if nxt.limit(1).count() == 0:
+        frontier_n = nxt.count()
+        if frontier_n == 0:
             break
-        visited = checkpoint(visited.unionByName(nxt))
+        visited_n += frontier_n
+        visited = visited.unionByName(nxt)  # union of checkpointed frontiers
         frontier = nxt
     return visited
 
@@ -76,24 +85,36 @@ def sssp(
     spark = edges.sparkSession
     dist = spark.createDataFrame([(source, 0.0)], "id long, dist double")
     frontier = dist
+    frontier_n = dist_n = 1
+    small = 1_000_000
 
     for _ in range(max_rounds):
+        f = F.broadcast(frontier) if frontier_n < small else frontier
         cand = (
-            e.join(frontier, e["src"] == frontier["id"])
+            e.join(f, e["src"] == f["id"])
             .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("d"))
             .groupBy("id")
             .agg(F.min("d").alias("d"))
         )
-        joined = cand.join(dist.withColumnRenamed("dist", "old"), "id", "left")
-        improved = joined.filter(
-            F.col("old").isNull() | (F.col("d") < F.col("old"))
-        ).select("id", F.col("d").alias("dist"))
-        improved = checkpoint(improved)
-        if improved.limit(1).count() == 0:
-            break
-        dist = checkpoint(
-            dist.join(improved.select("id"), "id", "left_anti").unionByName(improved)
+        old = dist.withColumnRenamed("dist", "old")
+        joined = cand.join(
+            F.broadcast(old) if dist_n < small else old, "id", "left"
         )
+        improved = checkpoint(
+            joined.filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
+            .select("id", F.col("d").alias("dist"))
+        )
+        frontier_n = improved.count()
+        if frontier_n == 0:
+            break
+        imp_ids = improved.select("id")
+        dist = checkpoint(
+            dist.join(
+                F.broadcast(imp_ids) if frontier_n < small else imp_ids,
+                "id", "left_anti",
+            ).unionByName(improved)
+        )
+        dist_n += frontier_n  # upper bound (improved may overlap)
         frontier = improved
     return dist
 

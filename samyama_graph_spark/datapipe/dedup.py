@@ -162,23 +162,29 @@ def ngram_jaccard_pairs(
     least one shingle (still a shingle-equality join, not a cross
     join — docs with zero overlap never pair, their Jaccard is 0).
     """
-    sh = shingle_sets(df, text_col, id_col, k)
+    sh = shingle_sets(df, text_col, id_col, k).cache()
+    # Candidates always come from the shingle-equality join (pairs with
+    # zero overlap have Jaccard 0 and can never pass threshold > 0), so
+    # cost is O(sum per-shingle doc-count^2) — sparse — rather than
+    # O(block_size^2) cross-pairs.  Blocking keys only FILTER candidates.
+    a = sh.select(F.col("id").alias("x"), "shingle")
+    b = sh.select(F.col("id").alias("y"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+    )
     if block_cols:
         blocks = df.select(F.col(id_col).alias("id"), *block_cols)
-        a = blocks.toDF("x", *[f"{c}_x" for c in block_cols])
-        b = blocks.toDF("y", *[f"{c}_y" for c in block_cols])
+        bx = blocks.toDF("x", *[f"{c}_x" for c in block_cols])
+        by = blocks.toDF("y", *[f"{c}_y" for c in block_cols])
         cond = functools.reduce(
             op.and_, [F.col(f"{c}_x") == F.col(f"{c}_y") for c in block_cols]
         )
-        pairs = a.join(b, cond & (F.col("x") < F.col("y"))).select("x", "y")
-    else:
-        a = sh.select(F.col("id").alias("x"), "shingle")
-        b = sh.select(F.col("id").alias("y"), "shingle")
+        # narrow (id, key) projections — Catalyst broadcasts when small
         pairs = (
-            a.join(b, "shingle")
-            .filter(F.col("x") < F.col("y"))
-            .select("x", "y")
-            .distinct()
+            pairs.join(bx, "x").join(by, "y").filter(cond).select("x", "y")
         )
     return _pair_jaccard(sh, pairs).filter(F.col("jacc") >= threshold)
 

@@ -129,7 +129,11 @@ def knn_lsh(
     column at write time)."""
     dim = len(query_vec)
     v = F.col(vec_col).cast("array<double>")
-    cands = None
+    # ONE scan: evaluate all tables' signatures in a single projection
+    # and keep rows matching the query bucket in any table (rather than
+    # unioning num_tables filtered scans).  At rest, these signatures
+    # would be precomputed write-time columns (partition-prunable).
+    match = None
     for t in range(num_tables):
         planes = _hyperplanes(dim, num_planes, seed + t * 1000)
         qsig = 0
@@ -137,9 +141,9 @@ def knn_lsh(
             s = sum(x * y for x, y in zip(query_vec, p))
             if s >= 0:
                 qsig += 1 << i
-        tbl = df.filter(lsh_bucket(v, planes) == F.lit(qsig))
-        cands = tbl if cands is None else cands.unionByName(tbl)
-    cands = cands.dropDuplicates([id_col])
+        cond = lsh_bucket(v, planes) == F.lit(qsig)
+        match = cond if match is None else (match | cond)
+    cands = df.filter(match)
     return knn_bruteforce(cands, vec_col, id_col, query_vec, k, metric)
 
 

@@ -98,10 +98,16 @@ def text_fingerprint(
     """Document fingerprint: min/max k-shingle hash pair — a compact
     content signature stable under token reordering at the edges:
     ``(id, fp_min, fp_max)``."""
-    sh = word_shingles(F.col(text_col), k)
-    hashes = F.transform(sh, lambda s: hash60(s))
-    return df.select(
+    # explode + partial-agg min/max: each shingle hash is computed once
+    # (array_min + array_max on a shared array would re-evaluate the
+    # md5 pipeline twice — Catalyst collapses projections), and the
+    # groupBy combines map-side so the shuffle is one row per doc
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        F.array_min(hashes).alias("fp_min"),
-        F.array_max(hashes).alias("fp_max"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    ).select("id", hash60(F.col("s")).alias("h"))
+    fp = hashed.groupBy("id").agg(
+        F.min("h").alias("fp_min"), F.max("h").alias("fp_max")
     )
+    # keep docs shorter than k words (no shingles) with NULL fingerprints
+    return df.select(F.col(id_col).alias("id")).join(fp, "id", "left")

@@ -68,23 +68,33 @@ def var_length_expand(
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
     e = checkpoint(_directed_view(edges, direction))
-    frontier = starts.select(
-        F.col(id_col).alias("start"), F.col(id_col).alias("node")
-    ).distinct()
+    frontier = checkpoint(
+        starts.select(
+            F.col(id_col).alias("start"), F.col(id_col).alias("node")
+        ).distinct()
+    )
     visited = frontier.withColumn("hops", F.lit(0))
+    frontier_n = visited_n = frontier.count()
+    small = 1_000_000  # broadcast threshold: frontier/visited sides
 
     for depth in range(1, max_hops + 1):
+        f = F.broadcast(frontier) if frontier_n < small else frontier
+        v = visited.select("start", "node")
+        if visited_n < small:
+            v = F.broadcast(v)
         nxt = (
-            e.join(frontier, e["src"] == frontier["node"])
+            e.join(f, e["src"] == f["node"])
             .select("start", F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("start", "node"), ["start", "node"], "left_anti")
+            .join(v, ["start", "node"], "left_anti")
             .withColumn("hops", F.lit(depth))
         )
         nxt = checkpoint(nxt)
-        if nxt.limit(1).count() == 0:
+        frontier_n = nxt.count()
+        if frontier_n == 0:
             break
-        visited = checkpoint(visited.unionByName(nxt))
+        visited_n += frontier_n
+        visited = visited.unionByName(nxt)  # union of checkpointed frontiers
         frontier = nxt.select("start", "node")
 
     return visited.filter(F.col("hops") >= min_hops)
