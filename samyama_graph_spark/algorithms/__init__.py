@@ -12,11 +12,13 @@ checks cross the driver boundary.
 from samyama_graph_spark.algorithms.components import cdlp, wcc
 from samyama_graph_spark.algorithms.pagerank import pagerank
 from samyama_graph_spark.algorithms.paths import bfs, shortest_path_length, sssp
+from samyama_graph_spark.algorithms.scc import scc
 from samyama_graph_spark.algorithms.topology import lcc, triangle_count
 
 __all__ = [
     "pagerank",
     "wcc",
+    "scc",
     "cdlp",
     "bfs",
     "sssp",

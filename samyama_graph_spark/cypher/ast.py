@@ -242,6 +242,13 @@ class MergeClause:
 
 
 @dataclass
+class ForeachClause:
+    var: str
+    source: Expr
+    updates: list[SetClause]
+
+
+@dataclass
 class SingleQuery:
     # ordered reading clauses: MatchClause | UnwindClause | WithClause | CallClause
     clauses: list[Any]

@@ -197,10 +197,12 @@ class Compiler:
             )
 
     def _add_path(self, st: State, path: A.PatternPath) -> None:
-        if path.shortest is not None or path.path_var is not None:
+        if path.shortest is not None:
+            self._shortest_path(st, path)
+            return
+        if path.path_var is not None:
             raise CompileError(
-                "named paths / shortestPath() are served by CALL algo.* "
-                "procedures in this engine"
+                "named paths are supported only for shortestPath() patterns"
             )
         left = self._bind_node(st, path.nodes[0])
         for i, ep in enumerate(path.edges):
@@ -238,6 +240,47 @@ class Compiler:
                 )
                 self._inline_props(st, rvar, right_np.properties)
             left = rvar
+
+    def _shortest_path(self, st: State, path: A.PatternPath) -> None:
+        """MATCH p = shortestPath((a)-[:T*]->(b)): bind both endpoints,
+        run the multi-source BFS shortest-path operator, join hop counts.
+        The path variable binds to a struct carrying ``hops`` (length(p));
+        full node/edge materialization lands with path reconstruction.
+
+        Reference: ShortestPathOperator (operator.rs:7527).
+        """
+        from samyama_graph_spark.operators.traversal import shortest_path
+
+        if len(path.nodes) != 2 or len(path.edges) != 1:
+            raise CompileError("shortestPath needs exactly (a)-[...]-(b)")
+        ep = path.edges[0]
+        lvar = self._bind_node(st, path.nodes[0])
+        rvar = self._bind_node(st, path.nodes[1])
+        if ep.types:
+            parts = [self.g.edge_df(t).select("src", "dst") for t in ep.types]
+            edges = parts[0]
+            for p in parts[1:]:
+                edges = edges.unionByName(p)
+        else:
+            edges = self.g.unified_edges().select("src", "dst")
+        max_depth = ep.max_hops if ep.max_hops is not None else 20
+        starts = st.frame.select(F.col(f"{lvar}.id").alias("id")).distinct()
+        targets = st.frame.select(F.col(f"{rvar}.id").alias("id")).distinct()
+        sp = shortest_path(
+            starts, targets, edges, max_depth=max_depth, direction=ep.direction
+        )
+        pvar = path.path_var or st.fresh("p")
+        sp = sp.select(
+            F.col("start").alias("__sp_s"),
+            F.col("target").alias("__sp_t"),
+            F.struct(F.col("hops").alias("hops")).alias(pvar),
+        )
+        st.frame = st.frame.join(
+            sp,
+            (F.col(f"{lvar}.id") == F.col("__sp_s"))
+            & (F.col(f"{rvar}.id") == F.col("__sp_t")),
+        ).drop("__sp_s", "__sp_t")
+        st.scope.vars[pvar] = VarInfo("path", pvar)
 
     def _var_length_hop(
         self, st: State, left: str, ep: A.EdgePattern, right_np: A.NodePattern

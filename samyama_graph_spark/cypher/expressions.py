@@ -314,6 +314,11 @@ def _call(e: A.FunctionCall, scope: Scope) -> Column:
     # graph-metadata functions need VarInfo
     if name in ("id", "elementid"):
         return _subject_field(e, scope, "id")
+    if name == "length" and e.args and isinstance(e.args[0], A.Variable):
+        info = scope.vars.get(e.args[0].name)
+        if info is not None and info.kind == "path":
+            # length(p) of a shortestPath binding = hop count
+            return compile_expr(e.args[0], scope).getField("hops")
     if name == "labels":
         v = e.args[0]
         if isinstance(v, A.Variable):
@@ -336,10 +341,62 @@ def _call(e: A.FunctionCall, scope: Scope) -> Column:
         return compile_expr(e.args[0], scope)
     if name == "exists":
         return compile_expr(e.args[0], scope).isNotNull()
+    if name == "duration":
+        return _duration(e, scope)
+    if name == "duration.between":
+        return _duration_between(e, scope)
     if name in SCALARS:
         args = [compile_expr(a, scope) for a in e.args]
         return SCALARS[name](*args)
     raise CompileError(f"unknown function {name}")
+
+
+def _duration(e: A.FunctionCall, scope: Scope) -> Column:
+    """duration({years, months, days, hours, minutes, seconds,
+    milliseconds, microseconds, nanoseconds}) -> the reference's
+    4-component Duration struct (property.rs:92-97)."""
+    if not e.args or not isinstance(e.args[0], A.MapLiteral):
+        raise CompileError("duration() takes a map literal")
+    parts = {k: compile_expr(v, scope) for k, v in e.args[0].entries.items()}
+    zero = F.lit(0).cast("long")
+
+    def get(key):
+        return parts[key].cast("long") if key in parts else zero
+
+    months = get("years") * 12 + get("months")
+    days = get("weeks") * 7 + get("days")
+    seconds = get("hours") * 3600 + get("minutes") * 60 + get("seconds")
+    nanos = (
+        get("milliseconds") * 1_000_000
+        + get("microseconds") * 1_000
+        + get("nanoseconds")
+    )
+    return F.struct(
+        months.alias("months"),
+        days.alias("days"),
+        seconds.alias("seconds"),
+        nanos.alias("nanos"),
+    )
+
+
+def _duration_between(e: A.FunctionCall, scope: Scope) -> Column:
+    """duration.between(a, b): exact day/second/nano decomposition of
+    the timestamp difference (months always 0 — calendar-aware months
+    need a calendar policy; the reference's component model permits
+    either, property.rs:92-97)."""
+    a = compile_expr(e.args[0], scope)
+    b = compile_expr(e.args[1], scope)
+    total_us = F.unix_micros(b.cast("timestamp")) - F.unix_micros(a.cast("timestamp"))
+    days = F.floor(total_us / 86_400_000_000).cast("long")
+    rem = total_us - days * 86_400_000_000
+    seconds = F.floor(rem / 1_000_000).cast("long")
+    nanos = ((rem - seconds * 1_000_000) * 1000).cast("long")
+    return F.struct(
+        F.lit(0).cast("long").alias("months"),
+        days.alias("days"),
+        seconds.alias("seconds"),
+        nanos.alias("nanos"),
+    )
 
 
 def _subject_field(e: A.FunctionCall, scope: Scope, fld: str) -> Column:

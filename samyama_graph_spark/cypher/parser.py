@@ -129,6 +129,18 @@ class Parser:
                 while self.try_punct(","):
                     items.append(self.expr_postfix())
                 clauses.append(A.RemoveClause(items))  # type: ignore[arg-type]
+            elif self.at_kw("foreach"):
+                self.next()
+                self.eat_punct("(")
+                fvar = self.ident()
+                self.eat_kw("in")
+                src = self.expr()
+                self.eat_punct("|")
+                updates = []
+                while self.try_kw("set"):
+                    updates.append(A.SetClause(self.parse_set_items()))
+                self.eat_punct(")")
+                clauses.append(A.ForeachClause(fvar, src, updates))
             elif self.at_kw("detach"):
                 self.next()
                 self.eat_kw("delete")
@@ -506,8 +518,17 @@ class Parser:
             if kv == "count":
                 return self.parse_call_like()
         if t.kind == "IDENT":
-            nxt = self.peek(1)
-            if nxt.kind == "PUNCT" and nxt.value == "(":
+            # namespaced function call: IDENT ('.' IDENT)* '(' — a dotted
+            # chain ending in '(' is always a function (Cypher has no
+            # method-call syntax), e.g. duration.between(...)
+            j = 1
+            while (
+                self.peek(j).kind == "PUNCT"
+                and self.peek(j).value == "."
+                and self.peek(j + 1).kind in ("IDENT", "KEYWORD")
+            ):
+                j += 2
+            if self.peek(j).kind == "PUNCT" and self.peek(j).value == "(":
                 return self.parse_call_like()
             self.next()
             return A.Variable(t.value)

@@ -70,6 +70,12 @@ def _run_algo(g: PropertyGraph, algo: str, args: list) -> DataFrame:
         return wcc(edges).select(
             F.col("id").alias("nodeId"), F.col("component").alias("componentId")
         )
+    if algo == "scc":
+        from samyama_graph_spark.algorithms import scc
+
+        return scc(edges).select(
+            F.col("id").alias("nodeId"), F.col("component").alias("componentId")
+        )
     if algo == "bfs":
         from samyama_graph_spark.algorithms import bfs
 

@@ -33,6 +33,7 @@ from samyama_graph_spark.graph import EdgeMeta, PropertyGraph
 
 WRITE_CLAUSES = (
     A.CreateClause, A.MergeClause, A.SetClause, A.RemoveClause, A.DeleteClause,
+    A.ForeachClause,
 )
 
 
@@ -82,6 +83,8 @@ class WriteExecutor:
                 self._remove(st, clause.items)
             elif isinstance(clause, A.DeleteClause):
                 self._delete(st, clause)
+            elif isinstance(clause, A.ForeachClause):
+                self._foreach(st, clause)
             else:
                 raise CompileError(f"unsupported clause {type(clause).__name__}")
         g2 = self._current_graph()
@@ -348,6 +351,23 @@ class WriteExecutor:
     def _remove(self, st: State, items: list[A.Property]) -> None:
         sets = [A.SetItem(p, A.Literal(None)) for p in items]
         self._set(st, sets)
+
+    # ------------------------------------------------------------- foreach
+    def _foreach(self, st: State, clause: A.ForeachClause) -> None:
+        """FOREACH (x IN list | SET ...): explode the list per frame
+        row, apply the SET items with x bound (ForeachOperator,
+        operator.rs:7425).  CREATE inside FOREACH lands with per-row
+        node creation."""
+        if st.frame is None:
+            raise CompileError("FOREACH requires a preceding MATCH/WITH")
+        src = compile_expr(clause.source, st.scope)
+        exploded = State(
+            st.frame.select("*", F.explode(src).alias(clause.var)),
+            Scope(dict(st.scope.vars), st.scope.params),
+        )
+        exploded.scope.vars[clause.var] = VarInfo("value", clause.var)
+        for upd in clause.updates:
+            self._set(exploded, upd.items)
 
     # -------------------------------------------------------------- delete
     def _delete(self, st: State, clause: A.DeleteClause) -> None:

@@ -168,3 +168,52 @@ def knn_join_bruteforce(
         F.desc("score") if desc else F.asc("score"), F.asc("y")
     )
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Assign each vector to its nearest (cosine) centroid: adds
+    ``__ivf_cell``.  One projection, argmax over C centroid dots —
+    the coarse-quantizer half of an IVF index.  At rest the cell id
+    becomes a write-time partition column (partition-pruned probes)."""
+    v = F.col(vec_col).cast("array<double>")
+    best = None
+    for i, c in enumerate(centroids):
+        score = cosine(v, F.lit(c).cast("array<double>"))
+        cell = F.struct(score.alias("s"), F.lit(-i).alias("ni"), F.lit(i).alias("i"))
+        best = cell if best is None else F.greatest(best, cell)
+    return df.withColumn("__ivf_cell", best["i"])
+
+
+def knn_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    metric: str = "cosine",
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: restrict the scan to the ``nprobe``
+    cells whose centroids are closest to the query, re-rank exactly.
+    Deterministic given the centroid list (callers derive centroids
+    from fixed sample ids or offline k-means)."""
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (-cos(query_vec, centroids[i]), i),
+    )
+    probe = ranked[: min(nprobe, len(centroids))]
+    assigned = ivf_assign(df, vec_col, centroids)
+    cands = assigned.filter(F.col("__ivf_cell").isin(probe)).drop("__ivf_cell")
+    return knn_bruteforce(cands, vec_col, id_col, query_vec, k, metric)

@@ -92,6 +92,26 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape, ASCII-restricted so the identical
+# pattern behaves the same in Spark (Java regex) and DuckDB (RE2):
+# letter runs | digit runs | single non-alphanumeric-non-space marks.
+BPE_PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """BPE-ish sub-token counting: ``(id, n_subtokens, n_distinct_subtokens)``.
+
+    regexp_extract_all with the pre-tokenizer regex approximates a BPE
+    tokenizer's pre-split stage (whitespace handled by \\s exclusion).
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_subtokens"),
+    )
+
+
 def text_fingerprint(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:

@@ -361,6 +361,43 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fingerprint(_docs(spark, sf_dir), "text", "doc_id")
 
 
+@query(
+    "bpe_token_counts",
+    r"""
+    SELECT doc_id AS id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+               AS n_subtokens,
+           len(list_distinct(
+               regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')))
+               AS n_distinct_subtokens
+    FROM documents
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counting (letter runs / digit runs /
+    punctuation marks) — identical regex semantics in both engines."""
+    from samyama_graph_spark.datapipe.text import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query("knn_ivf_top10", None)  # approximate: rows-only driver check
+def knn_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize to deterministic centroids (embeddings
+    of the lowest 16 vec_ids), probe the 4 nearest cells, exact
+    re-rank; recall vs brute force asserted in tests."""
+    from samyama_graph_spark.datapipe.similarity import knn_ivf
+
+    embs = _embs(spark, sf_dir)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embs.orderBy("vec_id").limit(16).collect()
+    ]
+    qv = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = knn_ivf(embs, "embedding", "vec_id", qv, cents, k=10, nprobe=4)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
 # -------------------------------------------------------------- multimodal
 
 

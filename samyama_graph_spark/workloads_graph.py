@@ -255,6 +255,113 @@ def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# CDLP (reference: cdlp.rs:38) — oracle = unrolled mode-with-tie-break CTEs
+# --------------------------------------------------------------------------
+
+_CDLP_ITERS = 3
+
+
+def _cdlp_oracle_sql(iters: int = _CDLP_ITERS) -> str:
+    ctes = [
+        f"edges AS ({_EDGES_SQL})",
+        # undirected distinct neighbor multiset (both directions, deduped)
+        "und AS (SELECT src, dst FROM edges UNION "
+        "SELECT dst AS src, src AS dst FROM edges)",
+        "verts AS (SELECT DISTINCT src AS id FROM und)",
+        "lab0 AS (SELECT id, id AS label FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"lab{k - 1}"
+        ctes.append(
+            f"""cnt{k} AS (
+    SELECT u.dst AS vid, l.label, count(*) AS c
+    FROM und u JOIN {p} l ON u.src = l.id GROUP BY u.dst, l.label
+), mx{k} AS (SELECT vid, max(c) AS mc FROM cnt{k} GROUP BY vid),
+best{k} AS (
+    SELECT c.vid, min(c.label) AS nl
+    FROM cnt{k} c JOIN mx{k} m ON c.vid = m.vid AND c.c = m.mc
+    GROUP BY c.vid
+), lab{k} AS (
+    SELECT l.id, COALESCE(b.nl, l.label) AS label
+    FROM {p} l LEFT JOIN best{k} b ON b.vid = l.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\n    SELECT id AS nodeId, label FROM lab{iters}"
+    )
+
+
+@query("cdlp_communities", _cdlp_oracle_sql())
+def cdlp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL algo.cdlp: 3 synchronous rounds of label propagation
+    (smallest-among-most-frequent rule) over the undirected closure of
+    PLACED ∪ IN_NATION ∪ IN_REGION."""
+    from samyama_graph_spark.algorithms import cdlp
+
+    g = tpch_graph(spark, sf_dir)
+    labels = cdlp(_rank_edges(g), iterations=_CDLP_ITERS)
+    return labels.select(F.col("id").alias("nodeId"), F.col("label"))
+
+
+# --------------------------------------------------------------------------
+# LCC (reference: lcc.rs:29) over the co-order part graph
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lcc_coorder",
+    """
+    WITH pe AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tris AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM pe e1 JOIN pe e2 ON e1.v = e2.u
+        JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tv AS (SELECT id, count(*) AS t FROM (
+        SELECT a AS id FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    ) GROUP BY id),
+    deg AS (SELECT id, count(*) AS d FROM (
+        SELECT u AS id FROM pe UNION ALL SELECT v FROM pe
+    ) GROUP BY id)
+    SELECT deg.id AS id,
+           round(CASE WHEN d >= 2 THEN COALESCE(t, 0) * 2.0 / (d * (d - 1))
+                      ELSE 0 END, 6) AS lcc
+    FROM deg LEFT JOIN tv ON tv.id = deg.id
+    """,
+)
+def lcc_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL algo.lcc on the part co-purchase graph: per-vertex triangle
+    count over wedge capacity."""
+    from samyama_graph_spark.algorithms import lcc
+
+    g = tpch_graph(spark, sf_dir)
+    li = g.edge_df("CONTAINS").select(
+        F.col("src").alias("order_id"), F.col("dst").alias("part_id")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.order_id") == F.col("b.order_id"))
+               & (F.col("a.part_id") < F.col("b.part_id")))
+        .select(F.col("a.part_id").alias("src"), F.col("b.part_id").alias("dst"))
+        .distinct()
+    )
+    out = lcc(pairs)
+    # de-globalize part ids for the oracle (raw l_partkey domain)
+    return out.select(
+        (F.col("id") - ID_BASE["Part"]).alias("id"),
+        F.round("lcc", 6).alias("lcc"),
+    )
+
+
 @query(
     "triangle_count_coorder",
     """

@@ -135,3 +135,38 @@ def test_shortest_path_pairs(spark, chain):
         for r in shortest_path(starts, targets, chain).collect()
     }
     assert got == {(1, 3): 2, (1, 4): 3}
+
+
+def test_scc(spark):
+    from samyama_graph_spark.algorithms import scc
+
+    # cycle 1-2-3-1, chain 3->4, cycle 5<->6
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6), (6, 5)], "src long, dst long"
+    )
+    got = {r["id"]: r["component"] for r in scc(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_scc_dag(spark):
+    from samyama_graph_spark.algorithms import scc
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    got = {r["id"]: r["component"] for r in scc(e).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}  # every vertex its own SCC
+
+
+def test_shortest_path_cypher(spark):
+    from samyama_graph_spark.cypher import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    persons = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], "id long, name string"
+    )
+    knows = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    eng = CypherEngine(PropertyGraph(spark, {"Person": persons}, {"KNOWS": knows}))
+    got = eng.query(
+        "MATCH p = shortestPath((a:Person {name:'A'})-[:KNOWS*]->(b:Person {name:'C'})) "
+        "RETURN length(p) AS hops"
+    ).collect()
+    assert got[0]["hops"] == 2

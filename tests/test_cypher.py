@@ -222,3 +222,20 @@ def test_parse_errors():
         parse("MATCH (a:Person RETURN a")
     with pytest.raises(Exception):
         parse("FROB (a) RETURN a")
+
+
+def test_duration_functions(engine):
+    got = rows(
+        engine,
+        "RETURN duration({days: 2, hours: 3}).days AS d, "
+        "duration({days: 2, hours: 3}).seconds AS s, "
+        "duration({years: 1, months: 2}).months AS m",
+    )
+    assert got == [(2, 10800, 14)]
+    got = rows(
+        engine,
+        "RETURN duration.between(datetime('2024-01-01 00:00:00'), "
+        "datetime('2024-01-03 06:30:00')) AS d",
+    )
+    d = got[0][0]
+    assert (d["days"], d["seconds"], d["nanos"]) == (2, 23400, 0)

@@ -119,3 +119,11 @@ def test_detach_delete(engine):
 def test_write_summary_counters(engine):
     s = engine.query("CREATE (n:Person {name: 'Zed', age: 9})").collect()[0]
     assert s["nodes_created"] == 1
+
+
+def test_foreach_set(engine):
+    engine.query(
+        "MATCH (p:Person) FOREACH (x IN [1] | SET p.flag = x)"
+    )
+    got = engine.query("MATCH (p:Person) RETURN p.name AS n, p.flag AS f").collect()
+    assert all(r["f"] == 1 for r in got) and len(got) == 2

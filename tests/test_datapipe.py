@@ -44,3 +44,31 @@ def test_multimodal_features(spark):
     assert {r["media_id"]: r["feature"] for r in feats2} == {
         r["media_id"]: r["feature"] for r in feats
     }
+
+
+def test_knn_ivf_recall(spark, sf_dir):
+    from samyama_graph_spark.datapipe.similarity import knn_ivf
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embs.orderBy("vec_id").limit(16).collect()
+    ]
+    qv = _query_vec(embs)
+    exact = {r["id"] for r in knn_bruteforce(embs, "embedding", "vec_id", qv, 10).collect()}
+    approx = {
+        r["id"]
+        for r in knn_ivf(embs, "embedding", "vec_id", qv, cents, 10, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    assert 0 in approx  # the query vector itself lives in a probed cell
+
+
+def test_bpe_token_stats(spark, sf_dir):
+    from samyama_graph_spark.datapipe.text import bpe_token_stats
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = bpe_token_stats(docs, "text", "doc_id").collect()
+    assert len(out) == docs.count()
+    assert all(r["n_subtokens"] >= r["n_distinct_subtokens"] > 0 for r in out)
