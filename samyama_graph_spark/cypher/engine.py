@@ -103,6 +103,24 @@ class CypherEngine:
         new version (MutQueryExecutor equivalent)."""
         from samyama_graph_spark.cypher.writes import WriteExecutor, has_write_clause
 
+        # EXPLAIN / PROFILE prefixes (reference: executor/mod.rs:185-215)
+        stripped = text.lstrip()
+        upper = stripped.upper()
+        if upper.startswith("EXPLAIN "):
+            plan = self.explain(stripped[8:], params)
+            return self.graph.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()], "plan string"
+            )
+        if upper.startswith("PROFILE "):
+            import time as _time
+
+            t0 = _time.perf_counter()
+            inner = self.query(stripped[8:], params)
+            n = inner.count()
+            elapsed = _time.perf_counter() - t0
+            return self.graph.spark.createDataFrame(
+                [(n, round(elapsed * 1000, 3))], "rows long, elapsed_ms double"
+            )
         ddl = self._try_ddl(text)
         if ddl is not None:
             return ddl

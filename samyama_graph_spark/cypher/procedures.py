@@ -100,6 +100,23 @@ def _run_algo(g: PropertyGraph, algo: str, args: list) -> DataFrame:
         return sssp(
             e.select("src", "dst", weight_col), int(args[0]), weight_col
         ).select(F.col("id").alias("nodeId"), F.col("dist"))
+    if algo == "maxflow":
+        from samyama_graph_spark.algorithms.flow import max_flow
+
+        cap_col = args[2] if len(args) > 2 else "capacity"
+        e = g.unified_edges()
+        if cap_col not in e.columns:
+            e = e.withColumn(cap_col, F.lit(1.0))
+        val = max_flow(e.select("src", "dst", cap_col), int(args[0]), int(args[1]), cap_col)
+        return g.spark.createDataFrame([(val,)], "maxFlow double")
+    if algo == "mst":
+        from samyama_graph_spark.algorithms.mst import mst
+
+        weight_col = args[0] if args else "weight"
+        e = g.unified_edges()
+        if weight_col not in e.columns:
+            e = e.withColumn(weight_col, F.lit(1.0))
+        return mst(e.select("src", "dst", weight_col), weight_col)
     if algo == "trianglecount":
         from samyama_graph_spark.algorithms import triangle_count
 

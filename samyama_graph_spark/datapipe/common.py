@@ -41,17 +41,17 @@ def tokens(col: Column) -> Column:
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Array of k-word shingles joined by single spaces.
 
-    Built with HOFs (sequence + transform + element_at), all JVM-side.
-    Documents shorter than k words produce an empty array.
+    Built as arrays_zip of k shifted slices + one transform — the
+    tokenization is evaluated a constant k+1 times per row.  (The
+    naive transform-with-element_at formulation re-evaluates the
+    split() subtree for every element access when the expression falls
+    out of codegen — O(words^2) per document, a real stall on long
+    docs.)  Documents shorter than k words produce an empty array.
     """
     ws = tokens(col)
-    n = F.size(ws)
-    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
-    )
+    cnt = F.greatest(F.size(ws) - (k - 1), F.lit(0))
+    parts = [F.slice(ws, j + 1, cnt) for j in range(k)]
+    zipped = F.arrays_zip(*parts)
     return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, (i + j + 1).cast("int")) for j in range(k)]
-        ),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
     )

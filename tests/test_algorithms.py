@@ -170,3 +170,32 @@ def test_shortest_path_cypher(spark):
         "RETURN length(p) AS hops"
     ).collect()
     assert got[0]["hops"] == 2
+
+
+def test_mst(spark):
+    from samyama_graph_spark.algorithms.mst import mst, mst_total_weight
+
+    # square 1-2-3-4 with diagonal: MST = three cheapest non-cyclic edges
+    e = spark.createDataFrame(
+        [
+            (1, 2, 1.0), (2, 3, 2.0), (3, 4, 1.0), (4, 1, 5.0), (1, 3, 4.0),
+            (5, 6, 0.5),  # separate component
+        ],
+        "src long, dst long, weight double",
+    )
+    got = {(r["src"], r["dst"]): r["weight"] for r in mst(e).collect()}
+    assert got == {(1, 2): 1.0, (2, 3): 2.0, (3, 4): 1.0, (5, 6): 0.5}
+    assert mst_total_weight(e) == 4.5
+
+
+def test_max_flow(spark):
+    from samyama_graph_spark.algorithms.flow import max_flow
+
+    # classic: s=1, t=4; two paths with capacities
+    e = spark.createDataFrame(
+        [
+            (1, 2, 10.0), (1, 3, 5.0), (2, 3, 15.0), (2, 4, 5.0), (3, 4, 10.0),
+        ],
+        "src long, dst long, capacity double",
+    )
+    assert max_flow(e, 1, 4) == 15.0

@@ -46,3 +46,15 @@ def test_show_metadata(engine):
     ]
     keys = [r[0] for r in engine.query("SHOW PROPERTY KEYS").collect()]
     assert "age" in keys and "since" in keys
+
+
+def test_explain_and_profile(engine):
+    plan = engine.query(
+        "EXPLAIN MATCH (p:Person) WHERE p.age > 28 RETURN p.name AS name"
+    ).collect()
+    text = "\n".join(r["plan"] for r in plan)
+    assert "Scan" in text  # physical plan rendered
+    prof = engine.query(
+        "PROFILE MATCH (p:Person) RETURN count(*) AS n"
+    ).collect()[0]
+    assert prof["rows"] == 1 and prof["elapsed_ms"] > 0
