@@ -9,6 +9,12 @@ from lower-(degree,id) to higher, then a triangle is a wedge
 (a->b, a->c) closed by (b->c).  Orientation bounds each vertex's
 out-degree by O(sqrt(m)), so the wedge self-join never explodes on
 skewed degree distributions — the scale-critical trick.
+
+Every cached frame here is force-materialized (count()) before its
+consumers run: each is read by 2-3 legs of the SAME downstream job,
+and Spark's lazily-filled cache would let every leg recompute the
+upstream pipeline (measured 90s -> ~20s for LCC at sf0.1).  The extra
+count() jobs cost one scheduling round-trip each, amortized at scale.
 """
 
 from __future__ import annotations
@@ -19,16 +25,21 @@ from pyspark.sql import functions as F
 from samyama_graph_spark.algorithms.util import symmetrize
 
 
-def _oriented(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(undirected distinct edges, degree-oriented edges).
+def _pinned(df: DataFrame) -> DataFrame:
+    """cache() + eager materialization so later multi-leg jobs reuse it."""
+    df = df.cache()
+    df.count()
+    return df
 
-    Both sides are cached: the undirected set is the input to degree
-    computation, orientation, AND the closure join, and without
-    pinning it each consumer would recompute the upstream pipeline
-    (e.g. the co-order self-join) from scratch.  cache() (not
-    localCheckpoint) keeps this a zero-extra-job pipeline.
+
+def _oriented(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(undirected distinct edges, degree-oriented edges), both pinned.
+
+    The undirected set feeds degree computation, orientation, AND the
+    closure join; the oriented set feeds adjacency-building and the
+    per-edge join.  Both are multi-consumer, so both are pinned.
     """
-    und = symmetrize(edges).cache()  # both directions, no self-loops
+    und = _pinned(symmetrize(edges))  # both directions, no self-loops
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -40,7 +51,7 @@ def _oriented(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         (F.col("sdeg") < F.col("ddeg"))
         | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
     ).select("src", "dst")
-    return und, oriented.cache()
+    return und, _pinned(oriented)
 
 
 def _adjacency(o: DataFrame) -> DataFrame:
@@ -49,9 +60,12 @@ def _adjacency(o: DataFrame) -> DataFrame:
     Degree orientation bounds every list by O(sqrt m), so collect_list
     cannot blow up on skewed vertices — the same property the
     reference gets from its sorted CSR segments (store.rs:294-340).
+    Pinned: consumed twice (src side and dst side of the closure join).
     """
-    return o.groupBy(F.col("src").alias("id")).agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    return _pinned(
+        o.groupBy(F.col("src").alias("id")).agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
+        )
     )
 
 
@@ -66,7 +80,7 @@ def _tri_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     Returns rows (src, dst, ws: array of third vertices).
     """
     und, o = _oriented(edges)
-    adj = _adjacency(o).cache()
+    adj = _adjacency(o)
     e = (
         o.join(
             adj.withColumnRenamed("id", "src").withColumnRenamed("nbrs", "nu"), "src"
@@ -82,7 +96,7 @@ def _tri_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
 def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     """``(id, triangles)`` — number of triangles through each vertex."""
     und, te = _tri_edges(edges)
-    te = te.cache()
+    te = _pinned(te)  # three consumers below
     # each edge (u,v) with t closures contributes t to u and v, and 1
     # to every third vertex w
     uv = te.select(F.col("src").alias("id"), F.size("ws").alias("t")).unionByName(
@@ -110,10 +124,19 @@ def lcc(edges: DataFrame) -> DataFrame:
 
     lcc(v) = triangles(v) / (deg(v) * (deg(v)-1) / 2) over the
     undirected closure; 0 when deg < 2 (reference lcc.rs:29).
+
+    Degrees are derived from the SAME pinned undirected frame the
+    triangle pipeline builds, so the expensive input projection (e.g.
+    a co-order self-join) is evaluated exactly once.
     """
-    und = symmetrize(edges)
+    und, te = _tri_edges(edges)
+    te = _pinned(te)
+    uv = te.select(F.col("src").alias("id"), F.size("ws").alias("t")).unionByName(
+        te.select(F.col("dst").alias("id"), F.size("ws").alias("t"))
+    )
+    w = te.select(F.explode("ws").alias("id"), F.lit(1).alias("t"))
+    tri = uv.unionByName(w).groupBy("id").agg(F.sum("t").alias("triangles"))
     deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    tri = triangle_count_per_vertex(edges)
     return (
         deg.join(tri, "id", "left")
         .fillna(0, subset=["triangles"])
