@@ -12,6 +12,7 @@ checks cross the driver boundary.
 from samyama_graph_spark.algorithms.components import cdlp, wcc
 from samyama_graph_spark.algorithms.pagerank import pagerank
 from samyama_graph_spark.algorithms.paths import bfs, shortest_path_length, sssp
+from samyama_graph_spark.algorithms.pca import PcaModel, pca_fit, pca_transform
 from samyama_graph_spark.algorithms.scc import scc
 from samyama_graph_spark.algorithms.topology import lcc, triangle_count
 
@@ -25,4 +26,7 @@ __all__ = [
     "shortest_path_length",
     "triangle_count",
     "lcc",
+    "PcaModel",
+    "pca_fit",
+    "pca_transform",
 ]

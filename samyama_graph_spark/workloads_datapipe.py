@@ -408,3 +408,24 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_media(spark, 64)
     feats = extract_features(media, dim=8)
     return feats.select("media_id", "n_bytes", F.size("feature").alias("dim"))
+
+
+# --------------------------------------------------------------------- PCA
+
+
+@query("pca_embeddings", None)  # eigendecomposition: rows-only driver check
+def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """algo PCA (reference pca.rs): fit top-2 components on the
+    embeddings table (single distributed Gram pass, driver eigh),
+    project every vector JVM-side.  Parity with a numpy reference
+    PCA is asserted in tests/test_algorithms.py."""
+    from samyama_graph_spark.algorithms import pca_fit, pca_transform
+
+    embs = _embs(spark, sf_dir)
+    model = pca_fit(embs, "embedding", n_components=2)
+    out = pca_transform(embs, "embedding", model)
+    return out.select(
+        F.col("vec_id").alias("id"),
+        F.round(F.element_at("pc", 1), 6).alias("pc1"),
+        F.round(F.element_at("pc", 2), 6).alias("pc2"),
+    )

@@ -199,3 +199,72 @@ def test_max_flow(spark):
         "src long, dst long, capacity double",
     )
     assert max_flow(e, 1, 4) == 15.0
+
+
+# ------------------------------------------------------------------- PCA
+
+
+def _numpy_pca(x, k, center=True, scale=False):
+    """Reference PCA (pca.rs semantics) via numpy, svd_flip signs."""
+    x = np.asarray(x, dtype=np.float64)
+    n, d = x.shape
+    mean = x.mean(axis=0) if center else np.zeros(d)
+    xc = x - mean
+    std = np.sqrt((xc * xc).sum(axis=0) / (max(n, 2) - 1)) if scale else np.ones(d)
+    safe = np.where(std > 0, std, 1.0)
+    xc = xc / safe
+    cov = xc.T @ xc / (n - 1 if n > 1 else 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    evals = evals[order]
+    proj = xc @ comps.T
+    return comps, evals, proj, float(np.trace(cov))
+
+
+def test_pca_matches_numpy(spark, sf_dir):
+    from samyama_graph_spark.algorithms import pca_fit, pca_transform
+    from samyama_graph_spark.loaders import load_tables
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    rows = embs.select("vec_id", "embedding").orderBy("vec_id").collect()
+    x = [[float(v) for v in r["embedding"]] for r in rows]
+
+    model = pca_fit(embs, "embedding", n_components=3)
+    comps, evals, proj, total = _numpy_pca(x, 3)
+
+    w = np.array(model.components)
+    # orthonormal rows
+    assert np.allclose(w @ w.T, np.eye(3), atol=1e-8)
+    # same eigenvalues / components / ratio as the numpy reference
+    assert np.allclose(model.explained_variance, evals, rtol=1e-8)
+    assert np.allclose(w, comps, atol=1e-6)
+    assert np.allclose(
+        model.explained_variance_ratio, evals / total, rtol=1e-8
+    )
+    assert model.n_samples == len(x) and model.n_features == len(x[0])
+
+    # distributed projection equals the numpy projection, row-aligned
+    out = pca_transform(embs, "embedding", model).orderBy("vec_id").collect()
+    got = np.array([r["pc"] for r in out])
+    assert np.allclose(got, proj, atol=1e-8)
+
+
+def test_pca_scale_option(spark, sf_dir):
+    from samyama_graph_spark.algorithms import pca_fit
+    from samyama_graph_spark.loaders import load_tables
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    rows = embs.select("embedding").collect()
+    x = [[float(v) for v in r["embedding"]] for r in rows]
+
+    model = pca_fit(embs, "embedding", n_components=2, scale=True)
+    comps, evals, _, _ = _numpy_pca(x, 2, scale=True)
+    assert np.allclose(model.explained_variance, evals, rtol=1e-7)
+    assert np.allclose(np.array(model.components), comps, atol=1e-6)
+    # scaled covariance is a correlation matrix: eigenvalues sum to <= d
+    assert sum(model.explained_variance_ratio) <= 1.0 + 1e-9
