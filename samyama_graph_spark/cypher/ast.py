@@ -204,6 +204,14 @@ class CallClause:
     yields: list[str] = field(default_factory=list)
 
 
+@dataclass
+class CallSubqueryClause:
+    """``CALL { <query> }`` (reference ast.rs:86-87 — parsed there but
+    never planned; implemented properly here, like UNION)."""
+
+    query: "Query"
+
+
 # ----------------------------------------------------------- write clauses
 
 

@@ -41,6 +41,9 @@ class State:
     frame: DataFrame | None
     scope: Scope
     anon: int = 0
+    # correlated CALL {}: outer-binding columns that must survive every
+    # projection and act as implicit grouping keys for aggregates
+    carry: list[str] = field(default_factory=list)
 
     def fresh(self, prefix: str) -> str:
         self.anon += 1
@@ -63,7 +66,9 @@ class Compiler:
         return out
 
     def compile_single(self, sq: A.SingleQuery) -> DataFrame:
-        st = State(None, Scope({}, self.params))
+        return self._compile_single_st(State(None, Scope({}, self.params)), sq)
+
+    def _compile_single_st(self, st: State, sq: A.SingleQuery) -> DataFrame:
         for clause in sq.clauses:
             if isinstance(clause, A.MatchClause):
                 if clause.optional:
@@ -79,6 +84,8 @@ class Compiler:
                 )
             elif isinstance(clause, A.CallClause):
                 self._call(st, clause)
+            elif isinstance(clause, A.CallSubqueryClause):
+                self._call_subquery(st, clause)
             else:
                 raise CompileError(f"unsupported clause {type(clause).__name__}")
         if sq.ret is None:
@@ -432,6 +439,111 @@ class Compiler:
         for c in df.columns:
             st.scope.vars[c] = VarInfo("value", c)
 
+    def _call_subquery(self, st: State, clause: A.CallSubqueryClause) -> None:
+        """CALL { ... }: uncorrelated -> crossJoin; correlated (leading
+        ``WITH vars`` import) -> compile against the DISTINCT import
+        bindings with the binding columns carried through every stage as
+        implicit grouping keys, then equi-join back to the outer frame.
+        Per-distinct-binding evaluation + join-back is row-for-row
+        equivalent to the spec's per-row invocation because the subquery
+        is deterministic in its imports — and it evaluates each distinct
+        binding once, which is the scale win.
+        """
+        q = clause.query
+        imports = self._subquery_imports(q)
+
+        if imports is None:
+            result = self.compile_query(q)
+            collide = (
+                set(result.columns) & set(st.frame.columns)
+                if st.frame is not None
+                else set()
+            )
+            if collide:
+                raise CompileError(
+                    f"CALL {{}} returns variables already in scope: {sorted(collide)}"
+                )
+            st.frame = (
+                result if st.frame is None else st.frame.crossJoin(result)
+            )
+            for c in result.columns:
+                st.scope.vars[c] = VarInfo("value", c)
+            return
+
+        if st.frame is None:
+            raise CompileError("correlated CALL {} requires a preceding clause")
+        for v in imports:
+            if v not in st.scope.vars:
+                raise CompileError(f"CALL {{}} imports unknown variable {v}")
+        cols = [st.scope.vars[v].column for v in imports]
+        bindings = st.frame.select(*[F.col(c) for c in cols]).distinct()
+        sub_scope = Scope(
+            {v: st.scope.vars[v] for v in imports}, self.params
+        )
+        part = q.parts[0]
+        inner_sq = A.SingleQuery(part.clauses[1:], part.ret)
+        sub = State(bindings, sub_scope, carry=list(cols))
+        result = self._compile_single_st(sub, inner_sq)
+
+        ret_names = [c for c in result.columns if c not in cols]
+        collide = set(ret_names) & set(st.frame.columns)
+        if collide:
+            raise CompileError(
+                f"CALL {{}} returns variables already in scope: {sorted(collide)}"
+            )
+        # All-aggregate subquery RETURN: an empty group still yields one
+        # row per spec (count/sum -> 0, collect -> [], else null), so
+        # left-join and fill those
+        fills: dict[str, F.Column] = {}
+        if part.ret is not None and part.ret.items and all(
+            is_aggregate(it.expr) for it in part.ret.items
+        ):
+            for it, name in zip(
+                part.ret.items,
+                [it.alias or expr_name(it.expr) for it in part.ret.items],
+            ):
+                e = it.expr
+                if isinstance(e, A.FunctionCall) and not e.distinct:
+                    if e.name in ("count", "sum"):
+                        fills[name] = F.lit(0)
+                    elif e.name == "collect":
+                        fills[name] = F.array()
+        how = "left" if fills else "inner"
+        out = st.frame.join(result, on=cols, how=how)
+        for name, fb in fills.items():
+            out = out.withColumn(name, F.coalesce(F.col(name), fb))
+        st.frame = out
+        for n in ret_names:
+            st.scope.vars[n] = VarInfo("value", n)
+
+    @staticmethod
+    def _subquery_imports(q: A.Query) -> list[str] | None:
+        """Import list when the subquery's first clause is a plain
+        ``WITH v1, v2`` of bare variables (the openCypher import form);
+        None = uncorrelated."""
+        if len(q.parts) != 1:
+            return None
+        cls = q.parts[0].clauses
+        if not cls or not isinstance(cls[0], A.WithClause):
+            return None
+        w = cls[0]
+        if (
+            w.distinct
+            or w.where is not None
+            or w.order_by
+            or w.skip is not None
+            or w.limit is not None
+        ):
+            return None
+        names = []
+        for it in w.items:
+            if not isinstance(it.expr, A.Variable) or (
+                it.alias is not None and it.alias != it.expr.name
+            ):
+                return None
+            names.append(it.expr.name)
+        return names
+
     # ------------------------------------------------------- projection
     def _project(
         self,
@@ -451,6 +563,13 @@ class Compiler:
         if len(set(names)) != len(names):
             raise CompileError(f"duplicate output names {names}")
         has_agg = any(is_aggregate(it.expr) for it in items)
+        # correlated CALL {}: binding columns ride along hidden and key
+        # every aggregation (per-binding subquery semantics)
+        carry_extra = [c for c in st.carry if c not in names]
+        if st.carry and (skip is not None or limit is not None):
+            raise CompileError(
+                "SKIP/LIMIT inside a correlated CALL {} subquery is unsupported"
+            )
 
         # ORDER BY may reference (a) an output alias/item, or (b) an
         # expression over pre-projection variables: (b) is carried as
@@ -494,7 +613,9 @@ class Compiler:
                 subs[id(node)] = F.col(cname)
             if not agg_cols:  # ORDER BY-only aggregates edge case
                 agg_cols = [F.count(F.lit(1)).alias("__agg_dummy")]
-            grouped = st.frame.groupBy(*key_cols).agg(*agg_cols)
+            grouped = st.frame.groupBy(
+                *key_cols, *[F.col(c) for c in carry_extra]
+            ).agg(*agg_cols)
 
             post = Scope({}, st.scope.params, {}, subs)
             for n, it in key_items:
@@ -509,7 +630,9 @@ class Compiler:
             for j, (matched, oe, _) in enumerate(order_specs):
                 if matched is None:
                     hidden.append(compile_expr(oe, post).alias(f"__ord_{j}"))
-            frame = grouped.select(*out_cols, *hidden)
+            frame = grouped.select(
+                *out_cols, *hidden, *[F.col(c) for c in carry_extra]
+            )
         else:
             cols = [
                 compile_expr(it.expr, st.scope).alias(n)
@@ -519,7 +642,9 @@ class Compiler:
             for j, (matched, oe, _) in enumerate(order_specs):
                 if matched is None:
                     hidden.append(compile_expr(oe, st.scope).alias(f"__ord_{j}"))
-            frame = st.frame.select(*cols, *hidden)
+            frame = st.frame.select(
+                *cols, *hidden, *[F.col(c) for c in carry_extra]
+            )
 
         new_scope = Scope({}, st.scope.params)
         for n, it in zip(names, items):

@@ -110,7 +110,10 @@ class Parser:
                 clauses.append(self.parse_with())
             elif self.at_kw("call"):
                 self.next()
-                clauses.append(self.parse_call())
+                if self.at_punct("{"):
+                    clauses.append(self.parse_call_subquery())
+                else:
+                    clauses.append(self.parse_call())
             elif self.at_kw("create"):
                 self.next()
                 paths = [self.parse_path()]
@@ -268,6 +271,18 @@ class Parser:
             while self.try_punct(","):
                 yields.append(self.ident())
         return A.CallClause(".".join(name_parts), args, yields)
+
+    def parse_call_subquery(self) -> A.CallSubqueryClause:
+        # CALL { <single query> [UNION [ALL] <single query>]* }
+        self.eat_punct("{")
+        parts = [self.parse_single()]
+        union_all: list[bool] = []
+        while self.at_kw("union"):
+            self.next()
+            union_all.append(self.try_kw("all"))
+            parts.append(self.parse_single())
+        self.eat_punct("}")
+        return A.CallSubqueryClause(A.Query(parts, union_all))
 
     # ------------------------------------------------------------ patterns
     def parse_path(self) -> A.PatternPath:

@@ -225,3 +225,44 @@ def cypher_knn_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"q": qv},
     )
     return out.select("nodeId", F.round("score", 6).alias("score"))
+
+
+@query(
+    "cypher_call_subquery",
+    """
+    WITH per_cust AS (
+        SELECT c_custkey, c_name,
+               count(o_orderkey) AS n_orders,
+               coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END), 0) AS n_urgent
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+    )
+    SELECT c_name AS name, n_orders, n_urgent
+    FROM per_cust
+    WHERE n_orders >= 8
+    ORDER BY n_urgent DESC, name
+    LIMIT 20
+    """,
+)
+def cypher_call_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL { WITH .. } correlated subquery (reference parses at
+    ast.rs:86-87 but cannot execute; implemented here): per-customer
+    order stats computed per DISTINCT binding and joined back, with
+    empty groups filled per aggregate semantics (count -> 0)."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (c:Customer)
+        CALL {
+          WITH c
+          MATCH (c)-[:PLACED]->(o:Order)
+          RETURN count(o) AS n_orders,
+                 sum(CASE WHEN o.orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS n_urgent
+        }
+        WITH c, n_orders, n_urgent WHERE n_orders >= 8
+        RETURN c.name AS name, n_orders, n_urgent
+        ORDER BY n_urgent DESC, name
+        LIMIT 20
+        """
+    )

@@ -239,3 +239,75 @@ def test_duration_functions(engine):
     )
     d = got[0][0]
     assert (d["days"], d["seconds"], d["nanos"]) == (2, 23400, 0)
+
+
+# ----------------------------------------------------- CALL { subquery }
+# (reference ast.rs:86-87 parses these but has no execution operator;
+# implemented properly here, like UNION)
+
+
+def test_call_subquery_uncorrelated(engine):
+    got = rows(
+        engine,
+        "CALL { MATCH (c:Company) RETURN count(c) AS n_companies } "
+        "MATCH (p:Person) WHERE p.age > 30 "
+        "RETURN p.name AS name, n_companies ORDER BY name",
+    )
+    assert got == [("Charlie", 2), ("David", 2)]
+
+
+def test_call_subquery_correlated_agg(engine):
+    # count(k) must be 0 (not a dropped row) for persons with no KNOWS edge
+    got = rows(
+        engine,
+        "MATCH (p:Person) "
+        "CALL { WITH p MATCH (p)-[:KNOWS]->(k) RETURN count(k) AS n } "
+        "RETURN p.name AS name, n ORDER BY name",
+    )
+    assert got == [
+        ("Alice", 2),
+        ("Bob", 1),
+        ("Charlie", 1),
+        ("David", 0),
+        ("Eve", 0),
+    ]
+
+
+def test_call_subquery_correlated_rows(engine):
+    # non-aggregate subquery: inner join semantics, one row per match
+    got = rows(
+        engine,
+        "MATCH (p:Person) "
+        "CALL { WITH p MATCH (p)-[:WORKS_AT]->(c) RETURN c.name AS company } "
+        "RETURN p.name AS name, company ORDER BY name",
+    )
+    assert got == [("Alice", "Acme"), ("Bob", "Acme"), ("Charlie", "Globex")]
+
+
+def test_call_subquery_union_inside(engine):
+    got = rows(
+        engine,
+        "CALL { MATCH (c:Company) RETURN c.name AS name "
+        "UNION ALL MATCH (p:Person) WHERE p.city = 'CHI' RETURN p.name AS name } "
+        "RETURN name ORDER BY name",
+    )
+    assert got == [("Acme",), ("Eve",), ("Globex",)]
+
+
+def test_call_subquery_multistage_correlated(engine):
+    # WITH stage between the import and RETURN, aggregate chained after
+    got = rows(
+        engine,
+        "MATCH (p:Person) "
+        "CALL { WITH p MATCH (p)-[k:KNOWS]->(q) "
+        "  WITH q, k.strength AS s WHERE s >= 0.7 "
+        "  RETURN sum(s) AS strong } "
+        "RETURN p.name AS name, round(strong, 1) AS strong ORDER BY name",
+    )
+    assert got == [
+        ("Alice", 1.6),
+        ("Bob", 0.0),
+        ("Charlie", 0.8),
+        ("David", 0.0),
+        ("Eve", 0.0),
+    ]
