@@ -97,6 +97,17 @@ class ListComprehension(Expr):
 
 
 @dataclass
+class PatternComprehension(Expr):
+    """``[(a)-[:R]->(b) WHERE pred | expr]`` — evaluated per row as a
+    collected list (reference: eval_pattern_comprehension,
+    operator.rs:2417)."""
+
+    path: "PatternPath"
+    where: Expr | None
+    projection: Expr
+
+
+@dataclass
 class QuantifiedPredicate(Expr):
     kind: str  # all | any | none | single
     var: str

@@ -27,6 +27,7 @@ from samyama_graph_spark.cypher.expressions import (
     CompileError,
     Scope,
     VarInfo,
+    _children as _expr_children,
     collect_aggregates,
     compile_expr,
     expr_name,
@@ -371,7 +372,62 @@ class Compiler:
             return self._split_conjuncts(e.left) + self._split_conjuncts(e.right)
         return [e]
 
+    # -------------------------------------------- pattern comprehension
+    def _collect_pcs(self, e: A.Expr, out: list[A.PatternComprehension]) -> None:
+        if isinstance(e, A.PatternComprehension):
+            out.append(e)
+            return
+        for c in _expr_children(e):
+            self._collect_pcs(c, out)
+
+    def _materialize_pcs(self, st: State, exprs: list[A.Expr]) -> list[str]:
+        """Join-materialize every pattern comprehension in ``exprs`` as a
+        hidden collected-list column on ``st.frame`` and register the
+        substitution; returns the hidden column names added.
+
+        SURVEY §2 mapping ("pattern comprehension -> grouped collect over
+        an expansion join"): expand the pattern from the DISTINCT bound
+        anchors, filter, collect_list the projection per anchor binding,
+        left-join back (no match -> empty list, per
+        eval_pattern_comprehension operator.rs:2417).
+        """
+        pcs: list[A.PatternComprehension] = []
+        for e in exprs:
+            if e is not None:
+                self._collect_pcs(e, pcs)
+        added = []
+        for pc in pcs:
+            if id(pc) in st.scope.agg_subs:
+                continue
+            pat_vars = [np.var for np in pc.path.nodes if np.var] + [
+                ep.var for ep in pc.path.edges if ep.var
+            ]
+            anchors = [v for v in pat_vars if v in st.scope.vars]
+            if not anchors or st.frame is None:
+                raise CompileError(
+                    "pattern comprehension must reference a bound variable"
+                )
+            cols = [st.scope.vars[v].column for v in anchors]
+            bindings = st.frame.select(*[F.col(c) for c in cols]).distinct()
+            sub = State(
+                bindings,
+                Scope({v: st.scope.vars[v] for v in anchors}, self.params),
+            )
+            self._add_path(sub, pc.path)
+            if pc.where is not None:
+                self._apply_where(sub, pc.where)
+            tmp = st.fresh("pc")
+            proj = compile_expr(pc.projection, sub.scope)
+            agg = sub.frame.groupBy(*[F.col(c) for c in cols]).agg(
+                F.collect_list(proj).alias(tmp)
+            )
+            st.frame = st.frame.join(agg, on=cols, how="left")
+            st.scope.agg_subs[id(pc)] = F.coalesce(F.col(tmp), F.array())
+            added.append(tmp)
+        return added
+
     def _apply_where(self, st: State, where: A.Expr) -> None:
+        pc_cols = self._materialize_pcs(st, [where])
         plain: list[A.Expr] = []
         for c in self._split_conjuncts(where):
             if isinstance(c, A.ExistsSubquery):
@@ -390,6 +446,8 @@ class Compiler:
                 col = compile_expr(c, st.scope)
                 cond = col if cond is None else (cond & col)
             st.frame = st.frame.filter(cond)
+        if pc_cols:
+            st.frame = st.frame.drop(*pc_cols)
 
     def _exists_join(self, st: State, ex: A.ExistsSubquery, anti: bool) -> None:
         """EXISTS{pattern} -> left-semi; NOT EXISTS -> left-anti
@@ -559,6 +617,9 @@ class Compiler:
         if st.frame is None:
             # RETURN 1 — constant projection off a single row
             st.frame = self.g.spark.range(1).select(F.lit(1).alias("__one"))
+        self._materialize_pcs(
+            st, [it.expr for it in items] + [oe for oe, _ in order_by]
+        )
         names = [it.alias or expr_name(it.expr) for it in items]
         if len(set(names)) != len(names):
             raise CompileError(f"duplicate output names {names}")

@@ -135,6 +135,14 @@ def compile_expr(e: A.Expr, scope: Scope) -> Column:
             return F.array(*[F.lit(x) for x in v])
         return F.lit(v)
 
+    if isinstance(e, A.PatternComprehension):
+        # materialized by the compiler (join + collect) before expression
+        # compilation; reaching here means an unsupported position
+        raise CompileError(
+            "pattern comprehension is supported in RETURN/WITH items and "
+            "MATCH WHERE predicates only"
+        )
+
     if isinstance(e, A.Variable):
         if e.name in scope.locals:
             return scope.locals[e.name]

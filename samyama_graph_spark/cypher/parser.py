@@ -646,6 +646,21 @@ class Parser:
         if self.at_punct("]"):
             self.next()
             return A.ListLiteral([])
+        # backtracking lookahead: [ (pattern) ... | proj ] -> pattern
+        # comprehension (needs >=1 relationship, and a | projection)
+        if self.at_punct("("):
+            save = self.i
+            try:
+                path = self.parse_path_body()
+                if path.edges and (self.at_kw("where") or self.at_punct("|")):
+                    where = self.expr() if self.try_kw("where") else None
+                    self.eat_punct("|")
+                    proj = self.expr()
+                    self.eat_punct("]")
+                    return A.PatternComprehension(path, where, proj)
+                self.i = save
+            except ParseError:
+                self.i = save
         # lookahead: IDENT IN -> comprehension
         if (
             self.peek().kind == "IDENT"

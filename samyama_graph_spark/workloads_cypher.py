@@ -266,3 +266,30 @@ def cypher_call_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "cypher_pattern_comprehension",
+    """
+    SELECT n_name AS nation,
+           coalesce(list_sort(list(s_name ORDER BY s_name)
+                    FILTER (s_name IS NOT NULL)), []) AS suppliers
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY nation
+    """,
+)
+def cypher_pattern_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern comprehension (reference eval_pattern_comprehension
+    operator.rs:2417): per-nation collected supplier names, empty list
+    when the nation has none.  sort_list applied in the projection for
+    a deterministic oracle comparison."""
+    out = _engine(spark, sf_dir).query(
+        """
+        MATCH (n:Nation)
+        RETURN n.name AS nation,
+               [(s:Supplier)-[:IN_NATION]->(n) | s.name] AS suppliers
+        ORDER BY nation
+        """
+    )
+    return out.select("nation", F.sort_array("suppliers").alias("suppliers"))

@@ -311,3 +311,63 @@ def test_call_subquery_multistage_correlated(engine):
         ("David", 0.0),
         ("Eve", 0.0),
     ]
+
+
+# ------------------------------------------------- pattern comprehension
+# (reference: eval_pattern_comprehension operator.rs:2417)
+
+
+def test_pattern_comprehension_basic(engine):
+    got = rows(
+        engine,
+        "MATCH (p:Person) "
+        "RETURN p.name AS name, [(p)-[:KNOWS]->(q) | q.name] AS friends "
+        "ORDER BY name",
+    )
+    as_sets = [(n, sorted(f)) for n, f in got]
+    assert as_sets == [
+        ("Alice", ["Bob", "Charlie"]),
+        ("Bob", ["David"]),
+        ("Charlie", ["Eve"]),
+        ("David", []),
+        ("Eve", []),
+    ]
+
+
+def test_pattern_comprehension_where_and_size(engine):
+    # inside size() and with a WHERE filter on the pattern
+    got = rows(
+        engine,
+        "MATCH (p:Person) "
+        "RETURN p.name AS name, "
+        "size([(p)-[k:KNOWS]->(q) WHERE k.strength >= 0.7 | q.name]) AS n_strong "
+        "ORDER BY name",
+    )
+    assert got == [
+        ("Alice", 2),
+        ("Bob", 0),
+        ("Charlie", 1),
+        ("David", 0),
+        ("Eve", 0),
+    ]
+
+
+def test_pattern_comprehension_in_match_where(engine):
+    got = rows(
+        engine,
+        "MATCH (p:Person) "
+        "WHERE size([(p)-[:KNOWS]->(q) | q]) >= 1 "
+        "RETURN p.name AS name ORDER BY name",
+    )
+    assert got == [("Alice",), ("Bob",), ("Charlie",)]
+
+
+def test_pattern_comprehension_with_aggregate(engine):
+    # reverse-direction pattern from the bound anchor
+    got = rows(
+        engine,
+        "MATCH (c:Company) "
+        "RETURN c.name AS company, size([(c)<-[:WORKS_AT]-(e) | e.name]) AS staff "
+        "ORDER BY company",
+    )
+    assert got == [("Acme", 2), ("Globex", 1)]
