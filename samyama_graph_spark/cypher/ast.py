@@ -212,7 +212,8 @@ class ReturnClause:
 class CallClause:
     procedure: str
     args: list[Expr]
-    yields: list[str] = field(default_factory=list)
+    # (name, alias-or-None) — reference cypher.pest:35 yield_item
+    yields: list[tuple[str, str | None]] = field(default_factory=list)
 
 
 @dataclass

@@ -372,40 +372,52 @@ class Compiler:
             return self._split_conjuncts(e.left) + self._split_conjuncts(e.right)
         return [e]
 
-    # -------------------------------------------- pattern comprehension
-    def _collect_pcs(self, e: A.Expr, out: list[A.PatternComprehension]) -> None:
-        if isinstance(e, A.PatternComprehension):
+    # ------------------------------- subquery expressions (PC/EXISTS/COUNT)
+    _SUBQ_TYPES = (A.PatternComprehension, A.ExistsSubquery, A.CountSubquery)
+
+    def _collect_subqueries(self, e: A.Expr, out: list[A.Expr]) -> None:
+        if isinstance(e, self._SUBQ_TYPES):
             out.append(e)
             return
         for c in _expr_children(e):
-            self._collect_pcs(c, out)
+            self._collect_subqueries(c, out)
 
-    def _materialize_pcs(self, st: State, exprs: list[A.Expr]) -> list[str]:
-        """Join-materialize every pattern comprehension in ``exprs`` as a
-        hidden collected-list column on ``st.frame`` and register the
-        substitution; returns the hidden column names added.
+    def _materialize_subqueries(self, st: State, exprs: list[A.Expr]) -> list[str]:
+        """Join-materialize every pattern comprehension / EXISTS{} /
+        COUNT{} inside ``exprs`` as a hidden column on ``st.frame`` and
+        register the expression substitution; returns the hidden column
+        names added.
 
-        SURVEY §2 mapping ("pattern comprehension -> grouped collect over
-        an expansion join"): expand the pattern from the DISTINCT bound
-        anchors, filter, collect_list the projection per anchor binding,
-        left-join back (no match -> empty list, per
-        eval_pattern_comprehension operator.rs:2417).
+        SURVEY §2 mapping ("grouped collect over an expansion join"):
+        expand the pattern from the DISTINCT bound anchors, filter,
+        aggregate per binding (collect_list / count / match-flag), and
+        left-join back with the type's empty fill ([] / 0 / false) —
+        reference eval_pattern_comprehension operator.rs:2417,
+        eval_exists_subquery, CountSubquery eval.  Top-level WHERE
+        conjunct EXISTS keeps the cheaper semi/anti-join path in
+        ``_apply_where``.
         """
-        pcs: list[A.PatternComprehension] = []
+        found: list[A.Expr] = []
         for e in exprs:
             if e is not None:
-                self._collect_pcs(e, pcs)
-        added = []
-        for pc in pcs:
-            if id(pc) in st.scope.agg_subs:
+                self._collect_subqueries(e, found)
+        added: list[str] = []
+        for node in found:
+            if id(node) in st.scope.agg_subs:
                 continue
-            pat_vars = [np.var for np in pc.path.nodes if np.var] + [
-                ep.var for ep in pc.path.edges if ep.var
-            ]
-            anchors = [v for v in pat_vars if v in st.scope.vars]
+            if isinstance(node, A.PatternComprehension):
+                paths, where = [node.path], node.where
+            else:
+                paths, where = node.pattern, node.where
+            pat_vars = [
+                np.var for p in paths for np in p.nodes if np.var
+            ] + [ep.var for p in paths for ep in p.edges if ep.var]
+            anchors = list(
+                dict.fromkeys(v for v in pat_vars if v in st.scope.vars)
+            )
             if not anchors or st.frame is None:
                 raise CompileError(
-                    "pattern comprehension must reference a bound variable"
+                    "subquery expression must reference a bound variable"
                 )
             cols = [st.scope.vars[v].column for v in anchors]
             bindings = st.frame.select(*[F.col(c) for c in cols]).distinct()
@@ -413,21 +425,36 @@ class Compiler:
                 bindings,
                 Scope({v: st.scope.vars[v] for v in anchors}, self.params),
             )
-            self._add_path(sub, pc.path)
-            if pc.where is not None:
-                self._apply_where(sub, pc.where)
+            for p in paths:
+                self._add_path(sub, p)
+            if where is not None:
+                self._apply_where(sub, where)
             tmp = st.fresh("pc")
-            proj = compile_expr(pc.projection, sub.scope)
-            agg = sub.frame.groupBy(*[F.col(c) for c in cols]).agg(
-                F.collect_list(proj).alias(tmp)
-            )
+            key_cols = [F.col(c) for c in cols]
+            if isinstance(node, A.PatternComprehension):
+                proj = compile_expr(node.projection, sub.scope)
+                agg = sub.frame.groupBy(*key_cols).agg(
+                    F.collect_list(proj).alias(tmp)
+                )
+                fill = F.coalesce(F.col(tmp), F.array())
+            elif isinstance(node, A.CountSubquery):
+                agg = sub.frame.groupBy(*key_cols).agg(
+                    F.count(F.lit(1)).alias(tmp)
+                )
+                fill = F.coalesce(F.col(tmp), F.lit(0))
+            else:  # ExistsSubquery in an expression position
+                agg = (
+                    sub.frame.select(*key_cols)
+                    .distinct()
+                    .withColumn(tmp, F.lit(True))
+                )
+                fill = F.coalesce(F.col(tmp), F.lit(False))
             st.frame = st.frame.join(agg, on=cols, how="left")
-            st.scope.agg_subs[id(pc)] = F.coalesce(F.col(tmp), F.array())
+            st.scope.agg_subs[id(node)] = fill
             added.append(tmp)
         return added
 
     def _apply_where(self, st: State, where: A.Expr) -> None:
-        pc_cols = self._materialize_pcs(st, [where])
         plain: list[A.Expr] = []
         for c in self._split_conjuncts(where):
             if isinstance(c, A.ExistsSubquery):
@@ -440,6 +467,7 @@ class Compiler:
                 self._exists_join(st, c.operand, anti=True)
             else:
                 plain.append(c)
+        pc_cols = self._materialize_subqueries(st, plain)
         if plain:
             cond = None
             for c in plain:
@@ -492,7 +520,9 @@ class Compiler:
                 raise CompileError("CALL arguments must be literals/parameters")
         df = run_procedure(self.g, clause.procedure.lower(), lit_args)
         if clause.yields:
-            df = df.select(*clause.yields)
+            df = df.select(
+                *[F.col(n).alias(a or n) for n, a in clause.yields]
+            )
         st.frame = df
         for c in df.columns:
             st.scope.vars[c] = VarInfo("value", c)
@@ -617,7 +647,7 @@ class Compiler:
         if st.frame is None:
             # RETURN 1 — constant projection off a single row
             st.frame = self.g.spark.range(1).select(F.lit(1).alias("__one"))
-        self._materialize_pcs(
+        self._materialize_subqueries(
             st, [it.expr for it in items] + [oe for oe, _ in order_by]
         )
         names = [it.alias or expr_name(it.expr) for it in items]

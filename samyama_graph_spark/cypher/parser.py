@@ -265,12 +265,17 @@ class Parser:
                 while self.try_punct(","):
                     args.append(self.expr())
             self.eat_punct(")")
-        yields: list[str] = []
+        yields: list[tuple[str, str | None]] = []
         if self.try_kw("yield"):
-            yields.append(self.ident())
+            yields.append(self._yield_item())
             while self.try_punct(","):
-                yields.append(self.ident())
+                yields.append(self._yield_item())
         return A.CallClause(".".join(name_parts), args, yields)
+
+    def _yield_item(self) -> tuple[str, str | None]:
+        # yield_item = variable (AS variable)?  (reference cypher.pest:35)
+        name = self.ident()
+        return (name, self.ident() if self.try_kw("as") else None)
 
     def parse_call_subquery(self) -> A.CallSubqueryClause:
         # CALL { <single query> [UNION [ALL] <single query>]* }

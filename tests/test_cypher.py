@@ -371,3 +371,54 @@ def test_pattern_comprehension_with_aggregate(engine):
         "ORDER BY company",
     )
     assert got == [("Acme", 2), ("Globex", 1)]
+
+
+# ------------------------- EXISTS{} / COUNT{} in expression positions
+
+
+def test_count_subquery_in_return(engine):
+    got = rows(
+        engine,
+        "MATCH (p:Person) "
+        "RETURN p.name AS name, COUNT { MATCH (p)-[:KNOWS]->(q) } AS n "
+        "ORDER BY name",
+    )
+    assert got == [
+        ("Alice", 2),
+        ("Bob", 1),
+        ("Charlie", 1),
+        ("David", 0),
+        ("Eve", 0),
+    ]
+
+
+def test_exists_subquery_in_return(engine):
+    got = rows(
+        engine,
+        "MATCH (p:Person) "
+        "RETURN p.name AS name, EXISTS { MATCH (p)-[:WORKS_AT]->(c) } AS employed "
+        "ORDER BY name",
+    )
+    assert got == [
+        ("Alice", True),
+        ("Bob", True),
+        ("Charlie", True),
+        ("David", False),
+        ("Eve", False),
+    ]
+
+
+def test_exists_in_or_disjunct(engine):
+    # nested EXISTS inside OR can't semi-join; falls to materialization
+    got = rows(
+        engine,
+        "MATCH (p:Person) "
+        "WHERE p.age >= 40 OR EXISTS { MATCH (p)-[:WORKS_AT]->(c) } "
+        "RETURN p.name AS name ORDER BY name",
+    )
+    assert got == [("Alice",), ("Bob",), ("Charlie",), ("David",)]
+
+
+def test_call_yield_alias(engine):
+    got = rows(engine, "CALL db.labels() YIELD label AS l RETURN l ORDER BY l")
+    assert got == [("Company",), ("Person",)]
