@@ -163,6 +163,8 @@ def ngram_jaccard_pairs(
     join — docs with zero overlap never pair, their Jaccard is 0).
     """
     sh = shingle_sets(df, text_col, id_col, k).cache()
+    sh.count()  # pin: 4 consumer legs below share one job; a lazy cache
+    # would recompute the shingle expansion per leg
     # Candidates always come from the shingle-equality join (pairs with
     # zero overlap have Jaccard 0 and can never pass threshold > 0), so
     # cost is O(sum per-shingle doc-count^2) — sparse — rather than
@@ -201,14 +203,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     sequence/transform HOF, then element-wise array sum per doc and
     sign -> bit.  All JVM-side; one shuffle on doc id.
     """
-    tok = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(tokens(F.col(text_col))).alias("tok"),
-        )
-        .distinct()
-        .withColumn("h", hash60(F.col("tok")))
-    )
+    # per-doc distinct BEFORE the explode (array_distinct) — identical
+    # semantics to explode().distinct() but avoids shuffling the full
+    # (id, token) set just to dedupe within each doc
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", hash60(F.col("tok")))
     # shift amounts must be literals in Spark's shiftright/shiftleft, so
     # the per-bit ±1 expansion is a static 60-column aggregation — still
     # one shuffle, and codegen handles wide aggregate lists fine.
