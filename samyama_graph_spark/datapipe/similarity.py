@@ -202,13 +202,25 @@ def ivf_assign(
     ``__ivf_cell``.  One projection, argmax over C centroid dots —
     the coarse-quantizer half of an IVF index.  At rest the cell id
     becomes a write-time partition column (partition-pruned probes)."""
-    v = F.col(vec_col).cast("array<double>")
-    best = None
-    for i, c in enumerate(centroids):
-        score = cosine(v, F.lit(c).cast("array<double>"))
-        cell = F.struct(score.alias("s"), F.lit(-i).alias("ni"), F.lit(i).alias("i"))
-        best = cell if best is None else F.greatest(best, cell)
-    return df.withColumn("__ivf_cell", best["i"])
+    # one SQL string instead of per-centroid Column literals — the py4j
+    # construction cost of C x dim literal expressions dominates small
+    # queries (same fix as knn_lsh above).  argmax_i cos(v, c_i) =
+    # argmax_i dot(v, c_i/|c_i|): the 1/|v| factor is common to every
+    # centroid, so centroids pre-normalize in Python and each term is a
+    # single codegen'd dot.
+    def dot_sql(c: list[float]) -> str:
+        n = sum(x * x for x in c) ** 0.5 or 1.0
+        arr = "array(" + ",".join(repr(x / n) for x in c) + ")"
+        return (
+            f"aggregate(zip_with({arr}, cast(`{vec_col}` as array<double>), "
+            "(x, y) -> x * y), cast(0.0 as double), (acc, d) -> acc + d)"
+        )
+
+    best = "greatest(" + ",".join(
+        f"struct({dot_sql(c)} AS s, {-i} AS ni, {i} AS i)"
+        for i, c in enumerate(centroids)
+    ) + ").i" if len(centroids) > 1 else "0"
+    return df.withColumn("__ivf_cell", F.expr(best))
 
 
 def knn_ivf(
