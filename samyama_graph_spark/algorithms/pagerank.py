@@ -46,8 +46,11 @@ def pagerank(
     ranks = deg.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(iterations):
-        dangling = (
-            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+        # dangling mass as a broadcast 1-row frame: keeps each iteration
+        # ONE job (the eager checkpoint) instead of a separate scalar
+        # first() action + the checkpoint job
+        dang = ranks.filter(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
         )
         contrib = (
             e.join(ranks, e["src"] == ranks["id"])
@@ -58,13 +61,17 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("msg"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping / n) * F.col("__dang")
+        )
         ranks = (
             deg.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 "out_deg",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))).alias(
+                (base + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))).alias(
                     "rank"
                 ),
             )
