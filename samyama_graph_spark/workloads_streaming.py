@@ -62,3 +62,20 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         got.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
     )
+
+
+@query(
+    "streaming_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over the event stream: per-key
+    state evicted at the watermark horizon (bounded state — the 100TB
+    property).  The 90-day horizon covers the synthetic 30-day span,
+    so within-horizon dedup equals global DISTINCT for the oracle."""
+    from samyama_graph_spark.streaming.windows import stream_dedup
+
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    dd = stream_dedup(stream, ["user_id", "event_type"], watermark="90 days")
+    got = run_stream_to_memory(dd, _qname("wl_dedup"), "append")
+    return got.select("user_id", "event_type")

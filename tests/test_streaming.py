@@ -60,3 +60,29 @@ def test_stateful_running_totals(spark, sf_dir):
     g = {(r["user_id"], r["n_events"], r["total_value"]) for r in final.collect()}
     e = {(r["user_id"], r["n_events"], r["total_value"]) for r in batch.collect()}
     assert g == e
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir):
+    from samyama_graph_spark.loaders import load_tables
+    from samyama_graph_spark.streaming.windows import (
+        events_stream,
+        run_stream_to_memory,
+        stream_dedup,
+    )
+
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    got = run_stream_to_memory(
+        stream_dedup(stream, ["user_id", "event_type"], watermark="90 days"),
+        "t_dedup_stream",
+        "append",
+    )
+    stream_keys = sorted(
+        (r["user_id"], r["event_type"])
+        for r in got.select("user_id", "event_type").collect()
+    )
+    batch = load_tables(spark, sf_dir, ["events"])["events"]
+    batch_keys = sorted(
+        (r["user_id"], r["event_type"])
+        for r in batch.select("user_id", "event_type").distinct().collect()
+    )
+    assert stream_keys == batch_keys and len(stream_keys) > 0
