@@ -67,7 +67,7 @@ class Compiler:
         return out
 
     def compile_single(self, sq: A.SingleQuery) -> DataFrame:
-        return self._compile_single_st(State(None, Scope({}, self.params)), sq)
+        return self._compile_single_st(State(None, Scope({}, self.params, graph=self.g)), sq)
 
     def _compile_single_st(self, st: State, sq: A.SingleQuery) -> DataFrame:
         for clause in sq.clauses:
@@ -254,6 +254,9 @@ class Compiler:
         run the multi-source BFS shortest-path operator, join hop counts.
         The path variable binds to a struct carrying ``hops`` (length(p));
         full node/edge materialization lands with path reconstruction.
+        allShortestPaths compiles identically: with length-only path
+        observation the row set per endpoint pair is the same; per-path
+        multiplicity (several equal-length routes) is not materialized.
 
         Reference: ShortestPathOperator (operator.rs:7527).
         """
@@ -355,7 +358,7 @@ class Compiler:
             return
         base = self._with_row_id(st)
         before_cols = set(base.columns)
-        sub = State(base, Scope(dict(st.scope.vars), st.scope.params))
+        sub = State(base, Scope(dict(st.scope.vars), st.scope.params, graph=self.g))
         for path in clause.paths:
             self._add_path(sub, path)
         if clause.where is not None:
@@ -423,7 +426,7 @@ class Compiler:
             bindings = st.frame.select(*[F.col(c) for c in cols]).distinct()
             sub = State(
                 bindings,
-                Scope({v: st.scope.vars[v] for v in anchors}, self.params),
+                Scope({v: st.scope.vars[v] for v in anchors}, self.params, graph=self.g),
             )
             for p in paths:
                 self._add_path(sub, p)
@@ -481,7 +484,7 @@ class Compiler:
         """EXISTS{pattern} -> left-semi; NOT EXISTS -> left-anti
         (reference: semi_join_detector.rs / eval_exists_subquery)."""
         base = self._with_row_id(st)
-        sub = State(base, Scope(dict(st.scope.vars), st.scope.params))
+        sub = State(base, Scope(dict(st.scope.vars), st.scope.params, graph=self.g))
         for path in ex.pattern:
             self._add_path(sub, path)
         if ex.where is not None:
@@ -566,7 +569,7 @@ class Compiler:
         cols = [st.scope.vars[v].column for v in imports]
         bindings = st.frame.select(*[F.col(c) for c in cols]).distinct()
         sub_scope = Scope(
-            {v: st.scope.vars[v] for v in imports}, self.params
+            {v: st.scope.vars[v] for v in imports}, self.params, graph=self.g
         )
         part = q.parts[0]
         inner_sq = A.SingleQuery(part.clauses[1:], part.ret)
@@ -708,7 +711,7 @@ class Compiler:
                 *key_cols, *[F.col(c) for c in carry_extra]
             ).agg(*agg_cols)
 
-            post = Scope({}, st.scope.params, {}, subs)
+            post = Scope({}, st.scope.params, {}, subs, graph=self.g)
             for n, it in key_items:
                 post.vars[n] = VarInfo("value", n)
             out_cols = []
@@ -737,7 +740,7 @@ class Compiler:
                 *cols, *hidden, *[F.col(c) for c in carry_extra]
             )
 
-        new_scope = Scope({}, st.scope.params)
+        new_scope = Scope({}, st.scope.params, graph=self.g)
         for n, it in zip(names, items):
             kind, label = "value", None
             if isinstance(it.expr, A.Variable):

@@ -42,9 +42,14 @@ class Scope:
     # (two-phase aggregation: aggregates evaluate in groupBy().agg(),
     # outer expressions then reference their result columns)
     agg_subs: dict[int, Column] = field(default_factory=dict)
+    # PropertyGraph for static property-type lookups (integer-division
+    # parity); None disables schema-based inference
+    graph: Any = None
 
     def child_with_local(self, name: str, col: Column) -> "Scope":
-        s = Scope(self.vars, self.params, dict(self.locals), self.agg_subs)
+        s = Scope(
+            self.vars, self.params, dict(self.locals), self.agg_subs, self.graph
+        )
         s.locals[name] = col
         return s
 
@@ -264,6 +269,50 @@ def compile_expr(e: A.Expr, scope: Scope) -> Column:
     raise CompileError(f"cannot compile {type(e).__name__}")
 
 
+# functions whose results are certainly integers (reference returns
+# PropertyValue::Integer from eval_function for these)
+_INT_FUNCS = {
+    "tointeger", "toint", "tointegerornull", "size", "length", "id",
+    "timestamp", "abs_int",
+}
+
+
+def _is_integer(e: A.Expr, scope: Scope) -> bool:
+    """Best-effort static typing: True only when the expression is
+    certainly integer-valued (used for reference-parity truncating
+    integer division, operator.rs arithmetic_div:2619).  Unknown ->
+    False -> double division (Spark default)."""
+    if isinstance(e, A.Literal):
+        return isinstance(e.value, int) and not isinstance(e.value, bool)
+    if isinstance(e, A.Parameter):
+        v = scope.params.get(e.name)
+        return isinstance(v, int) and not isinstance(v, bool)
+    if isinstance(e, A.UnaryOp) and e.op == "NEG":
+        return _is_integer(e.operand, scope)
+    if isinstance(e, A.BinaryOp) and e.op in ("+", "-", "*", "%"):
+        return _is_integer(e.left, scope) and _is_integer(e.right, scope)
+    if isinstance(e, A.FunctionCall):
+        return e.name in _INT_FUNCS and not e.distinct
+    if isinstance(e, A.Property) and isinstance(e.subject, A.Variable):
+        info = scope.vars.get(e.subject.name)
+        if info is None or info.label is None or scope.graph is None:
+            return False
+        try:
+            df = (
+                scope.graph.node_df(info.label)
+                if info.kind == "node"
+                else scope.graph.edge_df(info.label)
+            )
+        except Exception:
+            return False
+        for fld in df.schema.fields:
+            if fld.name == e.key:
+                return fld.dataType.typeName() in (
+                    "long", "integer", "short", "byte"
+                )
+    return False
+
+
 def _binary(e: A.BinaryOp, scope: Scope) -> Column:
     op = e.op
     l = compile_expr(e.left, scope)
@@ -293,6 +342,12 @@ def _binary(e: A.BinaryOp, scope: Scope) -> Column:
     if op == "*":
         return l * r
     if op == "/":
+        # int / int truncates toward zero in the reference (Rust i64
+        # division, operator.rs:2619); everything else is double.
+        # Division by zero yields null (vectorized execution cannot
+        # raise per-row; the reference errors the whole query).
+        if _is_integer(e.left, scope) and _is_integer(e.right, scope):
+            return (l / r).cast("long")
         return l / r
     if op == "%":
         return l % r

@@ -56,7 +56,7 @@ class WriteExecutor:
         if sq.ret is not None:
             raise CompileError("RETURN after write clauses is not supported yet")
         compiler = Compiler(self._current_graph(), self.params)
-        st = State(None, Scope({}, self.params))
+        st = State(None, Scope({}, self.params, graph=compiler.g))
         for clause in sq.clauses:
             # reads must see writes from earlier clauses of this query
             compiler.g = self._current_graph()

@@ -422,3 +422,23 @@ def test_exists_in_or_disjunct(engine):
 def test_call_yield_alias(engine):
     got = rows(engine, "CALL db.labels() YIELD label AS l RETURN l ORDER BY l")
     assert got == [("Company",), ("Person",)]
+
+
+def test_integer_division_parity(engine):
+    # reference arithmetic_div: int/int truncates toward zero; any
+    # float operand -> double division
+    got = rows(
+        engine,
+        "RETURN 7 / 2 AS a, -7 / 2 AS b, 7.0 / 2 AS c, 7 / 2.0 AS d, "
+        "toInteger('9') / 4 AS e",
+    )
+    assert got == [(3, -3, 3.5, 3.5, 2)]
+
+
+def test_integer_division_on_properties(engine):
+    got = rows(
+        engine,
+        "MATCH (p:Person {name:'Charlie'}) "
+        "RETURN p.age / 2 AS half, p.age / 2.0 AS halff",
+    )
+    assert got == [(17, 17.5)]
