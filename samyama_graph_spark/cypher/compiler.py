@@ -162,6 +162,18 @@ class Compiler:
             )
         return oriented
 
+    # ------------------------------------------------------------ types
+    def _refresh_dtypes(self, st: State) -> None:
+        """Copy the live frame's Catalyst-analyzed column types onto the
+        scope's VarInfos, so the static typer (integer division, size on
+        strings) sees what Spark sees."""
+        if st.frame is None:
+            return
+        types = {f.name: f.dataType for f in st.frame.schema.fields}
+        for info in st.scope.vars.values():
+            if info.column in types:
+                info.dtype = types[info.column]
+
     # ------------------------------------------------------------ match
     def _match(self, st: State, clause: A.MatchClause) -> None:
         for path in clause.paths:
@@ -458,6 +470,7 @@ class Compiler:
         return added
 
     def _apply_where(self, st: State, where: A.Expr) -> None:
+        self._refresh_dtypes(st)
         plain: list[A.Expr] = []
         for c in self._split_conjuncts(where):
             if isinstance(c, A.ExistsSubquery):
@@ -503,6 +516,7 @@ class Compiler:
         if "__one" in st.frame.columns:
             st.frame = st.frame.drop("__one")
         st.scope.vars[clause.alias] = VarInfo("value", clause.alias)
+        self._refresh_dtypes(st)
 
     # ------------------------------------------------------------- call
     def _call(self, st: State, clause: A.CallClause) -> None:
@@ -650,6 +664,7 @@ class Compiler:
         if st.frame is None:
             # RETURN 1 — constant projection off a single row
             st.frame = self.g.spark.range(1).select(F.lit(1).alias("__one"))
+        self._refresh_dtypes(st)
         self._materialize_subqueries(
             st, [it.expr for it in items] + [oe for oe, _ in order_by]
         )

@@ -28,6 +28,10 @@ class VarInfo:
     kind: str  # "node" | "edge" | "value"
     column: str  # top-level column name in the frame
     label: str | None = None  # node label / edge type when known
+    # Spark DataType of the column, refreshed from the live frame's
+    # schema (compiler._refresh_dtypes) — lets the static typer use
+    # Catalyst's own analysis for int-division / size-on-string parity
+    dtype: Any = None
 
 
 @dataclass
@@ -176,6 +180,15 @@ def compile_expr(e: A.Expr, scope: Scope) -> Column:
         raise CompileError(f"unary {e.op}")
 
     if isinstance(e, A.FunctionCall):
+        # size()/length() work on strings too in the reference
+        # (operator.rs +944-975); Spark's size is array/map-only, so
+        # dispatch on the statically-known argument type
+        if (
+            e.name in ("size", "length")
+            and len(e.args) == 1
+            and _is_string(e.args[0], scope)
+        ):
+            return F.length(compile_expr(e.args[0], scope)).cast("long")
         return _call(e, scope)
 
     if isinstance(e, A.CaseExpr):
@@ -201,12 +214,24 @@ def compile_expr(e: A.Expr, scope: Scope) -> Column:
         )
 
     if isinstance(e, A.ListSlice):
+        # reference eval_list_slice (operator.rs:289-314): negative
+        # indexes resolve from the end, clamp to [0, len]; start >= end
+        # -> empty.  Clamped start+1 >= 1, so slice() never sees its
+        # illegal 0 start.
         subj = compile_expr(e.subject, scope)
+        n = F.size(subj)
         start = compile_expr(e.start, scope) if e.start else F.lit(0)
-        end = compile_expr(e.end, scope) if e.end else F.size(subj)
-        start = F.when(start < 0, F.size(subj) + start).otherwise(start)
-        end = F.when(end < 0, F.size(subj) + end).otherwise(end)
-        return F.slice(subj, (start + 1).cast("int"), F.greatest(end - start, F.lit(0)).cast("int"))
+        end = compile_expr(e.end, scope) if e.end else n
+        start = F.when(start < 0, F.greatest(n + start, F.lit(0))).otherwise(
+            F.least(start, n)
+        )
+        end = F.when(end < 0, F.greatest(n + end, F.lit(0))).otherwise(
+            F.least(end, n)
+        )
+        return F.slice(
+            subj, (start + 1).cast("int"),
+            F.greatest(end - start, F.lit(0)).cast("int"),
+        )
 
     if isinstance(e, A.ListLiteral):
         return F.array(*[compile_expr(x, scope) for x in e.items])
@@ -277,40 +302,102 @@ _INT_FUNCS = {
 }
 
 
-def _is_integer(e: A.Expr, scope: Scope) -> bool:
-    """Best-effort static typing: True only when the expression is
-    certainly integer-valued (used for reference-parity truncating
-    integer division, operator.rs arithmetic_div:2619).  Unknown ->
-    False -> double division (Spark default)."""
+_INTEGRAL_TYPES = ("long", "integer", "short", "byte")
+
+# string-returning scalar functions (reference eval_function +841-901)
+_STR_FUNCS = {
+    "toupper", "touppercase", "tolower", "tolowercase", "trim", "ltrim",
+    "rtrim", "replace", "substring", "left", "right", "tostring",
+    "tostringornull",
+}
+
+
+def _static_type(e: A.Expr, scope: Scope) -> str | None:
+    """Best-effort static Spark type name of an expression; None when
+    unknown.  Sources: literal/param Python types, known function
+    result types, VarInfo.dtype refreshed from the live frame schema,
+    struct-field types for properties, graph schema as fallback."""
     if isinstance(e, A.Literal):
-        return isinstance(e.value, int) and not isinstance(e.value, bool)
+        v = e.value
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "long"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, str):
+            return "string"
+        return None
     if isinstance(e, A.Parameter):
         v = scope.params.get(e.name)
-        return isinstance(v, int) and not isinstance(v, bool)
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "long"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, str):
+            return "string"
+        return None
     if isinstance(e, A.UnaryOp) and e.op == "NEG":
-        return _is_integer(e.operand, scope)
+        return _static_type(e.operand, scope)
     if isinstance(e, A.BinaryOp) and e.op in ("+", "-", "*", "%"):
-        return _is_integer(e.left, scope) and _is_integer(e.right, scope)
+        lt = _static_type(e.left, scope)
+        rt = _static_type(e.right, scope)
+        if lt in _INTEGRAL_TYPES and rt in _INTEGRAL_TYPES:
+            return "long"
+        if lt in ("double", "float") or rt in ("double", "float"):
+            return "double"
+        return None
     if isinstance(e, A.FunctionCall):
-        return e.name in _INT_FUNCS and not e.distinct
+        if e.distinct:
+            return None
+        if e.name in _INT_FUNCS:
+            return "long"
+        if e.name in _STR_FUNCS:
+            return "string"
+        return None
+    if isinstance(e, A.Variable):
+        if e.name in scope.locals:
+            return None
+        info = scope.vars.get(e.name)
+        if info is not None and info.dtype is not None:
+            return info.dtype.typeName()
+        return None
     if isinstance(e, A.Property) and isinstance(e.subject, A.Variable):
         info = scope.vars.get(e.subject.name)
-        if info is None or info.label is None or scope.graph is None:
-            return False
-        try:
-            df = (
-                scope.graph.node_df(info.label)
-                if info.kind == "node"
-                else scope.graph.edge_df(info.label)
-            )
-        except Exception:
-            return False
-        for fld in df.schema.fields:
-            if fld.name == e.key:
-                return fld.dataType.typeName() in (
-                    "long", "integer", "short", "byte"
+        if info is None:
+            return None
+        if info.dtype is not None and info.dtype.typeName() == "struct":
+            for fld in info.dtype.fields:
+                if fld.name == e.key:
+                    return fld.dataType.typeName()
+            return None
+        if info.label is not None and scope.graph is not None:
+            try:
+                df = (
+                    scope.graph.node_df(info.label)
+                    if info.kind == "node"
+                    else scope.graph.edge_df(info.label)
                 )
-    return False
+            except Exception:
+                return None
+            for fld in df.schema.fields:
+                if fld.name == e.key:
+                    return fld.dataType.typeName()
+    return None
+
+
+def _is_integer(e: A.Expr, scope: Scope) -> bool:
+    """True only when the expression is certainly integer-valued (used
+    for reference-parity truncating integer division, operator.rs
+    arithmetic_div:2619).  Unknown -> False -> double division."""
+    t = _static_type(e, scope)
+    return t in _INTEGRAL_TYPES
+
+
+def _is_string(e: A.Expr, scope: Scope) -> bool:
+    return _static_type(e, scope) == "string"
 
 
 def _binary(e: A.BinaryOp, scope: Scope) -> Column:
