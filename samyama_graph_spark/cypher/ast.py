@@ -244,6 +244,15 @@ class SetClause:
 
 
 @dataclass
+class RemoveLabelItem:
+    """``REMOVE n:Label`` (reference RemoveItem::Label, ast.rs:521 —
+    parsed there but dropped by the planner; executed here)."""
+
+    var: str
+    label: str
+
+
+@dataclass
 class RemoveClause:
     items: list[Property]
 

@@ -128,9 +128,9 @@ class Parser:
                 clauses.append(A.SetClause(self.parse_set_items()))
             elif self.at_kw("remove"):
                 self.next()
-                items = [self.expr_postfix()]
+                items = [self._remove_item()]
                 while self.try_punct(","):
-                    items.append(self.expr_postfix())
+                    items.append(self._remove_item())
                 clauses.append(A.RemoveClause(items))  # type: ignore[arg-type]
             elif self.at_kw("foreach"):
                 self.next()
@@ -271,6 +271,19 @@ class Parser:
             while self.try_punct(","):
                 yields.append(self._yield_item())
         return A.CallClause(".".join(name_parts), args, yields)
+
+    def _remove_item(self):
+        # remove_item = property_access | variable ":" label
+        # (reference cypher.pest:57)
+        if (
+            self.peek().kind == "IDENT"
+            and self.peek(1).kind == "PUNCT"
+            and self.peek(1).value == ":"
+        ):
+            var = self.ident()
+            self.eat_punct(":")
+            return A.RemoveLabelItem(var, self.ident())
+        return self.expr_postfix()
 
     def _yield_item(self) -> tuple[str, str | None]:
         # yield_item = variable (AS variable)?  (reference cypher.pest:35)

@@ -348,9 +348,30 @@ class WriteExecutor:
         self.nodes[label] = joined.select(*cols)
         self.counters["properties_set"] += len(mapping)
 
-    def _remove(self, st: State, items: list[A.Property]) -> None:
-        sets = [A.SetItem(p, A.Literal(None)) for p in items]
-        self._set(st, sets)
+    def _remove(self, st: State, items: list[Any]) -> None:
+        props = [p for p in items if not isinstance(p, A.RemoveLabelItem)]
+        if props:
+            self._set(st, [A.SetItem(p, A.Literal(None)) for p in props])
+        for it in items:
+            if not isinstance(it, A.RemoveLabelItem):
+                continue
+            # REMOVE n:Label — in the per-label-table model, removing a
+            # label is an anti-join delete of the matched ids from that
+            # label's table (node rows under other labels are untouched).
+            # The reference parses this (ast.rs:521) but its planner
+            # drops it; executed properly here.
+            info = st.scope.vars.get(it.var)
+            if info is None:
+                raise CompileError(f"unknown variable {it.var}")
+            if it.label not in self.nodes:
+                continue  # removing an absent label is a no-op
+            ids = st.frame.select(
+                F.col(f"{info.column}.id").alias("__rm")
+            ).distinct()
+            tbl = self.nodes[it.label]
+            self.nodes[it.label] = tbl.join(
+                ids, tbl["id"] == ids["__rm"], "left_anti"
+            )
 
     # ------------------------------------------------------------- foreach
     def _foreach(self, st: State, clause: A.ForeachClause) -> None:

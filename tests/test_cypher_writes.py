@@ -127,3 +127,22 @@ def test_foreach_set(engine):
     )
     got = engine.query("MATCH (p:Person) RETURN p.name AS n, p.flag AS f").collect()
     assert all(r["f"] == 1 for r in got) and len(got) == 2
+
+
+def test_remove_label(spark):
+    persons = spark.createDataFrame(
+        [(1, "Alice", 30), (2, "Bob", 25)], "id long, name string, age long"
+    )
+    admins = spark.createDataFrame([(1, "all")], "id long, scope string")
+    eng = CypherEngine(
+        PropertyGraph(spark, {"Person": persons, "Admin": admins}, {})
+    )
+    assert eng.query("MATCH (a:Admin) RETURN count(a) AS n").first()["n"] == 1
+    eng.query("MATCH (p:Person {name:'Alice'}) REMOVE p:Admin")
+    assert eng.query("MATCH (a:Admin) RETURN count(a) AS n").first()["n"] == 0
+    # the Person row survives label removal
+    assert (
+        eng.query("MATCH (p:Person) RETURN count(p) AS n").first()["n"] == 2
+    )
+    # removing an absent label is a no-op
+    eng.query("MATCH (p:Person) REMOVE p:Ghost")
