@@ -16,7 +16,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from samyama_graph_spark.cypher import ast as A
-from samyama_graph_spark.cypher.functions import AGGREGATES, SCALARS
+from samyama_graph_spark.cypher.functions import (
+    AGGREGATES,
+    LIST_SCALAR_AGGS,
+    SCALARS,
+    list_scalar_agg,
+)
 
 
 class CompileError(ValueError):
@@ -58,11 +63,23 @@ class Scope:
         return s
 
 
+def _is_list_scalar_form(e: A.Expr) -> bool:
+    """stDev([1,2,3]) / percentileCont([...], p): aggregate-named
+    functions applied to an in-row list are scalars, not aggregates."""
+    return (
+        isinstance(e, A.FunctionCall)
+        and e.name in LIST_SCALAR_AGGS
+        and bool(e.args)
+        and isinstance(e.args[0], (A.ListLiteral, A.ListComprehension))
+    )
+
+
 def is_aggregate(e: A.Expr) -> bool:
     """Does this expression contain an aggregate call anywhere —
     detection for implicit GROUP BY (reference planner.rs:1057-1096)."""
     if isinstance(e, A.FunctionCall) and e.name in AGGREGATES:
-        return True
+        if not _is_list_scalar_form(e):
+            return True
     return any(is_aggregate(c) for c in _children(e))
 
 
@@ -84,7 +101,7 @@ def expr_name(e: A.Expr) -> str:
 def collect_aggregates(e: A.Expr, out: list[A.FunctionCall]) -> None:
     """Top-most aggregate FunctionCall nodes anywhere in the tree."""
     if isinstance(e, A.FunctionCall):
-        if e.name in AGGREGATES:
+        if e.name in AGGREGATES and not _is_list_scalar_form(e):
             out.append(e)
             return
         for a in e.args:
@@ -189,6 +206,14 @@ def compile_expr(e: A.Expr, scope: Scope) -> Column:
             and _is_string(e.args[0], scope)
         ):
             return F.length(compile_expr(e.args[0], scope)).cast("long")
+        if e.name == "valuetype" and len(e.args) == 1:
+            return _value_type(e.args[0], scope)
+        if _is_list_scalar_form(e):
+            arr = compile_expr(e.args[0], scope)
+            p = (
+                compile_expr(e.args[1], scope) if len(e.args) > 1 else None
+            )
+            return list_scalar_agg(e.name, arr, p)
         return _call(e, scope)
 
     if isinstance(e, A.CaseExpr):
@@ -319,6 +344,8 @@ def _static_type(e: A.Expr, scope: Scope) -> str | None:
     struct-field types for properties, graph schema as fallback."""
     if isinstance(e, A.Literal):
         v = e.value
+        if v is None:
+            return "void"
         if isinstance(v, bool):
             return "boolean"
         if isinstance(v, int):
@@ -327,7 +354,13 @@ def _static_type(e: A.Expr, scope: Scope) -> str | None:
             return "double"
         if isinstance(v, str):
             return "string"
+        if isinstance(v, list):
+            return "array"
         return None
+    if isinstance(e, A.ListLiteral) or isinstance(e, A.ListComprehension):
+        return "array"
+    if isinstance(e, A.MapLiteral):
+        return "map"
     if isinstance(e, A.Parameter):
         v = scope.params.get(e.name)
         if isinstance(v, bool):
@@ -398,6 +431,35 @@ def _is_integer(e: A.Expr, scope: Scope) -> bool:
 
 def _is_string(e: A.Expr, scope: Scope) -> bool:
     return _static_type(e, scope) == "string"
+
+
+_VALUE_TYPE_NAMES = {
+    "long": "INTEGER", "integer": "INTEGER", "short": "INTEGER",
+    "byte": "INTEGER",
+    "double": "FLOAT", "float": "FLOAT", "decimal": "FLOAT",
+    "string": "STRING", "boolean": "BOOLEAN", "array": "LIST",
+    "map": "MAP", "void": "NULL",
+}
+
+
+def _value_type(arg: A.Expr, scope: Scope) -> Column:
+    """valueType() (reference CY-26, operator.rs:1511-1528): the
+    static type name, with NODE/RELATIONSHIP/PATH from variable kinds
+    and a runtime null check (a typed engine can answer the rest at
+    compile time)."""
+    if isinstance(arg, A.Variable):
+        info = scope.vars.get(arg.name)
+        if info is not None and info.kind in ("node", "edge", "path"):
+            kind = {"node": "NODE", "edge": "RELATIONSHIP", "path": "PATH"}
+            return F.lit(kind[info.kind])
+    t = _static_type(arg, scope)
+    name = _VALUE_TYPE_NAMES.get(t or "", "ANY")
+    if t == "struct":
+        name = "MAP"
+    col = compile_expr(arg, scope)
+    if name == "NULL":
+        return F.lit("NULL")
+    return F.when(col.isNull(), F.lit("NULL")).otherwise(F.lit(name))
 
 
 def _binary(e: A.BinaryOp, scope: Scope) -> Column:

@@ -16,6 +16,39 @@ AGGREGATES = {
     "percentilecont", "percentiledisc",
 }
 
+# Names that double as SCALARS over a literal list argument
+# (reference +1444-1464 stubs these to degenerate fallbacks; computed
+# properly here, like the other parse-only features)
+LIST_SCALAR_AGGS = {"stdev", "stdevp", "percentilecont", "percentiledisc"}
+
+
+def list_scalar_agg(name: str, arr: Column, p: Column | None) -> Column:
+    """percentileCont/Disc and stDev/stDevP applied to an in-row list."""
+    a = F.transform(arr, lambda x: x.cast("double"))
+    n = F.size(a)
+    nd = n.cast("double")
+    if name in ("stdev", "stdevp"):
+        total = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+        mean = total / nd
+        ss = F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + (x - mean) * (x - mean)
+        )
+        denom = nd if name == "stdevp" else nd - 1
+        return F.when(denom <= 0, F.lit(0.0)).otherwise(F.sqrt(ss / denom))
+    s = F.sort_array(a)
+    if name == "percentiledisc":
+        # smallest value whose cumulative relative rank reaches p
+        idx = F.greatest(F.ceil(p * nd), F.lit(1)).cast("int")
+        return F.when(n == 0, F.lit(None)).otherwise(F.element_at(s, idx))
+    rank = p * (nd - 1)
+    lo = F.floor(rank).cast("int")
+    hi = F.ceil(rank).cast("int")
+    vlo = F.element_at(s, lo + 1)
+    vhi = F.element_at(s, hi + 1)
+    return F.when(n == 0, F.lit(None)).otherwise(
+        vlo + (vhi - vlo) * (rank - lo.cast("double"))
+    )
+
 
 def aggregate_fn(name: str, col: Column | None, distinct: bool, extra=None) -> Column:
     n = name.lower()
@@ -75,16 +108,17 @@ def _scalar_table():
         "reverse": lambda a: F.reverse(a),
         "split": lambda a, b: F.split(a, b),
         "tostring": lambda a: a.cast("string"),
-        "tostringornull": lambda a: a.cast("string"),
-        # conversions (+921-932, +1530-1570; Spark cast yields NULL on
-        # failure = the OrNull variants, like the reference's)
+        "tostringornull": lambda a: a.try_cast("string"),
+        # conversions (+921-932, +1530-1570): strict variants error on
+        # unparseable input in the reference — ANSI cast matches; the
+        # OrNull variants yield null -> try_cast
         "tointeger": lambda a: a.cast("long"),
         "toint": lambda a: a.cast("long"),
-        "tointegerornull": lambda a: a.cast("long"),
+        "tointegerornull": lambda a: a.try_cast("long"),
         "tofloat": lambda a: a.cast("double"),
-        "tofloatornull": lambda a: a.cast("double"),
+        "tofloatornull": lambda a: a.try_cast("double"),
         "toboolean": lambda a: a.cast("boolean"),
-        "tobooleanornull": lambda a: a.cast("boolean"),
+        "tobooleanornull": lambda a: a.try_cast("boolean"),
         # math (+976-1050, +1465-1487)
         "abs": F.abs,
         "ceil": lambda a: F.ceil(a).cast("long"),

@@ -442,3 +442,41 @@ def test_integer_division_on_properties(engine):
         "RETURN p.age / 2 AS half, p.age / 2.0 AS halff",
     )
     assert got == [(17, 17.5)]
+
+
+def test_conversion_ornull_variants(engine):
+    got = rows(
+        engine,
+        "RETURN toIntegerOrNull('xyz') AS a, toIntegerOrNull('42') AS b, "
+        "toFloatOrNull('bad') AS c, toBooleanOrNull('true') AS d",
+    )
+    assert got == [(None, 42, None, True)]
+
+
+def test_value_type(engine):
+    got = rows(
+        engine,
+        "MATCH (p:Person {name:'Alice'}) "
+        "RETURN valueType(p) AS n, valueType(p.age) AS i, "
+        "valueType(p.name) AS s, valueType(null) AS z, "
+        "valueType([1]) AS l, valueType(1.5) AS f",
+    )
+    assert got == [("NODE", "INTEGER", "STRING", "NULL", "LIST", "FLOAT")]
+
+
+def test_list_scalar_aggregate_forms(engine):
+    # aggregate-named functions over literal lists are scalars
+    # (reference stubs these; computed properly here)
+    got = rows(
+        engine,
+        "RETURN percentileCont([1,2,3,4], 0.5) AS pc, "
+        "percentileDisc([1,2,3,4], 0.5) AS pd, "
+        "round(stDev([1,2,3]), 4) AS sd, stDevP([2,2]) AS sp",
+    )
+    assert got == [(2.5, 2.0, 1.0, 0.0)]
+    # genuine aggregate position still aggregates over rows
+    agg = rows(
+        engine,
+        "MATCH (p:Person) RETURN round(stDev(p.age), 2) AS sd",
+    )
+    assert agg[0][0] > 0
