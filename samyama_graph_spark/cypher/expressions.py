@@ -462,10 +462,47 @@ def _value_type(arg: A.Expr, scope: Scope) -> Column:
     return F.when(col.isNull(), F.lit("NULL")).otherwise(F.lit(name))
 
 
+_TEMPORAL_TYPES = {"timestamp", "timestamp_ntz", "date"}
+
+
+def _coerce_compare(
+    e: A.BinaryOp, l: Column, r: Column, scope: Scope
+) -> tuple[Column, Column] | Column | None:
+    """Cross-type comparison coercions of the reference's coerced_eq /
+    compare_* (operator.rs:2481-2519): String<->Boolean equality
+    ('LLMs often generate prop = true') and DateTime<->Integer
+    (DateTime is epoch millis there).  Nulls stay 3VL (the driver's
+    DuckDB oracle is 3VL; the reference's false-on-null is a filter
+    no-op either way)."""
+    lt = _static_type(e.left, scope)
+    rt = _static_type(e.right, scope)
+    if e.op in ("=", "<>") and {lt, rt} == {"boolean", "string"}:
+        b, s = (l, r) if lt == "boolean" else (r, l)
+        ls = F.lower(s)
+        eq = (
+            F.when(b.isNull() | s.isNull(), F.lit(None).cast("boolean"))
+            .when(ls == "true", b)
+            .when(ls == "false", ~b)
+            .otherwise(F.lit(False))
+        )
+        return eq if e.op == "=" else ~eq
+    if lt in _TEMPORAL_TYPES and rt in _INTEGRAL_TYPES:
+        return F.unix_millis(l.cast("timestamp")), r
+    if rt in _TEMPORAL_TYPES and lt in _INTEGRAL_TYPES:
+        return l, F.unix_millis(r.cast("timestamp"))
+    return None
+
+
 def _binary(e: A.BinaryOp, scope: Scope) -> Column:
     op = e.op
     l = compile_expr(e.left, scope)
     r = compile_expr(e.right, scope)
+    if op in ("=", "<>", "<", "<=", ">", ">="):
+        coerced = _coerce_compare(e, l, r, scope)
+        if isinstance(coerced, Column):
+            return coerced
+        if coerced is not None:
+            l, r = coerced
     if op == "=":
         return l == r
     if op == "<>":

@@ -43,13 +43,18 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc: ``(id, shingle)``."""
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-        )
-        .distinct()
+    """Distinct k-word shingles per doc: ``(id, shingle)``.
+
+    Dedup happens inside the row (``array_distinct`` before the
+    explode): ids are unique per doc, so per-doc set semantics are
+    identical to a global ``distinct()`` — without shuffling the
+    entire exploded (id, shingle) set.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), k))
+        ).alias("shingle"),
     )
 
 
@@ -162,33 +167,61 @@ def ngram_jaccard_pairs(
     least one shingle (still a shingle-equality join, not a cross
     join — docs with zero overlap never pair, their Jaccard is 0).
     """
-    sh = shingle_sets(df, text_col, id_col, k).cache()
-    sh.count()  # pin: 4 consumer legs below share one job; a lazy cache
-    # would recompute the shingle expansion per leg
-    # Candidates always come from the shingle-equality join (pairs with
-    # zero overlap have Jaccard 0 and can never pass threshold > 0), so
-    # cost is O(sum per-shingle doc-count^2) — sparse — rather than
-    # O(block_size^2) cross-pairs.  Blocking keys only FILTER candidates.
-    a = sh.select(F.col("id").alias("x"), "shingle")
-    b = sh.select(F.col("id").alias("y"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("x") < F.col("y"))
-        .select("x", "y")
-        .distinct()
-    )
+    sh = shingle_sets(df, text_col, id_col, k)
     if block_cols:
-        blocks = df.select(F.col(id_col).alias("id"), *block_cols)
-        bx = blocks.toDF("x", *[f"{c}_x" for c in block_cols])
-        by = blocks.toDF("y", *[f"{c}_y" for c in block_cols])
-        cond = functools.reduce(
-            op.and_, [F.col(f"{c}_x") == F.col(f"{c}_y") for c in block_cols]
+        # carry blocking keys on the shingle rows so the candidate
+        # join filters blocks in-join (no second pass over pairs)
+        keys = df.select(F.col(id_col).alias("id"), *block_cols)
+        sh = sh.join(keys, "id")
+    sh = sh.cache()
+    sh.count()  # pin: 3 consumer legs below share one job; a lazy cache
+    # would recompute the shingle expansion per leg
+    # Candidates come from the shingle-equality join (pairs with zero
+    # overlap have Jaccard 0 and can never pass threshold > 0), so
+    # cost is O(sum per-shingle doc-count^2) — sparse — rather than
+    # O(block_size^2) cross-pairs.  The SAME join yields |A∩B| — one
+    # matched row per common shingle — so the groupBy does double duty
+    # as candidate-dedup and intersection count; no re-join against
+    # the shingle table afterwards.
+    bc = block_cols or []
+    a = sh.select(
+        F.col("id").alias("x"),
+        "shingle",
+        *[F.col(c).alias(f"{c}_x") for c in bc],
+    )
+    b = sh.select(
+        F.col("id").alias("y"),
+        "shingle",
+        *[F.col(c).alias(f"{c}_y") for c in bc],
+    )
+    cond = functools.reduce(
+        op.and_,
+        [F.col(f"{c}_x") == F.col(f"{c}_y") for c in bc],
+        F.col("x") < F.col("y"),
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(cond)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("x"), F.col("n").alias("nx")), "x"
         )
-        # narrow (id, key) projections — Catalyst broadcasts when small
-        pairs = (
-            pairs.join(bx, "x").join(by, "y").filter(cond).select("x", "y")
+        .join(
+            sizes.select(F.col("id").alias("y"), F.col("n").alias("ny")), "y"
         )
-    return _pair_jaccard(sh, pairs).filter(F.col("jacc") >= threshold)
+        .select(
+            "x",
+            "y",
+            (F.col("i") / (F.col("nx") + F.col("ny") - F.col("i"))).alias(
+                "jacc"
+            ),
+        )
+        .filter(F.col("jacc") >= threshold)
+    )
 
 
 # ----------------------------------------------------------------- SimHash

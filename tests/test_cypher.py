@@ -480,3 +480,49 @@ def test_list_scalar_aggregate_forms(engine):
         "MATCH (p:Person) RETURN round(stDev(p.age), 2) AS sd",
     )
     assert agg[0][0] > 0
+
+
+def test_cross_type_coercions(spark):
+    """String<->Boolean equality and DateTime<->Integer comparison
+    (reference coerced_eq / compare_lt, operator.rs:2481-2519)."""
+    import datetime
+
+    flags = spark.createDataFrame(
+        [
+            (1, True, datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)),
+            (2, False, datetime.datetime(2024, 6, 1, tzinfo=datetime.timezone.utc)),
+            (3, None, None),
+        ],
+        "id long, active boolean, created timestamp",
+    )
+    g = PropertyGraph(spark, {"Flag": flags}, {}, {})
+    eng = CypherEngine(g)
+    assert rows(
+        eng, "MATCH (f:Flag) WHERE f.active = 'true' RETURN f.id AS id"
+    ) == [(1,)]
+    assert rows(
+        eng, "MATCH (f:Flag) WHERE f.active = 'TRUE' RETURN f.id AS id"
+    ) == [(1,)]
+    assert rows(
+        eng, "MATCH (f:Flag) WHERE 'false' = f.active RETURN f.id AS id"
+    ) == [(2,)]
+    # garbage strings equal no boolean; nulls propagate (filter drops)
+    assert rows(
+        eng, "MATCH (f:Flag) WHERE f.active = 'yes' RETURN f.id AS id"
+    ) == []
+    assert rows(
+        eng,
+        "MATCH (f:Flag) WHERE f.active <> 'true' RETURN f.id AS id",
+    ) == [(2,)]
+    # DateTime vs Integer: epoch-millis comparison
+    feb = 1706745600000  # 2024-02-01T00:00:00Z
+    got = rows(
+        eng,
+        f"MATCH (f:Flag) WHERE f.created > {feb} RETURN f.id AS id",
+    )
+    assert got == [(2,)]
+    got = rows(
+        eng,
+        f"MATCH (f:Flag) WHERE {feb} > f.created RETURN f.id AS id",
+    )
+    assert got == [(1,)]
