@@ -8,7 +8,7 @@ iteration count).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from samyama_graph_spark.algorithms.util import (
@@ -64,16 +64,19 @@ def wcc(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
     return comp
 
 
-def cdlp(edges: DataFrame, iterations: int = 10, directed: bool = False) -> DataFrame:
+def cdlp(edges: DataFrame, iterations: int = 10) -> DataFrame:
     """Community detection by synchronous label propagation.
 
-    LDBC/Graphalytics CDLP rule (reference cdlp.rs:38): each round
+    LDBC/Graphalytics CDLP rule (reference cdlp.rs:84-120): each round
     every vertex adopts the smallest label among the most frequent
-    labels of its neighbors (undirected mode counts each direction).
-    Returns ``(id, label)``.
+    labels of its neighbor MULTISET — successors plus predecessors,
+    no dedup, so a reciprocal edge pair contributes the neighbor's
+    label twice, exactly like the reference's successors()/
+    predecessors() double loop.  Returns ``(id, label)``.
     """
-    nbrs = edges.select("src", "dst") if directed else symmetrize(edges)
-    nbrs = checkpoint(nbrs)
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    nbrs = checkpoint(fwd.unionAll(rev))
     labels = vertices_from_edges(edges).select("id", F.col("id").alias("label"))
     labels = checkpoint(labels)
 
@@ -83,11 +86,21 @@ def cdlp(edges: DataFrame, iterations: int = 10, directed: bool = False) -> Data
             .groupBy(F.col("dst").alias("vid"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.partitionBy("vid").orderBy(F.desc("cnt"), F.asc("label"))
+        # smallest among the most-frequent labels == min of (-cnt,
+        # label): a partial-aggregating hash agg instead of a
+        # partition-sort window (same shuffle key, no sort, and
+        # map-side combine shrinks what's shuffled)
         best = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("vid").alias("id"), F.col("label").alias("new_label"))
+            counts.groupBy(F.col("vid").alias("id"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("m")
+            )
+            .select("id", F.col("m.l").alias("new_label"))
         )
         labels = (
             labels.join(best, "id", "left")

@@ -525,16 +525,7 @@ class Compiler:
         if st.frame is not None:
             raise CompileError("CALL after other clauses is unsupported")
         # procedure arguments are driver-side values: literals/params only
-        lit_args = []
-        for a in clause.args:
-            if isinstance(a, A.Literal):
-                lit_args.append(a.value)
-            elif isinstance(a, A.ListLiteral):
-                lit_args.append([x.value for x in a.items])  # type: ignore[union-attr]
-            elif isinstance(a, A.Parameter):
-                lit_args.append(self.params[a.name])
-            else:
-                raise CompileError("CALL arguments must be literals/parameters")
+        lit_args = [self._driver_value(a) for a in clause.args]
         df = run_procedure(self.g, clause.procedure.lower(), lit_args)
         if clause.yields:
             df = df.select(
@@ -543,6 +534,22 @@ class Compiler:
         st.frame = df
         for c in df.columns:
             st.scope.vars[c] = VarInfo("value", c)
+
+    def _driver_value(self, a: A.Expr):
+        """Evaluate a CALL argument to a plain Python value
+        (literals, lists, maps, parameters — recursively)."""
+        if isinstance(a, A.Literal):
+            return a.value
+        if isinstance(a, A.Parameter):
+            return self.params[a.name]
+        if isinstance(a, A.ListLiteral):
+            return [self._driver_value(x) for x in a.items]
+        if isinstance(a, A.MapLiteral):
+            return {k: self._driver_value(v) for k, v in a.entries.items()}
+        if isinstance(a, A.UnaryOp) and a.op == "NEG":
+            v = self._driver_value(a.operand)
+            return -v
+        raise CompileError("CALL arguments must be literals/parameters")
 
     def _call_subquery(self, st: State, clause: A.CallSubqueryClause) -> None:
         """CALL { ... }: uncorrelated -> crossJoin; correlated (leading

