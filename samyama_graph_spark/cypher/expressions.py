@@ -594,10 +594,49 @@ def _call(e: A.FunctionCall, scope: Scope) -> Column:
         return _duration(e, scope)
     if name == "duration.between":
         return _duration_between(e, scope)
+    if name in ("time", "localtime"):
+        return _time_of_day(e, scope)
     if name in SCALARS:
         args = [compile_expr(a, scope) for a in e.args]
         return SCALARS[name](*args)
     raise CompileError(f"unknown function {name}")
+
+
+def _time_of_day(e: A.FunctionCall, scope: Scope) -> Column:
+    """time() / localtime() (reference CY-27/CY-28, operator.rs:1243-
+    1330): millis since midnight — now-UTC with no args, parsed from
+    'HH:MM:SS[.fff]' (timezone suffix ignored), or built from a
+    {hour, minute, second} map."""
+    if not e.args:
+        return (
+            F.unix_millis(F.current_timestamp()) % F.lit(86_400_000)
+        ).cast("long")
+    arg = e.args[0]
+    if isinstance(arg, A.MapLiteral):
+        parts = {k: compile_expr(v, scope) for k, v in arg.entries.items()}
+        zero = F.lit(0).cast("long")
+
+        def get(key):
+            return parts[key].cast("long") if key in parts else zero
+
+        return (
+            get("hour") * 3600 + get("minute") * 60 + get("second")
+        ) * 1000
+    s = compile_expr(arg, scope).cast("string")
+    pat = r"^(\d{1,2}):(\d{2}):(\d{2})(?:\.(\d+))?"
+    h = F.regexp_extract(s, pat, 1).cast("long")
+    mi = F.regexp_extract(s, pat, 2).cast("long")
+    sec = F.regexp_extract(s, pat, 3).cast("long")
+    frac = F.regexp_extract(s, pat, 4)
+    ms = F.when(
+        frac == "", F.lit(0).cast("long")
+    ).otherwise(F.substring(F.rpad(frac, 3, "0"), 1, 3).cast("long"))
+    return (
+        F.when(
+            F.regexp_extract(s, pat, 0) == "",
+            F.lit(None).cast("long"),
+        ).otherwise((h * 3600 + mi * 60 + sec) * 1000 + ms)
+    )
 
 
 def _duration(e: A.FunctionCall, scope: Scope) -> Column:

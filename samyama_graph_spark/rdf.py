@@ -1,0 +1,400 @@
+"""RDF triple layer: DataFrame-native store + N-Triples I/O + basic
+SPARQL SELECT.
+
+Reference surface: src/rdf/store.rs:66-250 (insert/remove/contains/
+query-by-pattern/named graphs/subjects-predicates-objects over
+SPO/POS/OSP hash indexes), src/rdf/types.rs (NamedNode / BlankNode /
+Literal with datatype+language), src/rdf/namespace.rs:49-103 (prefix
+registry expand/compact), src/rdf/serialization/ntriples.rs:17-77.
+The reference's SPARQL engine is a stub (parser TODO at
+src/sparql/parser.rs:20-35, executor unimplemented at
+src/sparql/executor.rs:33-54); here basic-graph-pattern SELECT
+actually executes — each triple pattern is a filtered scan and shared
+variables become equi-joins, the textbook mapping of BGPs onto a
+relational engine.
+
+Scale shape: one (s, p, o, o_kind, o_datatype, o_lang, g) DataFrame;
+the reference's SPO/POS/OSP permutation indexes collapse into
+predicate/subject filters that Catalyst pushes into the parquet scan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SCHEMA = (
+    "s string, p string, o string, o_kind string, "
+    "o_datatype string, o_lang string, g string"
+)
+
+IRI, BLANK, LITERAL = "iri", "blank", "literal"
+
+
+@dataclass(frozen=True)
+class Term:
+    """One RDF term: an IRI, a blank node (``_:name``), or a literal
+    with optional datatype / language tag."""
+
+    value: str
+    kind: str = IRI
+    datatype: str | None = None
+    lang: str | None = None
+
+    def ntriples(self) -> str:
+        if self.kind == IRI:
+            return f"<{self.value}>"
+        if self.kind == BLANK:
+            return f"_:{self.value}"
+        esc = (
+            self.value.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+        if self.lang:
+            return f'"{esc}"@{self.lang}'
+        if self.datatype:
+            return f'"{esc}"^^<{self.datatype}>'
+        return f'"{esc}"'
+
+
+def iri(v: str) -> Term:
+    return Term(v, IRI)
+
+
+def blank(v: str) -> Term:
+    return Term(v, BLANK)
+
+
+def literal(v: str, datatype: str | None = None, lang: str | None = None) -> Term:
+    return Term(v, LITERAL, datatype, lang)
+
+
+# one N-Triples term: IRI | blank | literal(+lang/datatype)
+_TERM_RE = re.compile(
+    r"""\s*(?:
+        <(?P<iri>[^>]*)>
+      | _:(?P<blank>\S+)
+      | "(?P<lit>(?:[^"\\]|\\.)*)"
+        (?:@(?P<lang>[A-Za-z0-9-]+)|\^\^<(?P<dt>[^>]*)>)?
+    )""",
+    re.VERBOSE,
+)
+
+_UNESCAPE = {
+    "\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"
+}
+
+
+def _unescape(s: str) -> str:
+    return re.sub(
+        r"\\[\\\"nrt]", lambda m: _UNESCAPE[m.group(0)], s
+    )
+
+
+def _parse_term(text: str, pos: int) -> tuple[Term, int]:
+    m = _TERM_RE.match(text, pos)
+    if not m:
+        raise ValueError(f"bad N-Triples term at: {text[pos:pos + 40]!r}")
+    if m.group("iri") is not None:
+        return Term(m.group("iri"), IRI), m.end()
+    if m.group("blank") is not None:
+        return Term(m.group("blank"), BLANK), m.end()
+    return (
+        Term(
+            _unescape(m.group("lit")),
+            LITERAL,
+            m.group("dt"),
+            m.group("lang"),
+        ),
+        m.end(),
+    )
+
+
+def parse_ntriples(text: str) -> list[tuple[Term, Term, Term]]:
+    """Parse N-Triples lines (reference ntriples.rs:17-43)."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        s, pos = _parse_term(line, 0)
+        p, pos = _parse_term(line, pos)
+        o, pos = _parse_term(line, pos)
+        rest = line[pos:].strip()
+        if rest not in (".", ""):
+            raise ValueError(f"trailing content in N-Triples line: {raw!r}")
+        out.append((s, p, o))
+    return out
+
+
+class NamespaceRegistry:
+    """Prefix registry (reference namespace.rs:49-103) preloaded with
+    the usual suspects."""
+
+    _DEFAULTS = {
+        "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+        "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+        "xsd": "http://www.w3.org/2001/XMLSchema#",
+        "owl": "http://www.w3.org/2002/07/owl#",
+        "foaf": "http://xmlns.com/foaf/0.1/",
+    }
+
+    def __init__(self) -> None:
+        self.prefixes: dict[str, str] = dict(self._DEFAULTS)
+
+    def add_prefix(self, prefix: str, iri_: str) -> None:
+        self.prefixes[prefix] = iri_
+
+    def expand(self, compact: str) -> str:
+        if ":" not in compact:
+            raise ValueError(f"not a prefixed name: {compact!r}")
+        pfx, local = compact.split(":", 1)
+        if pfx not in self.prefixes:
+            raise ValueError(f"unknown prefix: {pfx!r}")
+        return self.prefixes[pfx] + local
+
+    def compact(self, iri_: str) -> str | None:
+        best = None
+        for pfx, ns in self.prefixes.items():
+            if iri_.startswith(ns) and (
+                best is None or len(ns) > len(self.prefixes[best])
+            ):
+                best = pfx
+        if best is None:
+            return None
+        return f"{best}:{iri_[len(self.prefixes[best]):]}"
+
+
+class RdfStore:
+    """Triple/quad store over one DataFrame (reference store.rs:66-250).
+
+    ``g`` is NULL for the default graph; ``insert_quad`` fills it.
+    All operations are DataFrame transformations — ``query`` with a
+    bound subject or predicate is a pushed-down filter, the Spark
+    equivalent of the reference's SPO/POS/OSP permutation lookups.
+    """
+
+    def __init__(self, spark: SparkSession, df: DataFrame | None = None):
+        self.spark = spark
+        self.namespaces = NamespaceRegistry()
+        self._df = df if df is not None else spark.createDataFrame([], _SCHEMA)
+
+    # ------------------------------------------------------------- basics
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def _rows(self, triples, graph: str | None):
+        return [
+            (
+                s.value if s.kind != BLANK else f"_:{s.value}",
+                p.value,
+                o.value if o.kind != BLANK else f"_:{o.value}",
+                o.kind,
+                o.datatype,
+                o.lang,
+                graph,
+            )
+            for (s, p, o) in triples
+        ]
+
+    def insert(self, triples, graph: str | None = None) -> None:
+        """Insert triples (idempotent, set semantics like the
+        reference's HashSet store)."""
+        if not triples:
+            return
+        new = self.spark.createDataFrame(self._rows(triples, graph), _SCHEMA)
+        self._df = self._df.unionByName(new).dropDuplicates()
+
+    def insert_ntriples(self, text: str, graph: str | None = None) -> None:
+        self.insert(parse_ntriples(text), graph)
+
+    def remove(self, triples, graph: str | None = None) -> None:
+        if not triples:
+            return
+        gone = self.spark.createDataFrame(self._rows(triples, graph), _SCHEMA)
+        self._df = self._df.join(
+            gone,
+            [
+                self._df[c].eqNullSafe(gone[c])
+                for c in ("s", "p", "o", "o_kind", "g")
+            ],
+            "left_anti",
+        )
+
+    def __len__(self) -> int:
+        return self._df.count()
+
+    def contains(self, s: Term, p: Term, o: Term) -> bool:
+        return bool(self.query(s=s.value, p=p.value, o=o.value).head(1))
+
+    def clear(self) -> None:
+        self._df = self.spark.createDataFrame([], _SCHEMA)
+
+    # ------------------------------------------------------------ queries
+    def query(
+        self,
+        s: str | None = None,
+        p: str | None = None,
+        o: str | None = None,
+        graph: str | None = None,
+    ) -> DataFrame:
+        """Triple-pattern match; None = wildcard (store.rs:176-183).
+        Bound positions become pushdown-able filters."""
+        df = self._df
+        if s is not None:
+            df = df.filter(F.col("s") == s)
+        if p is not None:
+            df = df.filter(F.col("p") == p)
+        if o is not None:
+            df = df.filter(F.col("o") == o)
+        if graph is not None:
+            df = df.filter(F.col("g") == graph)
+        return df
+
+    def get_graph(self, graph: str) -> DataFrame:
+        return self._df.filter(F.col("g") == graph)
+
+    def list_graphs(self) -> list[str]:
+        return [
+            r["g"]
+            for r in self._df.select("g").distinct().collect()
+            if r["g"] is not None
+        ]
+
+    def subjects(self) -> DataFrame:
+        return self._df.select("s").distinct()
+
+    def predicates(self) -> DataFrame:
+        return self._df.select("p").distinct()
+
+    def objects(self) -> DataFrame:
+        return self._df.select("o").distinct()
+
+    # -------------------------------------------------------------- I/O
+    def to_ntriples(self) -> str:
+        """Serialize the default graph (reference ntriples.rs:45-77)."""
+        lines = []
+        for r in self._df.filter(F.col("g").isNull()).collect():
+            s = (
+                r["s"]
+                if r["s"].startswith("_:")
+                else f"<{r['s']}>"
+            )
+            o = Term(
+                r["o"][2:] if r["o_kind"] == BLANK else r["o"],
+                r["o_kind"],
+                r["o_datatype"],
+                r["o_lang"],
+            ).ntriples()
+            lines.append(f"{s} <{r['p']}> {o} .")
+        return "\n".join(sorted(lines))
+
+    # ------------------------------------------------------------ SPARQL
+    def sparql(self, query: str) -> DataFrame:
+        """Basic-graph-pattern SELECT (executes what the reference only
+        parses-as-TODO): PREFIX declarations, SELECT vars or *,
+        WHERE { triple patterns }, DISTINCT, LIMIT.  Each pattern is a
+        filtered scan; shared variables join; literals/IRIs filter."""
+        return _sparql_select(self, query)
+
+
+_SPARQL_RE = re.compile(
+    r"(?is)^\s*(?P<prefixes>(?:PREFIX\s+\S+\s+<[^>]*>\s*)*)"
+    r"SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<vars>\*|(?:\?\w+\s*)+)"
+    r"\s*WHERE\s*\{(?P<body>.*)\}\s*"
+    r"(?:LIMIT\s+(?P<limit>\d+))?\s*$"
+)
+_PREFIX_RE = re.compile(r"(?i)PREFIX\s+(\w*):\s+<([^>]*)>")
+
+
+def _sparql_term(tok: str, ns: NamespaceRegistry):
+    """-> ('var', name) | ('value', string-as-stored)"""
+    if tok.startswith("?"):
+        return ("var", tok[1:])
+    if tok.startswith("<") and tok.endswith(">"):
+        return ("value", tok[1:-1])
+    if tok.startswith('"'):
+        m = re.match(r'"((?:[^"\\]|\\.)*)"', tok)
+        if not m:
+            raise ValueError(f"bad literal {tok!r}")
+        return ("value", _unescape(m.group(1)))
+    if tok.startswith("_:"):
+        return ("value", tok)
+    if tok == "a":
+        return ("value", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+    return ("value", ns.expand(tok))
+
+
+def _sparql_select(store: RdfStore, query: str) -> DataFrame:
+    m = _SPARQL_RE.match(query)
+    if not m:
+        raise ValueError("unsupported SPARQL (BGP SELECT only)")
+    ns = NamespaceRegistry()
+    for pfx, iri_ in _PREFIX_RE.findall(m.group("prefixes") or ""):
+        ns.add_prefix(pfx, iri_)
+
+    # tokenize the whole body ('.' separates patterns; splitting the
+    # text on '.' would cut IRIs like example.org apart)
+    tok_re = re.compile(
+        r'<[^>]*>'
+        r'|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^<[^>]*>)?'
+        r"|\?\w+"
+        r"|_:[\w-]+"
+        r"|[A-Za-z_][\w-]*:[\w.-]*[\w-]"
+        r"|\ba\b"
+        r"|\."
+    )
+    patterns = []
+    group: list[str] = []
+    for tok in tok_re.findall(m.group("body")):
+        if tok == ".":
+            if group:
+                raise ValueError(f"bad triple pattern near {group!r}")
+            continue
+        group.append(tok)
+        if len(group) == 3:
+            patterns.append(tuple(_sparql_term(t, ns) for t in group))
+            group = []
+    if group:
+        raise ValueError(f"dangling tokens in WHERE clause: {group!r}")
+    if not patterns:
+        raise ValueError("empty WHERE clause")
+
+    frame = None
+    for i, (ts, tp, to) in enumerate(patterns):
+        leg = store.df
+        cols = []
+        for pos, (kind, val) in zip(("s", "p", "o"), (ts, tp, to)):
+            if kind == "value":
+                leg = leg.filter(F.col(pos) == val)
+            else:
+                cols.append(F.col(pos).alias(f"?{val}"))
+        leg = leg.select(*cols) if cols else leg.select(F.lit(1).alias(f"__m{i}"))
+        if frame is None:
+            frame = leg
+        else:
+            shared = [c for c in leg.columns if c in frame.columns]
+            frame = frame.join(leg, shared) if shared else frame.crossJoin(leg)
+
+    sel = m.group("vars").strip()
+    if sel != "*":
+        want = [f"?{v}" for v in re.findall(r"\?(\w+)", sel)]
+        frame = frame.select(
+            *[F.col(f"`{w}`").alias(w[1:]) for w in want]
+        )
+    else:
+        frame = frame.select(
+            *[F.col(f"`{c}`").alias(c[1:]) for c in frame.columns if c.startswith("?")]
+        )
+    if m.group("distinct"):
+        frame = frame.distinct()
+    if m.group("limit"):
+        frame = frame.limit(int(m.group("limit")))
+    return frame

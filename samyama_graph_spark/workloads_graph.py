@@ -419,3 +419,69 @@ def or_solve_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_iterations: 60, seed: 42}) "
         "YIELD fitness, algorithm, iterations"
     )
+
+
+# --------------------------------------------------------------------------
+# RDF + SPARQL BGP (reference: src/rdf/store.rs:66-250; executes what
+# src/sparql/executor.rs:33-54 stubs)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rdf_sparql_bgp",
+    """
+    SELECT 'http://ex.org/c' || c_custkey AS c,
+           'http://ex.org/r' || r_regionkey AS r
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    """,
+)
+def rdf_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL basic-graph-pattern SELECT over a triple projection of
+    customer->nation->region: two joined patterns + a literal filter.
+    Each pattern is a filtered scan of the triple frame; the shared
+    variables become equi-joins (the relational mapping of BGPs)."""
+    from samyama_graph_spark.rdf import RdfStore
+
+    ex = "http://ex.org/"
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    t1 = cust.select(
+        F.concat(F.lit(f"{ex}c"), F.col("c_custkey")).alias("s"),
+        F.lit(f"{ex}inNation").alias("p"),
+        F.concat(F.lit(f"{ex}n"), F.col("c_nationkey")).alias("o"),
+        F.lit("iri").alias("o_kind"),
+    )
+    t2 = nat.select(
+        F.concat(F.lit(f"{ex}n"), F.col("n_nationkey")).alias("s"),
+        F.lit(f"{ex}inRegion").alias("p"),
+        F.concat(F.lit(f"{ex}r"), F.col("n_regionkey")).alias("o"),
+        F.lit("iri").alias("o_kind"),
+    )
+    t3 = reg.select(
+        F.concat(F.lit(f"{ex}r"), F.col("r_regionkey")).alias("s"),
+        F.lit(f"{ex}name").alias("p"),
+        F.col("r_name").alias("o"),
+        F.lit("literal").alias("o_kind"),
+    )
+    triples = (
+        t1.unionByName(t2)
+        .unionByName(t3)
+        .withColumn("o_datatype", F.lit(None).cast("string"))
+        .withColumn("o_lang", F.lit(None).cast("string"))
+        .withColumn("g", F.lit(None).cast("string"))
+    )
+    store = RdfStore(spark, triples)
+    return store.sparql(
+        f"""
+        PREFIX ex: <{ex}>
+        SELECT ?c ?r WHERE {{
+            ?c ex:inNation ?n .
+            ?n ex:inRegion ?r .
+            ?r ex:name "ASIA" .
+        }}
+        """
+    )

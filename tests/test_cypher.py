@@ -526,3 +526,22 @@ def test_cross_type_coercions(spark):
         f"MATCH (f:Flag) WHERE {feb} > f.created RETURN f.id AS id",
     )
     assert got == [(1,)]
+
+
+def test_time_of_day_functions(engine):
+    """time()/localtime() millis-since-midnight (reference CY-27/28)."""
+    got = rows(
+        engine,
+        "RETURN time('14:30:05') AS t, time('14:30:05.250') AS tm, "
+        "localtime('00:00:01') AS l, time({hour: 2, minute: 5}) AS m",
+    )
+    assert got == [
+        (
+            (14 * 3600 + 30 * 60 + 5) * 1000,
+            (14 * 3600 + 30 * 60 + 5) * 1000 + 250,
+            1000,
+            (2 * 3600 + 5 * 60) * 1000,
+        )
+    ]
+    now = rows(engine, "RETURN time() AS t")[0][0]
+    assert 0 <= now < 86_400_000

@@ -1,0 +1,134 @@
+"""RDF triple store + N-Triples + SPARQL BGP tests (reference
+src/rdf/store.rs:66-250, serialization/ntriples.rs, and the
+SPARQL-executes-here upgrade over src/sparql/executor.rs:33-54)."""
+
+from __future__ import annotations
+
+import pytest
+
+from samyama_graph_spark.rdf import (
+    NamespaceRegistry,
+    RdfStore,
+    blank,
+    iri,
+    literal,
+    parse_ntriples,
+)
+
+_EX = "http://example.org/"
+
+_NT = f"""
+# people
+<{_EX}alice> <{_EX}knows> <{_EX}bob> .
+<{_EX}bob> <{_EX}knows> <{_EX}carol> .
+<{_EX}alice> <{_EX}name> "Alice" .
+<{_EX}bob> <{_EX}name> "Bob"@en .
+<{_EX}carol> <{_EX}age> "33"^^<http://www.w3.org/2001/XMLSchema#integer> .
+_:b1 <{_EX}name> "Anon \\"quoted\\"" .
+"""
+
+
+@pytest.fixture()
+def store(spark):
+    st = RdfStore(spark)
+    st.insert_ntriples(_NT)
+    return st
+
+
+def test_parse_ntriples_forms():
+    triples = parse_ntriples(_NT)
+    assert len(triples) == 6
+    kinds = {(s.kind, o.kind) for s, _, o in triples}
+    assert ("blank", "literal") in kinds
+    langs = {o.lang for _, _, o in triples if o.lang}
+    assert langs == {"en"}
+    dts = {o.datatype for _, _, o in triples if o.datatype}
+    assert dts == {"http://www.w3.org/2001/XMLSchema#integer"}
+    # escaped quote round-trips
+    assert any(o.value == 'Anon "quoted"' for _, _, o in triples)
+
+
+def test_store_basics(spark, store):
+    assert len(store) == 6
+    assert store.contains(iri(f"{_EX}alice"), iri(f"{_EX}knows"), iri(f"{_EX}bob"))
+    # idempotent insert (set semantics, store.rs HashSet)
+    store.insert(parse_ntriples(f"<{_EX}alice> <{_EX}knows> <{_EX}bob> ."))
+    assert len(store) == 6
+    store.remove(parse_ntriples(f"<{_EX}alice> <{_EX}knows> <{_EX}bob> ."))
+    assert len(store) == 5
+    assert not store.contains(
+        iri(f"{_EX}alice"), iri(f"{_EX}knows"), iri(f"{_EX}bob")
+    )
+
+
+def test_pattern_query(store):
+    assert store.query(p=f"{_EX}knows").count() == 2
+    assert store.query(s=f"{_EX}alice").count() == 2
+    got = store.query(s=f"{_EX}bob", p=f"{_EX}name").collect()
+    assert len(got) == 1 and got[0]["o"] == "Bob" and got[0]["o_lang"] == "en"
+    assert store.subjects().count() == 4  # alice bob carol _:b1
+    assert store.predicates().count() == 3
+
+
+def test_named_graphs(spark):
+    st = RdfStore(spark)
+    st.insert_ntriples(f"<{_EX}x> <{_EX}p> <{_EX}y> .", graph=f"{_EX}g1")
+    st.insert_ntriples(f"<{_EX}x> <{_EX}p> <{_EX}z> .", graph=f"{_EX}g2")
+    st.insert_ntriples(f"<{_EX}x> <{_EX}p> <{_EX}w> .")
+    assert sorted(st.list_graphs()) == [f"{_EX}g1", f"{_EX}g2"]
+    assert st.get_graph(f"{_EX}g1").count() == 1
+    # default graph only in serialization
+    assert "w" in st.to_ntriples() and "g1" not in st.to_ntriples()
+
+
+def test_ntriples_roundtrip(spark, store):
+    out = store.to_ntriples()
+    st2 = RdfStore(spark)
+    st2.insert_ntriples(out)
+    assert len(st2) == len(store)
+    assert sorted(out.splitlines()) == sorted(st2.to_ntriples().splitlines())
+
+
+def test_namespaces():
+    ns = NamespaceRegistry()
+    ns.add_prefix("ex", _EX)
+    assert ns.expand("ex:alice") == f"{_EX}alice"
+    assert ns.expand("rdf:type").endswith("#type")
+    assert ns.compact(f"{_EX}alice") == "ex:alice"
+    assert ns.compact("http://nowhere/else") is None
+    with pytest.raises(ValueError):
+        ns.expand("nope:thing")
+
+
+def test_sparql_bgp_join(store):
+    # friend-of-friend: two patterns joined on ?m
+    got = store.sparql(
+        f"""
+        SELECT ?a ?c WHERE {{
+            ?a <{_EX}knows> ?m .
+            ?m <{_EX}knows> ?c .
+        }}
+        """
+    ).collect()
+    assert [(r["a"], r["c"]) for r in got] == [
+        (f"{_EX}alice", f"{_EX}carol")
+    ]
+
+
+def test_sparql_prefix_literal_filter_limit(store):
+    got = store.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT DISTINCT ?who WHERE {{
+            ?who ex:name "Alice" .
+        }} LIMIT 5
+        """
+    ).collect()
+    assert [r["who"] for r in got] == [f"{_EX}alice"]
+
+
+def test_sparql_star_and_bound_subject(store):
+    got = store.sparql(
+        f"SELECT * WHERE {{ <{_EX}alice> <{_EX}knows> ?x . }}"
+    ).collect()
+    assert [r["x"] for r in got] == [f"{_EX}bob"]
