@@ -20,8 +20,10 @@ def bfs(
     source: int,
     max_depth: int = 30,
     directed: bool = True,
+    parents: bool = False,
 ) -> DataFrame:
-    """Unweighted BFS from one source: ``(id, depth)`` for reachable ids.
+    """Unweighted BFS from one source: ``(id, depth)`` for reachable ids
+    (plus a deterministic min-``parent`` column when ``parents=True``).
 
     Frontier expansion: each round joins the frontier against edges on
     src and anti-joins the visited set — the reference's visited-set
@@ -29,7 +31,9 @@ def bfs(
     """
     e = checkpoint(edges.select("src", "dst") if directed else symmetrize(edges))
     spark = edges.sparkSession
-    visited = spark.createDataFrame([(source, 0)], "id long, depth int")
+    visited = spark.createDataFrame(
+        [(source, 0, None)], "id long, depth int, parent long"
+    )
     frontier = visited
     frontier_n = visited_n = 1
     # broadcast small frontier/visited sides: the (large) edge table
@@ -43,10 +47,12 @@ def bfs(
             v = F.broadcast(v)
         nxt = (
             e.join(f, e["src"] == f["id"])
-            .select(F.col("dst").alias("id"))
-            .distinct()
+            .select(F.col("dst").alias("id"), F.col("src").alias("parent"))
+            .groupBy("id")
+            .agg(F.min("parent").alias("parent"))
             .join(v, "id", "left_anti")
             .withColumn("depth", F.lit(d))
+            .select("id", "depth", "parent")
         )
         nxt = checkpoint(nxt)
         frontier_n = nxt.count()
@@ -55,7 +61,7 @@ def bfs(
         visited_n += frontier_n
         visited = visited.unionByName(nxt)  # union of checkpointed frontiers
         frontier = nxt
-    return visited
+    return visited if parents else visited.select("id", "depth")
 
 
 def sssp(
@@ -64,8 +70,10 @@ def sssp(
     weight_col: str = "weight",
     max_rounds: int = 50,
     directed: bool = True,
+    parents: bool = False,
 ) -> DataFrame:
-    """Weighted single-source shortest paths: ``(id, dist)``.
+    """Weighted single-source shortest paths: ``(id, dist)`` (plus the
+    predecessor on a min-cost path as ``parent`` when ``parents=True``).
 
     Frontier Bellman-Ford: only vertices whose distance improved last
     round propagate relaxations, so each round shuffles just the
@@ -83,7 +91,9 @@ def sssp(
         )
     e = checkpoint(e)
     spark = edges.sparkSession
-    dist = spark.createDataFrame([(source, 0.0)], "id long, dist double")
+    dist = spark.createDataFrame(
+        [(source, 0.0, None)], "id long, dist double, parent long"
+    )
     frontier = dist
     frontier_n = dist_n = 1
     small = 1_000_000
@@ -92,17 +102,26 @@ def sssp(
         f = F.broadcast(frontier) if frontier_n < small else frontier
         cand = (
             e.join(f, e["src"] == f["id"])
-            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("d"))
+            .select(
+                F.col("dst").alias("id"),
+                # min over (cost, parent) pairs: least cost, parent as
+                # the deterministic tie-break
+                F.struct(
+                    (F.col("dist") + F.col("w")).alias("d"),
+                    F.col("src").alias("p"),
+                ).alias("dp"),
+            )
             .groupBy("id")
-            .agg(F.min("d").alias("d"))
+            .agg(F.min("dp").alias("dp"))
+            .select("id", F.col("dp.d").alias("d"), F.col("dp.p").alias("p"))
         )
-        old = dist.withColumnRenamed("dist", "old")
+        old = dist.select("id", F.col("dist").alias("old"))
         joined = cand.join(
             F.broadcast(old) if dist_n < small else old, "id", "left"
         )
         improved = checkpoint(
             joined.filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
-            .select("id", F.col("d").alias("dist"))
+            .select("id", F.col("d").alias("dist"), F.col("p").alias("parent"))
         )
         frontier_n = improved.count()
         if frontier_n == 0:
@@ -116,7 +135,7 @@ def sssp(
         )
         dist_n += frontier_n  # upper bound (improved may overlap)
         frontier = improved
-    return dist
+    return dist if parents else dist.select("id", "dist")
 
 
 def shortest_path_length(
@@ -131,3 +150,48 @@ def shortest_path_length(
     reached = bfs(edges, source, max_depth=max_depth, directed=directed)
     row = reached.filter(F.col("id") == target).select("depth").first()
     return None if row is None else int(row[0])
+
+
+def shortest_path_with_cost(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    weight_col: str | None = None,
+    max_rounds: int = 30,
+    directed: bool = True,
+) -> tuple[list[int], float] | None:
+    """One shortest path source->target as ``([node ids], cost)``, or
+    None if unreachable — the record shape of ``CALL algo.shortestPath``
+    / ``algo.weightedPath`` (operator.rs:6381-6432, :6577-6620: YIELD
+    path, cost).  Unweighted cost = hop count; weighted = sum of weights
+    (Dijkstra fixpoint).
+
+    The frontier search is fully distributed; only the O(path length)
+    backward walk over the cached parents table runs point lookups.
+    """
+    if weight_col is None:
+        state = bfs(
+            edges, source, max_depth=max_rounds, directed=directed, parents=True
+        ).select("id", F.col("depth").cast("double").alias("cost"), "parent")
+    else:
+        state = sssp(
+            edges, source, weight_col,
+            max_rounds=max_rounds, directed=directed, parents=True,
+        ).select("id", F.col("dist").alias("cost"), "parent")
+    state = state.cache()
+    try:
+        row = state.filter(F.col("id") == target).first()
+        if row is None:
+            return None
+        cost = float(row["cost"])
+        path = [target]
+        cur = row["parent"]
+        while cur is not None:
+            path.append(int(cur))
+            if cur == source:
+                break
+            nxt = state.filter(F.col("id") == cur).first()
+            cur = None if nxt is None else nxt["parent"]
+        return path[::-1], cost
+    finally:
+        state.unpersist()

@@ -107,10 +107,31 @@ class Compiler:
         )
 
     # ---------------------------------------------------------- sources
+    def _safe_edge_pairs(self, types: list[str]) -> DataFrame:
+        """(src, dst) scan over the given edge types; unknown types
+        contribute nothing (empty scan, not an error)."""
+        parts = []
+        for t in types:
+            try:
+                parts.append(self.g.edge_df(t).select("src", "dst"))
+            except KeyError:
+                pass
+        if not parts:
+            return self.g.spark.createDataFrame([], "src long, dst long")
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.unionByName(p)
+        return edges
+
     def _node_source(self, label: str | None, var: str) -> DataFrame:
         """One-struct-column DataFrame for a node variable."""
         if label is not None:
-            df = self.g.node_df(label)
+            try:
+                df = self.g.node_df(label)
+            except KeyError:
+                # unknown label matches nothing (reference label_index
+                # miss -> empty scan, operator.rs:1981), not an error
+                df = self.g.spark.createDataFrame([], "id long")
             fields = [F.col(c).alias(c) for c in df.columns]
             fields.append(F.array(F.lit(label)).alias("_labels"))
         else:
@@ -127,7 +148,11 @@ class Compiler:
         if types:
             parts = []
             for t in types:
-                df = self.g.edge_df(t)
+                try:
+                    df = self.g.edge_df(t)
+                except KeyError:
+                    # unknown edge type matches nothing (empty scan)
+                    df = self.g.spark.createDataFrame([], "src long, dst long")
                 parts.append(df.withColumn("_type", F.lit(t)))
             df = parts[0]
             for p in parts[1:]:
@@ -195,7 +220,10 @@ class Compiler:
         self._inline_props(st, var, np.properties)
         if len(np.labels) > 1:
             for extra in np.labels[1:]:
-                ids = self.g.node_df(extra).select(F.col("id").alias("__xid"))
+                try:
+                    ids = self.g.node_df(extra).select(F.col("id").alias("__xid"))
+                except KeyError:
+                    ids = self.g.spark.createDataFrame([], "__xid long")
                 st.frame = st.frame.join(
                     ids, F.col(f"{var}.id") == F.col("__xid"), "left_semi"
                 )
@@ -220,15 +248,20 @@ class Compiler:
         if path.shortest is not None:
             self._shortest_path(st, path)
             return
-        if path.path_var is not None:
-            raise CompileError(
-                "named paths are supported only for shortestPath() patterns"
-            )
+        node_vars: list[str] = []
+        edge_vars: list[str] = []
         left = self._bind_node(st, path.nodes[0])
+        node_vars.append(left)
         for i, ep in enumerate(path.edges):
             right_np = path.nodes[i + 1]
             if ep.min_hops is not None:
+                if path.path_var is not None:
+                    raise CompileError(
+                        "named paths over var-length hops are supported "
+                        "only for shortestPath() patterns"
+                    )
                 left = self._var_length_hop(st, left, ep, right_np)
+                node_vars.append(left)
                 continue
             evar = ep.var or st.fresh("e")
             if evar in st.scope.vars:
@@ -259,7 +292,33 @@ class Compiler:
                     "node", rvar, right_np.labels[0] if right_np.labels else None
                 )
                 self._inline_props(st, rvar, right_np.properties)
+            edge_vars.append(evar)
+            node_vars.append(rvar)
             left = rvar
+        if path.path_var is not None:
+            # named fixed-length path: Value::Path {nodes, edges}
+            # (record.rs:86-89) as a struct of id/edge arrays
+            pvar = path.path_var
+            st.frame = st.frame.withColumn(
+                pvar,
+                F.struct(
+                    F.array(
+                        *[F.col(f"{v}.id") for v in node_vars]
+                    ).alias("nodes"),
+                    F.array(
+                        *[
+                            F.struct(
+                                F.col(f"{ev}.src").alias("src"),
+                                F.col(f"{ev}.dst").alias("dst"),
+                                F.col(f"{ev}._type").alias("type"),
+                            )
+                            for ev in edge_vars
+                        ]
+                    ).alias("rels"),
+                    F.lit(len(edge_vars)).alias("hops"),
+                ),
+            )
+            st.scope.vars[pvar] = VarInfo("path", pvar)
 
     def _shortest_path(self, st: State, path: A.PatternPath) -> None:
         """MATCH p = shortestPath((a)-[:T*]->(b)): bind both endpoints,
@@ -280,10 +339,7 @@ class Compiler:
         lvar = self._bind_node(st, path.nodes[0])
         rvar = self._bind_node(st, path.nodes[1])
         if ep.types:
-            parts = [self.g.edge_df(t).select("src", "dst") for t in ep.types]
-            edges = parts[0]
-            for p in parts[1:]:
-                edges = edges.unionByName(p)
+            edges = self._safe_edge_pairs(ep.types)
         else:
             edges = self.g.unified_edges().select("src", "dst")
         max_depth = ep.max_hops if ep.max_hops is not None else 20
@@ -314,10 +370,7 @@ class Compiler:
         if ep.var is not None:
             raise CompileError("binding an edge variable on *var-length is unsupported")
         if ep.types:
-            parts = [self.g.edge_df(t).select("src", "dst") for t in ep.types]
-            edges = parts[0]
-            for p in parts[1:]:
-                edges = edges.unionByName(p)
+            edges = self._safe_edge_pairs(ep.types)
         else:
             edges = self.g.unified_edges().select("src", "dst")
         max_hops = ep.max_hops if ep.max_hops is not None else 20
@@ -527,13 +580,36 @@ class Compiler:
         # procedure arguments are driver-side values: literals/params only
         lit_args = [self._driver_value(a) for a in clause.args]
         df = run_procedure(self.g, clause.procedure.lower(), lit_args)
+
+        def _is_node_struct(col: str) -> bool:
+            f = df.schema[col].dataType
+            return hasattr(f, "names") and "_labels" in f.names
+
         if clause.yields:
-            df = df.select(
-                *[F.col(n).alias(a or n) for n, a in clause.yields]
-            )
-        st.frame = df
-        for c in df.columns:
-            st.scope.vars[c] = VarInfo("value", c)
+            cols = []
+            for n, a in clause.yields:
+                if n not in df.columns and n == "nodeId" and "node" in df.columns:
+                    # legacy YIELD nodeId (executor/mod.rs:2477-2500
+                    # parse-level tests) — project the node's id
+                    cols.append(F.col("node.id").alias(a or n))
+                else:
+                    cols.append(F.col(n).alias(a or n))
+            names = [a or n for n, a in clause.yields]
+            kinds = {
+                (a or n): "node" if n in df.columns and _is_node_struct(n) else "value"
+                for n, a in clause.yields
+            }
+            df = df.select(*cols)
+            st.frame = df
+            for c in names:
+                st.scope.vars[c] = VarInfo(kinds[c], c)
+        else:
+            st.frame = df
+            for c in df.columns:
+                st.scope.vars[c] = VarInfo(
+                    "node" if _is_node_struct(c) else "value", c
+                )
+        self._refresh_dtypes(st)
 
     def _driver_value(self, a: A.Expr):
         """Evaluate a CALL argument to a plain Python value

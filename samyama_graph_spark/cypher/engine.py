@@ -31,6 +31,24 @@ _DDL_CONSTRAINT = re.compile(
     re.IGNORECASE,
 )
 _DDL_DROP = re.compile(r"^\s*drop\s+index\s+(\w+)\s*$", re.IGNORECASE)
+_DDL_DROP_ON = re.compile(
+    r"^\s*drop\s+index\s+on\s*:\s*(\w+)\s*\(\s*([\w,\s]+?)\s*\)\s*$",
+    re.IGNORECASE,
+)
+# Neo4j-3.x constraint form the reference also accepts (ast.rs:134-166):
+# CREATE CONSTRAINT ON (n:Person) ASSERT n.email IS UNIQUE
+_DDL_CONSTRAINT_ASSERT = re.compile(
+    r"^\s*create\s+constraint\s+on\s*\(\s*\w+\s*:\s*(\w+)\s*\)\s*"
+    r"assert\s+\w+\.(\w+)\s+is\s+unique\s*$",
+    re.IGNORECASE,
+)
+# Named vector index with OPTIONS:
+# CREATE VECTOR INDEX idx FOR (n:Person) ON (n.embedding) OPTIONS {...}
+_DDL_VECTOR_FOR = re.compile(
+    r"^\s*create\s+vector\s+index\s+(\w+)?\s*for\s*\(\s*\w+\s*:\s*(\w+)\s*\)\s*"
+    r"on\s*\(\s*\w+\.(\w+)\s*\)\s*(options\s*\{.*\})?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DDL_SHOW = re.compile(
     r"^\s*show\s+(indexes|constraints|labels|relationship\s+types|property\s+keys)\s*$",
     re.IGNORECASE,
@@ -62,6 +80,35 @@ class CypherEngine:
             props = [p.strip() for p in m.group(2).split(",")]
             c = self.catalog.create_constraint(m.group(1), props)
             return spark.createDataFrame([(c.name, "CREATED")], "name string, status string")
+        m = _DDL_CONSTRAINT_ASSERT.match(text)
+        if m:
+            c = self.catalog.create_constraint(m.group(1), [m.group(2)])
+            return spark.createDataFrame(
+                [(c.name, "CREATED")], "name string, status string"
+            )
+        m = _DDL_VECTOR_FOR.match(text)
+        if m:
+            idx = self.catalog.create_index(
+                m.group(2), [m.group(3)], kind="vector"
+            )
+            return spark.createDataFrame(
+                [(idx.name, "CREATED")], "name string, status string"
+            )
+        m = _DDL_DROP_ON.match(text)
+        if m:
+            label = m.group(1)
+            props = sorted(p.strip() for p in m.group(2).split(","))
+            names = [
+                n
+                for n, i in self.catalog.indexes.items()
+                if i.label == label and sorted(i.properties) == props
+            ]
+            for n in names:
+                self.catalog.drop_index(n)
+            return spark.createDataFrame(
+                [(label, "DROPPED" if names else "NOT_FOUND")],
+                "name string, status string",
+            )
         m = _DDL_DROP.match(text)
         if m:
             ok = self.catalog.drop_index(m.group(1))
@@ -130,6 +177,15 @@ class CypherEngine:
                 ast.parts[0]
             )
             self.graph = new_graph
+            # Compact periodically: interactive CREATE/MERGE sessions
+            # otherwise stack one union + a few partitions per write,
+            # and plan depth / task counts grow without bound (a
+            # 500-statement fixture build ends up with >100k tasks).
+            # Lazy localCheckpoint truncates lineage at the next action
+            # without running an extra job per write.
+            self._writes = getattr(self, "_writes", 0) + 1
+            if self._writes % 16 == 0:
+                self.graph = self.graph.compacted()
             return summary
         return Compiler(self.graph, params).compile_query(ast)
 

@@ -14,6 +14,7 @@ from typing import Any
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from samyama_graph_spark.cypher import ast as A
 from samyama_graph_spark.cypher.functions import (
@@ -81,6 +82,25 @@ def is_aggregate(e: A.Expr) -> bool:
         if not _is_list_scalar_form(e):
             return True
     return any(is_aggregate(c) for c in _children(e))
+
+
+# Temporal component access, dt.year / dt.month / ... (reference
+# datetime values expose calendar fields; operator.rs:1196-1410)
+_TEMPORAL_FIELDS = {
+    "year": F.year,
+    "quarter": F.quarter,
+    "month": F.month,
+    "week": F.weekofyear,
+    "day": F.dayofmonth,
+    "ordinalday": F.dayofyear,
+    "dayofweek": F.dayofweek,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "millisecond": lambda c: (F.unix_millis(c) % 1000).cast("long"),
+    "epochmillis": F.unix_millis,
+    "epochseconds": F.unix_seconds,
+}
 
 
 def expr_name(e: A.Expr) -> str:
@@ -179,7 +199,24 @@ def compile_expr(e: A.Expr, scope: Scope) -> Column:
 
     if isinstance(e, A.Property):
         subj = compile_expr(e.subject, scope)
-        return subj.getField(e.key) if not isinstance(e.subject, A.MapLiteral) else subj[e.key]
+        if isinstance(e.subject, A.MapLiteral):
+            return subj[e.key]
+        dt = None
+        if isinstance(e.subject, A.Variable):
+            info = scope.vars.get(e.subject.name)
+            dt = getattr(info, "dtype", None) if info is not None else None
+        if isinstance(dt, T.StructType):
+            if e.key not in dt.names:
+                # schema-free parity (property.rs:8-14): reading a
+                # property the entity never carried is NULL, not an
+                # analysis error
+                return F.lit(None)
+        elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            fn = _TEMPORAL_FIELDS.get(e.key.lower())
+            if fn is None:
+                raise CompileError(f"unknown temporal component {e.key}")
+            return fn(subj)
+        return subj.getField(e.key)
 
     if isinstance(e, A.BinaryOp):
         return _binary(e, scope)
@@ -493,6 +530,36 @@ def _coerce_compare(
     return None
 
 
+_DURATION_FIELDS = {"months", "days", "seconds", "nanos"}
+
+
+def _is_duration_expr(e: A.Expr, scope: Scope) -> bool:
+    """Static check: does this expression produce the 4-component
+    Duration struct (property.rs:92-97)?"""
+    if isinstance(e, A.FunctionCall) and e.name in ("duration", "duration.between"):
+        return True
+    if isinstance(e, A.Variable):
+        info = scope.vars.get(e.name)
+        dt = getattr(info, "dtype", None) if info is not None else None
+        return isinstance(dt, T.StructType) and set(dt.names) == _DURATION_FIELDS
+    if isinstance(e, A.BinaryOp) and e.op in ("+", "-"):
+        return _is_duration_expr(e.left, scope) and _is_duration_expr(e.right, scope)
+    return False
+
+
+def _duration_interval(c: Column) -> Column:
+    """Duration struct -> Catalyst interval for timestamp arithmetic."""
+    z = F.lit(0)
+    secs = (
+        c.getField("seconds").cast("double")
+        + c.getField("nanos").cast("double") / 1e9
+    ).cast("decimal(18,6)")
+    return F.make_interval(
+        z, c.getField("months").cast("int"), z,
+        c.getField("days").cast("int"), z, z, secs,
+    )
+
+
 def _binary(e: A.BinaryOp, scope: Scope) -> Column:
     op = e.op
     l = compile_expr(e.left, scope)
@@ -521,6 +588,23 @@ def _binary(e: A.BinaryOp, scope: Scope) -> Column:
         return l | r
     if op == "XOR":
         return (l | r) & ~(l & r)
+    if op in ("+", "-"):
+        ld = _is_duration_expr(e.left, scope)
+        rd = _is_duration_expr(e.right, scope)
+        if ld and rd:
+            sign = 1 if op == "+" else -1
+            return F.struct(
+                *[
+                    (l.getField(f) + sign * r.getField(f)).alias(f)
+                    for f in ("months", "days", "seconds", "nanos")
+                ]
+            )
+        if rd:  # datetime ± duration (reference temporal arithmetic)
+            iv = _duration_interval(r)
+            ts = l.cast("timestamp")
+            return ts + iv if op == "+" else ts - iv
+        if ld and op == "+":  # duration + datetime
+            return r.cast("timestamp") + _duration_interval(l)
     if op == "+":
         return l + r
     if op == "-":
@@ -582,6 +666,14 @@ def _call(e: A.FunctionCall, scope: Scope) -> Column:
             if info and info.label:
                 return F.lit(info.label)
         return compile_expr(v, scope).getField("_type")
+    if name in ("nodes", "relationships", "rels"):
+        v = e.args[0]
+        if isinstance(v, A.Variable):
+            info = scope.vars.get(v.name)
+            if info is not None and info.kind == "path":
+                fld = "nodes" if name == "nodes" else "rels"
+                return compile_expr(v, scope).getField(fld)
+        raise CompileError(f"{name}() expects a path variable")
     if name == "startnode":
         return compile_expr(e.args[0], scope).getField("src")
     if name == "endnode":

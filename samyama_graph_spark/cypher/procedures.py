@@ -18,6 +18,75 @@ def _all_edges(g: PropertyGraph) -> DataFrame:
     return g.unified_edges().select("src", "dst")
 
 
+def _algo_args(args: list) -> tuple[str | None, str | None, dict]:
+    """Reference argument convention for algo.* (operator.rs:6327-6354):
+    first string = node label, second string = edge type, any map =
+    config; other types are ignored."""
+    strings = [a for a in args if isinstance(a, str)]
+    label = strings[0] if strings else None
+    edge_type = strings[1] if len(strings) > 1 else None
+    config: dict = {}
+    for a in args:
+        if isinstance(a, dict):
+            config.update(a)
+    return label, edge_type, config
+
+
+def _view(
+    g: PropertyGraph,
+    label: str | None,
+    edge_type: str | None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Edge view filtered like the reference's build_view
+    (src/algo/mod.rs:26-98): edges of ``edge_type`` whose BOTH endpoints
+    carry ``label``; missing/non-numeric weights default to 1.0.
+    Unknown labels/types yield an empty view (not an error)."""
+    spark = g.spark
+    try:
+        edges = g.edge_df(edge_type) if edge_type else g.unified_edges()
+    except KeyError:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    cols = [F.col("src"), F.col("dst")]
+    if weight_col is not None:
+        w = (
+            F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
+            if weight_col in edges.columns
+            else F.lit(1.0)
+        )
+        cols.append(w.alias("weight"))
+    e = edges.select(*cols)
+    if label is not None:
+        try:
+            ids = g.node_df(label).select("id")
+        except KeyError:
+            return spark.createDataFrame(
+                [], "src long, dst long" + (", weight double" if weight_col else "")
+            )
+        e = e.join(
+            F.broadcast(ids.withColumnRenamed("id", "src")), "src", "left_semi"
+        ).join(
+            F.broadcast(ids.withColumnRenamed("id", "dst")), "dst", "left_semi"
+        )
+    return e
+
+
+def _with_node(
+    g: PropertyGraph, df: DataFrame, id_col: str, out: str = "node"
+) -> DataFrame:
+    """Join a result keyed by node id to the full node rows, packed as
+    the compiler's node-struct convention so YIELDed ``node`` supports
+    ``node.prop`` / ``id(node)`` / ``labels(node)`` — the reference
+    binds a full Node value (operator.rs:6365)."""
+    nodes = g.unified_nodes()
+    fields = [F.col(c).alias(c) for c in nodes.columns if c != "labels"]
+    fields.append(F.col("labels").alias("_labels"))
+    packed = nodes.select(
+        F.col("id").alias("__nid"), F.struct(*fields).alias(out)
+    )
+    return df.join(packed, df[id_col] == packed["__nid"], "inner").drop("__nid")
+
+
 def run_procedure(g: PropertyGraph, name: str, args: list) -> DataFrame:
     spark = g.spark
 
@@ -43,10 +112,11 @@ def run_procedure(g: PropertyGraph, name: str, args: list) -> DataFrame:
             nodes.filter(F.col(prop).isNotNull()), prop, "id",
             [float(x) for x in vec], k, metric="cosine",
         )
-        out = hits.join(nodes, "id").select(
-            F.col("id").alias("nodeId"), F.col("score")
-        )
-        return out
+        # binds the full node value + score (VectorSearchOperator,
+        # operator.rs:4645; tests YIELD node, score RETURN node.name)
+        return _with_node(g, hits.select("id", "score"), "id").select(
+            "node", "score", F.col("id").alias("nodeId")
+        ).orderBy(F.desc("score"))
 
     if name.startswith("algo."):
         return _run_algo(g, name[5:], args)
@@ -55,84 +125,126 @@ def run_procedure(g: PropertyGraph, name: str, args: list) -> DataFrame:
 
 
 def _run_algo(g: PropertyGraph, algo: str, args: list) -> DataFrame:
-    edges = _all_edges(g)
+    """Dispatch per the reference's AlgorithmOperator
+    (operator.rs:6302-6902), with its argument conventions and YIELD
+    schemas; node results bind the full node value as ``node``."""
+    label, edge_type, config = _algo_args(args)
+
     if algo == "pagerank":
         from samyama_graph_spark.algorithms import pagerank
 
-        iters = int(args[0]) if args else 10
-        damping = float(args[1]) if len(args) > 1 else 0.85
-        return pagerank(edges, iters, damping).select(
-            F.col("id").alias("nodeId"), F.col("rank").alias("score")
-        )
-    if algo == "wcc":
-        from samyama_graph_spark.algorithms import wcc
+        # PageRankConfig::default(): 20 iterations, damping 0.85
+        iters = int(config.get("iterations", 20))
+        damping = float(config.get("damping", 0.85))
+        out = pagerank(_view(g, label, edge_type), iters, damping)
+        return _with_node(g, out, "id").select(
+            "node", F.col("rank").alias("score"), F.col("id").alias("nodeId")
+        ).orderBy(F.desc("score"))
+    if algo in ("wcc", "scc"):
+        from samyama_graph_spark.algorithms import scc, wcc
 
-        return wcc(edges).select(
-            F.col("id").alias("nodeId"), F.col("component").alias("componentId")
-        )
-    if algo == "scc":
-        from samyama_graph_spark.algorithms import scc
-
-        return scc(edges).select(
-            F.col("id").alias("nodeId"), F.col("component").alias("componentId")
-        )
-    if algo == "bfs":
-        from samyama_graph_spark.algorithms import bfs
-
-        source = int(args[0])
-        max_depth = int(args[1]) if len(args) > 1 else 30
-        return bfs(edges, source, max_depth).select(
-            F.col("id").alias("nodeId"), F.col("depth")
-        )
-    if algo in ("shortestpath",):
-        from samyama_graph_spark.algorithms import shortest_path_length
-
-        spark = g.spark
-        hops = shortest_path_length(edges, int(args[0]), int(args[1]))
-        return spark.createDataFrame([(hops,)], "hops int")
-    if algo in ("weightedpath", "sssp"):
-        from samyama_graph_spark.algorithms import sssp
-
-        weight_col = args[1] if len(args) > 1 else "weight"
-        e = g.unified_edges()
-        if weight_col not in e.columns:
-            e = e.withColumn(weight_col, F.lit(1.0))
-        return sssp(
-            e.select("src", "dst", weight_col), int(args[0]), weight_col
-        ).select(F.col("id").alias("nodeId"), F.col("dist"))
-    if algo == "maxflow":
-        from samyama_graph_spark.algorithms.flow import max_flow
-
-        cap_col = args[2] if len(args) > 2 else "capacity"
-        e = g.unified_edges()
-        if cap_col not in e.columns:
-            e = e.withColumn(cap_col, F.lit(1.0))
-        val = max_flow(e.select("src", "dst", cap_col), int(args[0]), int(args[1]), cap_col)
-        return g.spark.createDataFrame([(val,)], "maxFlow double")
-    if algo == "mst":
-        from samyama_graph_spark.algorithms.mst import mst
-
-        weight_col = args[0] if args else "weight"
-        e = g.unified_edges()
-        if weight_col not in e.columns:
-            e = e.withColumn(weight_col, F.lit(1.0))
-        return mst(e.select("src", "dst", weight_col), weight_col)
-    if algo == "trianglecount":
-        from samyama_graph_spark.algorithms import triangle_count
-
-        n = triangle_count(edges)
-        return g.spark.createDataFrame([(n,)], "triangles long")
+        fn = wcc if algo == "wcc" else scc
+        out = fn(_view(g, label, edge_type))
+        return _with_node(g, out, "id").select(
+            "node",
+            F.col("component").alias("componentId"),
+            F.col("id").alias("nodeId"),
+        ).orderBy("componentId")
     if algo == "cdlp":
         from samyama_graph_spark.algorithms import cdlp
 
-        iters = int(args[0]) if args else 10
-        return cdlp(edges, iters).select(
-            F.col("id").alias("nodeId"), F.col("label").alias("communityId")
-        )
+        iters = int(config.get("maxIterations", 100))
+        out = cdlp(_view(g, label, edge_type), iters)
+        return _with_node(g, out, "id").select(
+            "node",
+            F.col("label").alias("communityId"),
+            F.col("id").alias("nodeId"),
+        ).orderBy("communityId")
     if algo == "lcc":
         from samyama_graph_spark.algorithms import lcc
 
-        return lcc(edges).select(F.col("id").alias("nodeId"), F.col("lcc"))
+        out = lcc(_view(g, label, edge_type))
+        return _with_node(g, out, "id").select(
+            "node",
+            F.col("lcc").alias("coefficient"),
+            F.col("id").alias("nodeId"),
+        ).orderBy(F.desc("coefficient"))
+    if algo == "bfs":
+        # Our extension (the reference routes unweighted shortestPath
+        # through BFS internally): full reachability layers.
+        from samyama_graph_spark.algorithms import bfs
+
+        ints = [a for a in args if isinstance(a, (int, float))]
+        source = int(ints[0])
+        max_depth = int(ints[1]) if len(ints) > 1 else 30
+        out = bfs(_all_edges(g), source, max_depth)
+        return _with_node(g, out, "id").select(
+            "node", "depth", F.col("id").alias("nodeId")
+        ).orderBy("depth", "nodeId")
+    if algo in ("shortestpath", "weightedpath"):
+        from samyama_graph_spark.algorithms.paths import shortest_path_with_cost
+
+        ints = [a for a in args if isinstance(a, (int, float))]
+        if len(ints) < 2:
+            raise ValueError(f"algo.{algo} requires source and target ids")
+        # weightedPath's third positional arg is the weight property
+        # (operator.rs:6577); shortestPath takes {weight_property} in
+        # its config map (operator.rs:6396-6403)
+        strings = [a for a in args if isinstance(a, str)]
+        weight = (
+            strings[0]
+            if algo == "weightedpath" and strings
+            else config.get("weight_property")
+        )
+        res = shortest_path_with_cost(
+            _view(g, None, None, weight),
+            int(ints[0]),
+            int(ints[1]),
+            weight_col="weight" if weight else None,
+        )
+        if res is None:
+            return g.spark.createDataFrame(
+                [], "path array<long>, cost double"
+            )
+        path, cost = res
+        return g.spark.createDataFrame(
+            [(path, cost)], "path array<long>, cost double"
+        )
+    if algo == "maxflow":
+        from samyama_graph_spark.algorithms.flow import max_flow
+
+        ints = [a for a in args if isinstance(a, (int, float))]
+        strings = [a for a in args if isinstance(a, str)]
+        cap = strings[0] if strings else None
+        e = _view(g, None, None, cap)
+        if cap is None:
+            e = e.withColumn("weight", F.lit(1.0))
+        val = max_flow(e, int(ints[0]), int(ints[1]), "weight")
+        return g.spark.createDataFrame(
+            [(float(val or 0.0),)], "max_flow double"
+        )
+    if algo == "mst":
+        from samyama_graph_spark.algorithms.mst import mst
+
+        strings = [a for a in args if isinstance(a, str)]
+        weight = strings[0] if strings else None
+        e = _view(g, None, None, weight)
+        if weight is None:
+            e = e.withColumn("weight", F.lit(1.0))
+        tree = mst(e, "weight")
+        tree = _with_node(g, tree, "src", out="source")
+        tree = _with_node(g, tree, "dst", out="target").select(
+            "source", "target", "weight"
+        )
+        # summary record carrying only total_weight (operator.rs:6824-
+        # 6828) + per-edge records; unionByName null-fills the rest
+        summary = tree.agg(F.sum("weight").alias("total_weight"))
+        return summary.unionByName(tree, allowMissingColumns=True)
+    if algo == "trianglecount":
+        from samyama_graph_spark.algorithms import triangle_count
+
+        n = triangle_count(_all_edges(g))
+        return g.spark.createDataFrame([(n,)], "triangles long")
     if algo == "or.solve":
         if not args or not isinstance(args[0], dict):
             raise ValueError("algo.or.solve requires a config map")

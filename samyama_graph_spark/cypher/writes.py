@@ -48,13 +48,14 @@ class WriteExecutor:
         self.nodes = dict(graph.nodes)
         self.edges = dict(graph.edges)
         self.edge_meta = dict(graph.edge_meta)
+        # node bindings available to RETURN-after-write
+        self._created_binds: dict[str, tuple[str, int]] = {}
+        self._merge_binds: dict[str, tuple[str, dict]] = {}
         self.counters = {"nodes_created": 0, "edges_created": 0,
                         "properties_set": 0, "nodes_deleted": 0}
 
     # ------------------------------------------------------------- entry
     def execute(self, sq: A.SingleQuery) -> tuple[PropertyGraph, DataFrame]:
-        if sq.ret is not None:
-            raise CompileError("RETURN after write clauses is not supported yet")
         compiler = Compiler(self._current_graph(), self.params)
         st = State(None, Scope({}, self.params, graph=compiler.g))
         for clause in sq.clauses:
@@ -88,11 +89,48 @@ class WriteExecutor:
             else:
                 raise CompileError(f"unsupported clause {type(clause).__name__}")
         g2 = self._current_graph()
+        if sq.ret is not None:
+            return g2, self._returning(g2, st, sq.ret)
         summary = self.g.spark.createDataFrame(
             [tuple(self.counters.values())],
             ", ".join(f"{k} long" for k in self.counters),
         )
         return g2, summary
+
+    def _returning(
+        self, g2: PropertyGraph, st: State, ret: A.ReturnClause
+    ) -> DataFrame:
+        """CREATE/MERGE ... RETURN (reference: writes flow through the
+        same projection pipeline, planner.rs:1047-1096).  Bindings come
+        from the MATCH frame when present; otherwise from the node vars
+        recorded by literal CREATE / MERGE, re-read from the post-write
+        graph so ON CREATE SET / new properties are visible."""
+        compiler = Compiler(g2, self.params)
+        if st.frame is None:
+            st = State(None, Scope({}, self.params, graph=g2))
+            for var, (label, nid) in self._created_binds.items():
+                src = compiler._node_source(label, var).filter(
+                    F.col(f"{var}.id") == F.lit(nid)
+                )
+                st.frame = src if st.frame is None else st.frame.crossJoin(src)
+                st.scope.vars[var] = VarInfo("node", var, label)
+            for var, (label, props) in self._merge_binds.items():
+                src = compiler._node_source(label, var)
+                for k, v in props.items():
+                    src = src.filter(F.col(f"{var}.{k}") == F.lit(v))
+                st.frame = src if st.frame is None else st.frame.crossJoin(src)
+                st.scope.vars[var] = VarInfo("node", var, label)
+            if st.frame is None:
+                raise CompileError(
+                    "RETURN after write references no bound variables"
+                )
+            compiler._refresh_dtypes(st)
+        else:
+            st.scope.graph = g2
+        return compiler._project(
+            st, ret.items, ret.distinct, None,
+            ret.order_by, ret.skip, ret.limit, final=True,
+        )
 
     def _current_graph(self) -> PropertyGraph:
         return PropertyGraph(self.g.spark, self.nodes, self.edges, self.edge_meta)
@@ -109,11 +147,9 @@ class WriteExecutor:
     def _literal_props(self, props: dict[str, A.Expr], scope: Scope) -> dict[str, Any]:
         out = {}
         for k, v in props.items():
-            if isinstance(v, A.Literal):
-                out[k] = v.value
-            elif isinstance(v, A.Parameter):
-                out[k] = self.params[v.name]
-            else:
+            try:
+                out[k] = _static_value(v, self.params)
+            except CompileError:
                 out[k] = None  # computed per-row later
         return out
 
@@ -143,7 +179,7 @@ class WriteExecutor:
                 if label is None:
                     raise CompileError("CREATE node requires a label")
                 props = {
-                    k: (v.value if isinstance(v, A.Literal) else self.params[v.name])
+                    k: _static_value(v, self.params)
                     for k, v in np.properties.items()
                 }
                 nid = base
@@ -155,6 +191,7 @@ class WriteExecutor:
                 self._append_nodes(label, row)
                 if var:
                     bound_ids[var] = nid
+                    self._created_binds[var] = (label, nid)
                 node_ids[i] = nid  # type: ignore[assignment]
             for i, ep in enumerate(path.edges):
                 et = ep.types[0] if ep.types else None
@@ -162,7 +199,7 @@ class WriteExecutor:
                     raise CompileError("CREATE edge requires a type")
                 src_i, dst_i = (i, i + 1) if ep.direction != "in" else (i + 1, i)
                 props = {
-                    k: (v.value if isinstance(v, A.Literal) else self.params[v.name])
+                    k: _static_value(v, self.params)
                     for k, v in ep.properties.items()
                 }
                 row_schema = "src long, dst long" + "".join(
@@ -238,6 +275,8 @@ class WriteExecutor:
             k: (v.value if isinstance(v, A.Literal) else self.params[v.name])
             for k, v in np.properties.items()
         }
+        if np.var:
+            self._merge_binds[np.var] = (label, props)
         existing = self.nodes.get(label)
         match_df = None
         if existing is not None:
@@ -417,6 +456,24 @@ class WriteExecutor:
                 )
 
 
+def _static_value(e: A.Expr, params: dict[str, Any]) -> Any:
+    """Driver-side value of a literal-ish property expression in
+    CREATE/MERGE maps (literals, parameters, lists, maps, negation)."""
+    if isinstance(e, A.Literal):
+        return e.value
+    if isinstance(e, A.Parameter):
+        return params[e.name]
+    if isinstance(e, A.ListLiteral):
+        return [_static_value(x, params) for x in e.items]
+    if isinstance(e, A.MapLiteral):
+        return {k: _static_value(v, params) for k, v in e.entries.items()}
+    if isinstance(e, A.UnaryOp) and e.op == "NEG":
+        return -_static_value(e.operand, params)
+    raise CompileError(
+        f"unsupported property expression {type(e).__name__} in CREATE"
+    )
+
+
 def _sql_type(v: Any) -> str:
     if isinstance(v, bool):
         return "boolean"
@@ -424,4 +481,7 @@ def _sql_type(v: Any) -> str:
         return "long"
     if isinstance(v, float):
         return "double"
+    if isinstance(v, list):
+        inner = _sql_type(v[0]) if v else "string"
+        return f"array<{inner}>"
     return "string"

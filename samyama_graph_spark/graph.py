@@ -88,6 +88,24 @@ class PropertyGraph:
             rows or [(None, None, None)], "src_label string, type string, dst_label string"
         ).filter(F.col("type").isNotNull())
 
+    def compacted(self, partitions: int = 8) -> "PropertyGraph":
+        """Collapse accumulated write deltas: coalesce each table and
+        truncate lineage with a lazy localCheckpoint (materialized by
+        the next action).  Interactive write sessions call this every
+        few statements; bulk loads never need it."""
+
+        def c(df: DataFrame) -> DataFrame:
+            if df.rdd.getNumPartitions() > partitions:
+                df = df.coalesce(partitions)
+            return df.localCheckpoint(eager=False)
+
+        return PropertyGraph(
+            self.spark,
+            {k: c(v) for k, v in self.nodes.items()},
+            {k: c(v) for k, v in self.edges.items()},
+            dict(self.edge_meta),
+        )
+
     # ---------------------------------------------------------------- scans
     def node_df(self, label: str | None = None) -> DataFrame:
         """Node scan.  With a label: one table (partition-pruned scan).

@@ -201,10 +201,47 @@ def test_call_procedures(engine):
     assert rows(engine, "CALL db.relationshipTypes") == [("KNOWS",), ("WORKS_AT",)]
     pr = rows(
         engine,
-        "CALL algo.pageRank(5) YIELD nodeId, score "
+        "CALL algo.pageRank({iterations: 5}) YIELD nodeId, score "
         "RETURN nodeId, round(score, 4) AS r ORDER BY r DESC LIMIT 1",
     )
     assert pr[0][0] == 10  # Acme has highest in-degree mass
+
+
+def test_algo_yield_reference_schemas(engine):
+    """Reference YIELD parity (operator.rs:6302-6902): node is the full
+    node value, path algos yield (path, cost), mst yields a total_weight
+    summary row + (source, target, weight) edge rows."""
+    got = rows(
+        engine,
+        "CALL algo.pageRank('Person', 'KNOWS') YIELD node, score "
+        "RETURN node.name AS name ORDER BY score DESC LIMIT 1",
+    )
+    # sinks 4/5 accumulate the most rank mass; node.name must resolve
+    assert got[0][0] in ("David", "Eve")
+    comp = rows(
+        engine,
+        "CALL algo.wcc('Person', 'KNOWS') YIELD node, componentId "
+        "RETURN count(DISTINCT componentId) AS c",
+    )
+    assert comp[0][0] >= 1
+    # fixture graph: 1-KNOWS->2 (Alice->Bob), so path 1->2 has cost 1
+    pc = rows(
+        engine,
+        "CALL algo.shortestPath(1, 2) YIELD path, cost RETURN path, cost",
+    )
+    assert pc == [([1, 2], 1.0)]
+    m = rows(
+        engine,
+        "CALL algo.mst() YIELD source, target, weight, total_weight "
+        "RETURN count(*) AS rows, max(total_weight) AS tw",
+    )
+    assert m[0][0] >= 2 and m[0][1] is not None
+    lc = rows(
+        engine,
+        "CALL algo.lcc('Person', 'KNOWS') YIELD node, coefficient "
+        "RETURN count(*) AS n",
+    )
+    assert lc[0][0] >= 1
 
 
 def test_multi_path_join(engine):
