@@ -33,10 +33,23 @@ def events_stream(
 ) -> DataFrame:
     """The events parquet directory as a file-source stream.
 
-    The nanos timestamp arrives as long (legacy conf) and is converted
-    exactly like the batch loader, so stream and batch rows agree.
+    The timestamp unit is taken from the batch read of the same path
+    (TIMESTAMP(NANOS) arrives as long under the legacy conf and is
+    truncated to micros exactly like the batch loader; TIMESTAMP(MICROS)
+    is already a timestamp), so stream and batch rows agree.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_nanos_long = (
+        dict(spark.read.parquet(sf_dir).dtypes).get("ts") == "bigint"
+    )
+    schema = EVENTS_SCHEMA
+    if not ts_is_nanos_long:
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.TimestampType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
     path = sf_dir
     if path.endswith(".parquet") and os.path.isfile(path):
         # file-source streams require a directory: stage a symlink dir
@@ -44,13 +57,15 @@ def events_stream(
         os.symlink(path, os.path.join(staging, os.path.basename(path)))
         path = staging
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    if ts_is_nanos_long:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return raw
 
 
 def hourly_windows(
