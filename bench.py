@@ -65,18 +65,29 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec_median_of_%d" % runs,
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "cold_run": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full detail (cold + median per query) goes to a file; stdout gets ONE
+    # compact line — the driver records only the tail of stdout (~2KB), so
+    # the line must stay small or it truncates and fails to parse.
+    detail = {
+        "metric": "total_query_wall_sec_median_of_%d" % runs,
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "cold_run": cold,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {
+        "metric": "total_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

@@ -41,6 +41,10 @@ def wcc(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry the changed flag INSIDE the checkpointed frame so the
+        # convergence check is a count() on it — materializing the
+        # lazy checkpoint and testing the fixpoint in ONE job, instead
+        # of a checkpoint job plus a separate join-back count job
         new_comp = (
             comp.join(cand, "id", "left")
             .select(
@@ -48,17 +52,14 @@ def wcc(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("component"), F.lit(False)
+                ).alias("chg"),
             )
         )
-        new_comp = checkpoint(new_comp)
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp
+        new_comp = checkpoint(new_comp, eager=False)
+        changed = new_comp.filter("chg").count()
+        comp = new_comp.select("id", "component")
         if changed == 0:
             break
     return comp
@@ -80,7 +81,7 @@ def cdlp(edges: DataFrame, iterations: int = 10) -> DataFrame:
     labels = vertices_from_edges(edges).select("id", F.col("id").alias("label"))
     labels = checkpoint(labels)
 
-    for _ in range(iterations):
+    for it in range(iterations):
         counts = (
             nbrs.join(labels, nbrs["src"] == labels["id"])
             .groupBy(F.col("dst").alias("vid"), F.col("label"))
@@ -108,5 +109,11 @@ def cdlp(edges: DataFrame, iterations: int = 10) -> DataFrame:
                 "id", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
             )
         )
-        labels = checkpoint(labels)
-    return labels
+        # fixed iteration count (no convergence action needed): cache
+        # intermediate rounds with no action, eager-checkpoint every 3rd
+        # to truncate lineage — one scheduled job per interval
+        if (it + 1) % 3 == 0:
+            labels = checkpoint(labels)
+        else:
+            labels = labels.cache()
+    return checkpoint(labels, eager=False)

@@ -54,7 +54,8 @@ def bfs(
             .withColumn("depth", F.lit(d))
             .select("id", "depth", "parent")
         )
-        nxt = checkpoint(nxt)
+        # lazy checkpoint: materialized by the count() below in one job
+        nxt = checkpoint(nxt, eager=False)
         frontier_n = nxt.count()
         if frontier_n == 0:
             break
@@ -121,7 +122,8 @@ def sssp(
         )
         improved = checkpoint(
             joined.filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
-            .select("id", F.col("d").alias("dist"), F.col("p").alias("parent"))
+            .select("id", F.col("d").alias("dist"), F.col("p").alias("parent")),
+            eager=False,  # materialized by the count() below in one job
         )
         frontier_n = improved.count()
         if frontier_n == 0:

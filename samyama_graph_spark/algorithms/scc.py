@@ -34,22 +34,23 @@ def _min_propagate(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # changed flag carried inside the frame: the count() below
+        # materializes the lazy checkpoint AND tests the fixpoint in
+        # one scheduled job (see components.wcc)
         new_labels = checkpoint(
             labels.join(cand, "id", "left").select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
-            )
+                F.coalesce(
+                    F.col("nbr_min") < F.col("label"), F.lit(False)
+                ).alias("chg"),
+            ),
+            eager=False,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels

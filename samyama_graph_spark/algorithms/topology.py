@@ -10,11 +10,17 @@ from lower-(degree,id) to higher, then a triangle is a wedge
 out-degree by O(sqrt(m)), so the wedge self-join never explodes on
 skewed degree distributions — the scale-critical trick.
 
-Every cached frame here is force-materialized (count()) before its
-consumers run: each is read by 2-3 legs of the SAME downstream job,
-and Spark's lazily-filled cache would let every leg recompute the
-upstream pipeline (measured 90s -> ~20s for LCC at sf0.1).  The extra
-count() jobs cost one scheduling round-trip each, amortized at scale.
+Shuffle budget per closure build: ONE shuffle to canonicalize (skipped
+when the input is already canonical), ONE for degrees (tiny output),
+ONE to build adjacency lists.  Orientation and the closure join itself
+are map-side: degrees and adjacency are vertex-count-sized frames that
+AQE broadcast-joins when small and shuffle-joins past the threshold,
+so the plan stays valid at cluster scale.
+
+Cached frames are force-materialized (count()) before multi-leg
+consumers run — Spark's lazily-filled cache would otherwise recompute
+the upstream pipeline once per leg (measured 90s -> ~20s for LCC at
+sf0.1).
 """
 
 from __future__ import annotations
@@ -32,111 +38,116 @@ def _pinned(df: DataFrame) -> DataFrame:
     return df
 
 
-def _oriented(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(undirected distinct edges, degree-oriented edges), both pinned.
+def closure_edges(
+    edges: DataFrame, canonical: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """(undirected degrees, per-oriented-edge triangle closure).
 
-    The undirected set feeds degree computation, orientation, AND the
-    closure join; the oriented set feeds adjacency-building and the
-    per-edge join.  Both are multi-consumer, so both are pinned.
+    Edge-iterator triangle enumeration: for each degree-oriented edge
+    (u,v), the triangles through it are N+(u) ∩ N+(v) — an array
+    intersect of two O(sqrt m) sorted lists, the Spark analogue of the
+    reference's sorted-adjacency LeapFrog intersection
+    (leapfrog.rs:26-80).  Total shuffle volume is O(m) rows (never the
+    O(sum deg^2) wedge set).
+
+    Returns ``(deg, te)``: ``deg`` = (id, deg) undirected degrees,
+    ``te`` = (src, dst, ws: array of third vertices).  Public so
+    callers that need BOTH lcc and the total triangle count (e.g. two
+    registry workloads over the same projected graph) can compute the
+    closure once, checkpoint it, and feed ``lcc_from_closure`` /
+    ``triangle_total``.
+
+    ``canonical=True`` asserts the input is already a distinct
+    src<dst edge set, skipping the canonicalization shuffle.
     """
-    und = _pinned(symmetrize(edges))  # both directions, no self-loops
-    deg = und.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
+    if canonical:
+        pairs = edges.select("src", "dst")
+    else:
+        pairs = symmetrize(edges).filter(F.col("src") < F.col("dst"))
+    pairs = _pinned(pairs)
+    # undirected degree = appearances on either side of canonical pairs
+    deg = _pinned(
+        pairs.select(F.col("src").alias("id"))
+        .unionAll(pairs.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
     )
-    e = (
-        und.join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
-        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+    # orientation is a map-side flip against the (vertex-sized) degree
+    # frame — no edge shuffle
+    sd = deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg")
+    dd = deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg")
+    fwd = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
     )
-    oriented = e.filter(
-        (F.col("sdeg") < F.col("ddeg"))
-        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
-    ).select("src", "dst")
-    return und, _pinned(oriented)
-
-
-def _adjacency(o: DataFrame) -> DataFrame:
-    """Sorted out-neighbor list per vertex of the oriented graph.
-
-    Degree orientation bounds every list by O(sqrt m), so collect_list
-    cannot blow up on skewed vertices — the same property the
-    reference gets from its sorted CSR segments (store.rs:294-340).
-    Pinned: consumed twice (src side and dst side of the closure join).
-    """
-    return _pinned(
-        o.groupBy(F.col("src").alias("id")).agg(
+    oriented = (
+        pairs.join(sd, "src")
+        .join(dd, "dst")
+        .select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("o_src"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("o_dst"),
+        )
+        .select(F.col("o_src").alias("src"), F.col("o_dst").alias("dst"))
+    )
+    oriented = _pinned(oriented)
+    # sorted out-neighbor lists, each bounded O(sqrt m) by orientation —
+    # the same property the reference gets from sorted CSR segments
+    # (store.rs:294-340); collect_list cannot blow up on skew
+    adj = _pinned(
+        oriented.groupBy(F.col("src").alias("id")).agg(
             F.sort_array(F.collect_list("dst")).alias("nbrs")
         )
     )
-
-
-def _tri_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(undirected edges, per-oriented-edge triangle closure).
-
-    Edge-iterator triangle enumeration: for each oriented edge (u,v),
-    the triangles through it are N+(u) ∩ N+(v) — an array intersect of
-    two O(sqrt m) sorted lists, the Spark analogue of the reference's
-    sorted-adjacency LeapFrog intersection (leapfrog.rs:26-80).  Total
-    shuffle volume is O(m) rows (never the O(sum deg^2) wedge set).
-    Returns rows (src, dst, ws: array of third vertices).
-    """
-    und, o = _oriented(edges)
-    adj = _adjacency(o)
-    e = (
-        o.join(
-            adj.withColumnRenamed("id", "src").withColumnRenamed("nbrs", "nu"), "src"
-        ).join(
-            adj.withColumnRenamed("id", "dst").withColumnRenamed("nbrs", "nv"), "dst"
+    te = (
+        oriented.join(
+            adj.withColumnRenamed("id", "src").withColumnRenamed("nbrs", "nu"),
+            "src",
         )
+        .join(
+            adj.withColumnRenamed("id", "dst").withColumnRenamed("nbrs", "nv"),
+            "dst",
+        )
+        .select("src", "dst", F.array_intersect("nu", "nv").alias("ws"))
     )
-    return und, e.select(
-        "src", "dst", F.array_intersect("nu", "nv").alias("ws")
+    return deg, te
+
+
+def _per_vertex_triangles(te: DataFrame) -> DataFrame:
+    """``(id, triangles)`` from a closure frame: each edge (u,v) with t
+    closures contributes t to u and v, and 1 to every third vertex."""
+    uv = te.select(F.col("src").alias("id"), F.size("ws").alias("t")).unionByName(
+        te.select(F.col("dst").alias("id"), F.size("ws").alias("t"))
     )
+    w = te.select(F.explode("ws").alias("id"), F.lit(1).alias("t"))
+    return uv.unionByName(w).groupBy("id").agg(F.sum("t").alias("triangles"))
 
 
 def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     """``(id, triangles)`` — number of triangles through each vertex."""
-    und, te = _tri_edges(edges)
-    te = _pinned(te)  # three consumers below
-    # each edge (u,v) with t closures contributes t to u and v, and 1
-    # to every third vertex w
-    uv = te.select(F.col("src").alias("id"), F.size("ws").alias("t")).unionByName(
-        te.select(F.col("dst").alias("id"), F.size("ws").alias("t"))
-    )
-    w = te.select(F.explode("ws").alias("id"), F.lit(1).alias("t"))
-    per_vertex = (
-        uv.unionByName(w).groupBy("id").agg(F.sum("t").alias("triangles"))
-    )
-    verts = und.select(F.col("src").alias("id")).distinct()
+    deg, te = closure_edges(edges)
+    te = _pinned(te)  # three consumers in _per_vertex_triangles
+    per_vertex = _per_vertex_triangles(te)
+    verts = deg.select("id")
     return verts.join(per_vertex, "id", "left").fillna(0, subset=["triangles"])
 
 
-def triangle_count(edges: DataFrame) -> int:
-    """Total triangle count of the undirected graph: sum of per-edge
+def triangle_total(te: DataFrame) -> int:
+    """Total triangle count from a closure frame: sum of per-edge
     closure counts (each triangle counted exactly once, at its
     orientation-apex edge)."""
-    _, te = _tri_edges(edges)
     total = te.agg(F.sum(F.size("ws"))).first()[0]
     return int(total or 0)
 
 
-def lcc(edges: DataFrame) -> DataFrame:
-    """Local clustering coefficient per vertex: ``(id, lcc)``.
+def triangle_count(edges: DataFrame, canonical: bool = False) -> int:
+    """Total triangle count of the undirected graph."""
+    _, te = closure_edges(edges, canonical)
+    return triangle_total(te)
 
-    lcc(v) = triangles(v) / (deg(v) * (deg(v)-1) / 2) over the
-    undirected closure; 0 when deg < 2 (reference lcc.rs:29).
 
-    Degrees are derived from the SAME pinned undirected frame the
-    triangle pipeline builds, so the expensive input projection (e.g.
-    a co-order self-join) is evaluated exactly once.
-    """
-    und, te = _tri_edges(edges)
-    te = _pinned(te)
-    uv = te.select(F.col("src").alias("id"), F.size("ws").alias("t")).unionByName(
-        te.select(F.col("dst").alias("id"), F.size("ws").alias("t"))
-    )
-    w = te.select(F.explode("ws").alias("id"), F.lit(1).alias("t"))
-    tri = uv.unionByName(w).groupBy("id").agg(F.sum("t").alias("triangles"))
-    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+def lcc_from_closure(deg: DataFrame, te: DataFrame) -> DataFrame:
+    """LCC from a precomputed (degrees, closure) pair — both sides
+    should be pinned or checkpointed by the caller when reused."""
+    tri = _per_vertex_triangles(te)
     return (
         deg.join(tri, "id", "left")
         .fillna(0, subset=["triangles"])
@@ -150,3 +161,18 @@ def lcc(edges: DataFrame) -> DataFrame:
             .alias("lcc"),
         )
     )
+
+
+def lcc(edges: DataFrame, canonical: bool = False) -> DataFrame:
+    """Local clustering coefficient per vertex: ``(id, lcc)``.
+
+    lcc(v) = triangles(v) / (deg(v) * (deg(v)-1) / 2) over the
+    undirected closure; 0 when deg < 2 (reference lcc.rs:29).
+
+    Degrees come from the SAME pinned canonical-pairs frame the
+    triangle pipeline builds, so the expensive input projection (e.g.
+    a co-order self-join) is evaluated exactly once.
+    """
+    deg, te = closure_edges(edges, canonical)
+    te = _pinned(te)
+    return lcc_from_closure(deg, te)

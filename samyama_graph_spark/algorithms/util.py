@@ -15,15 +15,20 @@ def vertices_from_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def symmetrize(edges: DataFrame) -> DataFrame:
+def symmetrize(edges: DataFrame, distinct: bool = True) -> DataFrame:
     """Undirected view: both directions, self-loops dropped, distinct.
 
     Mirrors the reference algorithms' undirected mode
     (crates/samyama-graph-algorithms; direction config per algorithm).
+
+    ``distinct=False`` skips the dedup shuffle — pass it when the input
+    is already a distinct canonical (src < dst) edge set, where the
+    two directions cannot collide.
     """
     fwd = edges.select("src", "dst")
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return fwd.unionAll(rev).filter(F.col("src") != F.col("dst")).distinct()
+    out = fwd.unionAll(rev).filter(F.col("src") != F.col("dst"))
+    return out.distinct() if distinct else out
 
 
 def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -89,7 +89,10 @@ def var_length_expand(
             .join(v, ["start", "node"], "left_anti")
             .withColumn("hops", F.lit(depth))
         )
-        nxt = checkpoint(nxt)
+        # lazy checkpoint + count: the count action materializes the
+        # checkpoint in the SAME job (count scans every partition), so
+        # each hop costs one scheduled job instead of two
+        nxt = checkpoint(nxt, eager=False)
         frontier_n = nxt.count()
         if frontier_n == 0:
             break

@@ -234,7 +234,7 @@ def cypher_knn_procedure(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_name,
                count(o_orderkey) AS n_orders,
                coalesce(sum(CASE WHEN o_orderpriority = '1-URGENT'
-                                 THEN 1 ELSE 0 END), 0) AS n_urgent
+                                 THEN 1 ELSE 0 END), 0)::BIGINT AS n_urgent
         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         GROUP BY c_custkey, c_name
     )
@@ -272,8 +272,9 @@ def cypher_call_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cypher_pattern_comprehension",
     """
     SELECT n_name AS nation,
-           coalesce(list_sort(list(s_name ORDER BY s_name)
-                    FILTER (s_name IS NOT NULL)), []) AS suppliers
+           coalesce(array_to_string(
+               list_sort(list(s_name ORDER BY s_name)
+                         FILTER (s_name IS NOT NULL)), ','), '') AS suppliers
     FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
     GROUP BY n_name
     ORDER BY nation
@@ -282,8 +283,8 @@ def cypher_call_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cypher_pattern_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pattern comprehension (reference eval_pattern_comprehension
     operator.rs:2417): per-nation collected supplier names, empty list
-    when the nation has none.  sort_list applied in the projection for
-    a deterministic oracle comparison."""
+    when the nation has none.  The projection string-joins the sorted
+    list (driver-side canonicalizer hashes scalars, not lists)."""
     out = _engine(spark, sf_dir).query(
         """
         MATCH (n:Nation)
@@ -292,4 +293,7 @@ def cypher_pattern_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation
         """
     )
-    return out.select("nation", F.sort_array("suppliers").alias("suppliers"))
+    return out.select(
+        "nation",
+        F.array_join(F.sort_array("suppliers"), ",").alias("suppliers"),
+    )

@@ -79,3 +79,43 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = stream_dedup(stream, ["user_id", "event_type"], watermark="90 days")
     got = run_stream_to_memory(dd, _qname("wl_dedup"), "append")
     return got.select("user_id", "event_type")
+
+
+@query(
+    "streaming_session_windows",
+    """
+    WITH e AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts > prev + INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS ns
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (session_window, gap 10 min) per user.
+    A session extends while the next event is <= gap after the previous
+    one; session_end = last event + gap.  The oracle sessionizes with
+    lag + cumulative-sum in plain SQL — identical boundary semantics."""
+    from samyama_graph_spark.streaming.windows import session_windows
+
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_stream_to_memory(
+        session_windows(stream, gap="10 minutes"), _qname("wl_sessions"),
+        "complete",
+    )
