@@ -52,9 +52,15 @@ class State:
 
 
 class Compiler:
-    def __init__(self, graph: PropertyGraph, params: dict[str, Any] | None = None):
+    def __init__(
+        self,
+        graph: PropertyGraph,
+        params: dict[str, Any] | None = None,
+        catalog=None,
+    ):
         self.g = graph
         self.params = params or {}
+        self.catalog = catalog  # index metadata (vector metrics etc.)
 
     # ------------------------------------------------------------ entry
     def compile_query(self, q: A.Query) -> DataFrame:
@@ -118,6 +124,29 @@ class Compiler:
                 pass
         if not parts:
             return self.g.spark.createDataFrame([], "src long, dst long")
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.unionByName(p)
+        return edges
+
+    def _typed_edge_pairs(self, types: list[str]) -> DataFrame:
+        """(src, dst, type) scan over the given edge types — the typed
+        variant feeds path materialization, where relationship structs
+        must carry their type."""
+        parts = []
+        for t in types:
+            try:
+                parts.append(
+                    self.g.edge_df(t).select(
+                        "src", "dst", F.lit(t).alias("type")
+                    )
+                )
+            except KeyError:
+                pass
+        if not parts:
+            return self.g.spark.createDataFrame(
+                [], "src long, dst long, type string"
+            )
         edges = parts[0]
         for p in parts[1:]:
             edges = edges.unionByName(p)
@@ -250,18 +279,38 @@ class Compiler:
             return
         node_vars: list[str] = []
         edge_vars: list[str] = []
+        want_path = path.path_var is not None
+        # per-segment array fragments for named-path assembly:
+        # each entry yields (nodes-array-expr, rels-array-expr, hops-expr)
+        node_arrs: list = []
+        rel_arrs: list = []
+        hop_exprs: list = []
+        vl_temp_cols: list[str] = []
         left = self._bind_node(st, path.nodes[0])
         node_vars.append(left)
+        if want_path:
+            node_arrs.append(F.array(F.col(f"{left}.id")))
         for i, ep in enumerate(path.edges):
             right_np = path.nodes[i + 1]
             if ep.min_hops is not None:
-                if path.path_var is not None:
-                    raise CompileError(
-                        "named paths over var-length hops are supported "
-                        "only for shortestPath() patterns"
-                    )
-                left = self._var_length_hop(st, left, ep, right_np)
+                left, vlinfo = self._var_length_hop(
+                    st, left, ep, right_np, want_path=want_path
+                )
                 node_vars.append(left)
+                if want_path:
+                    ncol, rcol, hcol = vlinfo
+                    # the var segment's node list includes its start
+                    # (already counted) — contribute elements 2..end
+                    node_arrs.append(
+                        F.slice(
+                            F.col(ncol),
+                            F.lit(2),
+                            F.greatest(F.size(ncol) - 1, F.lit(0)),
+                        )
+                    )
+                    rel_arrs.append(F.col(rcol))
+                    hop_exprs.append(F.col(hcol))
+                    vl_temp_cols += [ncol, rcol, hcol]
                 continue
             evar = ep.var or st.fresh("e")
             if evar in st.scope.vars:
@@ -294,44 +343,59 @@ class Compiler:
                 self._inline_props(st, rvar, right_np.properties)
             edge_vars.append(evar)
             node_vars.append(rvar)
+            if want_path:
+                rel_arrs.append(
+                    F.array(
+                        F.struct(
+                            F.col(f"{evar}.src").cast("long").alias("src"),
+                            F.col(f"{evar}.dst").cast("long").alias("dst"),
+                            F.col(f"{evar}._type").alias("type"),
+                        )
+                    )
+                )
+                node_arrs.append(F.array(F.col(f"{rvar}.id")))
             left = rvar
-        if path.path_var is not None:
-            # named fixed-length path: Value::Path {nodes, edges}
-            # (record.rs:86-89) as a struct of id/edge arrays
+        if want_path:
+            # named path: Value::Path {nodes, edges} (record.rs:86-89)
+            # as a struct of id/edge arrays; var-length segments splice
+            # their materialized BFS path in
             pvar = path.path_var
+            n_fixed = len(edge_vars)
+            hops = F.lit(n_fixed)
+            for h in hop_exprs:
+                hops = hops + h
+            rels = (
+                F.concat(*rel_arrs)
+                if rel_arrs
+                else F.array().cast(
+                    "array<struct<src:bigint,dst:bigint,type:string>>"
+                )
+            )
             st.frame = st.frame.withColumn(
                 pvar,
                 F.struct(
-                    F.array(
-                        *[F.col(f"{v}.id") for v in node_vars]
-                    ).alias("nodes"),
-                    F.array(
-                        *[
-                            F.struct(
-                                F.col(f"{ev}.src").alias("src"),
-                                F.col(f"{ev}.dst").alias("dst"),
-                                F.col(f"{ev}._type").alias("type"),
-                            )
-                            for ev in edge_vars
-                        ]
-                    ).alias("rels"),
-                    F.lit(len(edge_vars)).alias("hops"),
+                    F.concat(*node_arrs).alias("nodes"),
+                    rels.alias("rels"),
+                    hops.cast("int").alias("hops"),
                 ),
             )
+            if vl_temp_cols:
+                st.frame = st.frame.drop(*vl_temp_cols)
             st.scope.vars[pvar] = VarInfo("path", pvar)
 
     def _shortest_path(self, st: State, path: A.PatternPath) -> None:
         """MATCH p = shortestPath((a)-[:T*]->(b)): bind both endpoints,
-        run the multi-source BFS shortest-path operator, join hop counts.
-        The path variable binds to a struct carrying ``hops`` (length(p));
-        full node/edge materialization lands with path reconstruction.
-        allShortestPaths compiles identically: with length-only path
-        observation the row set per endpoint pair is the same; per-path
-        multiplicity (several equal-length routes) is not materialized.
+        run the path-materializing multi-source BFS, join full paths.
+        The path variable binds to ``struct(nodes, rels, hops)`` so
+        nodes(p)/relationships(p)/length(p) all work.  allShortestPaths
+        keeps one row PER minimal-hop path (true multiplicity — the
+        BFS enumerates every first-reach route, operator.rs:7527);
+        shortestPath keeps the lexicographically-smallest one.
 
-        Reference: ShortestPathOperator (operator.rs:7527).
+        Reference: ShortestPathOperator (operator.rs:7527), path
+        tracking operator.rs:3003, Value::Path record.rs:86-89.
         """
-        from samyama_graph_spark.operators.traversal import shortest_path
+        from samyama_graph_spark.operators.traversal import var_length_paths
 
         if len(path.nodes) != 2 or len(path.edges) != 1:
             raise CompileError("shortestPath needs exactly (a)-[...]-(b)")
@@ -339,20 +403,31 @@ class Compiler:
         lvar = self._bind_node(st, path.nodes[0])
         rvar = self._bind_node(st, path.nodes[1])
         if ep.types:
-            edges = self._safe_edge_pairs(ep.types)
+            edges = self._typed_edge_pairs(ep.types)
         else:
-            edges = self.g.unified_edges().select("src", "dst")
+            edges = self.g.unified_edges().select("src", "dst", "type")
         max_depth = ep.max_hops if ep.max_hops is not None else 20
         starts = st.frame.select(F.col(f"{lvar}.id").alias("id")).distinct()
         targets = st.frame.select(F.col(f"{rvar}.id").alias("id")).distinct()
-        sp = shortest_path(
-            starts, targets, edges, max_depth=max_depth, direction=ep.direction
+        sp = var_length_paths(
+            starts,
+            edges,
+            0,
+            max_depth,
+            direction=ep.direction,
+            all_shortest=path.shortest == "allShortest",
         )
+        # prune to bound targets before the join-back
+        sp = sp.join(targets, sp["node"] == targets["id"], "left_semi")
         pvar = path.path_var or st.fresh("p")
         sp = sp.select(
             F.col("start").alias("__sp_s"),
-            F.col("target").alias("__sp_t"),
-            F.struct(F.col("hops").alias("hops")).alias(pvar),
+            F.col("node").alias("__sp_t"),
+            F.struct(
+                F.col("path_nodes").alias("nodes"),
+                F.col("path_rels").alias("rels"),
+                F.col("hops").cast("int").alias("hops"),
+            ).alias(pvar),
         )
         st.frame = st.frame.join(
             sp,
@@ -362,24 +437,62 @@ class Compiler:
         st.scope.vars[pvar] = VarInfo("path", pvar)
 
     def _var_length_hop(
-        self, st: State, left: str, ep: A.EdgePattern, right_np: A.NodePattern
-    ) -> str:
-        """``-[:T*min..max]->`` via the multi-source BFS operator."""
-        from samyama_graph_spark.operators.traversal import var_length_expand
+        self,
+        st: State,
+        left: str,
+        ep: A.EdgePattern,
+        right_np: A.NodePattern,
+        want_path: bool = False,
+    ) -> tuple[str, tuple[str, str, str] | None]:
+        """``-[:T*min..max]->`` via the multi-source BFS operator.
 
-        if ep.var is not None:
-            raise CompileError("binding an edge variable on *var-length is unsupported")
+        Returns ``(right_var, path_info)`` where path_info is
+        ``(nodes_col, rels_col, hops_col)`` temp-column names when the
+        caller asked for path materialization (named path), else None.
+        Binding an edge variable (``-[rs:T*1..3]->``) materializes the
+        traversed relationship LIST into that variable, matching the
+        reference's path-tracking BFS (operator.rs:3003).
+        """
+        from samyama_graph_spark.operators.traversal import (
+            var_length_expand,
+            var_length_paths,
+        )
+
+        materialize = want_path or ep.var is not None
         if ep.types:
-            edges = self._safe_edge_pairs(ep.types)
+            edges = (
+                self._typed_edge_pairs(ep.types)
+                if materialize
+                else self._safe_edge_pairs(ep.types)
+            )
         else:
-            edges = self.g.unified_edges().select("src", "dst")
+            edges = self.g.unified_edges().select(
+                *(["src", "dst", "type"] if materialize else ["src", "dst"])
+            )
         max_hops = ep.max_hops if ep.max_hops is not None else 20
         starts = st.frame.select(F.col(f"{left}.id").alias("id")).distinct()
-        reach = var_length_expand(
-            starts, edges, ep.min_hops, max_hops, direction=ep.direction
-        ).withColumnRenamed("start", "__vl_start").withColumnRenamed(
-            "node", "__vl_node"
-        )
+        path_info: tuple[str, str, str] | None = None
+        if materialize:
+            ncol = st.fresh("__vln")
+            rcol = st.fresh("__vlr")
+            hcol = st.fresh("__vlh")
+            reach = var_length_paths(
+                starts, edges, ep.min_hops, max_hops, direction=ep.direction
+            ).select(
+                F.col("start").alias("__vl_start"),
+                F.col("node").alias("__vl_node"),
+                F.col("path_nodes").alias(ncol),
+                F.col("path_rels").alias(rcol),
+                F.col("hops").alias(hcol),
+            )
+            if want_path:
+                path_info = (ncol, rcol, hcol)
+        else:
+            reach = var_length_expand(
+                starts, edges, ep.min_hops, max_hops, direction=ep.direction
+            ).withColumnRenamed("start", "__vl_start").withColumnRenamed(
+                "node", "__vl_node"
+            )
         st.frame = st.frame.join(
             reach, F.col(f"{left}.id") == F.col("__vl_start")
         )
@@ -400,8 +513,19 @@ class Compiler:
                 "node", rvar, right_np.labels[0] if right_np.labels else None
             )
             self._inline_props(st, rvar, right_np.properties)
-        st.frame = st.frame.drop("__vl_start", "__vl_node", "hops")
-        return rvar
+        if materialize:
+            if ep.var is not None:
+                if ep.var in st.scope.vars:
+                    raise CompileError(f"edge variable {ep.var} bound twice")
+                st.frame = st.frame.withColumn(ep.var, F.col(rcol))
+                st.scope.vars[ep.var] = VarInfo("value", ep.var)
+            drop = ["__vl_start", "__vl_node"]
+            if not want_path:
+                drop += [ncol, rcol, hcol]
+            st.frame = st.frame.drop(*drop)
+        else:
+            st.frame = st.frame.drop("__vl_start", "__vl_node", "hops")
+        return rvar, path_info
 
     # -------------------------------------------------- optional / where
     def _with_row_id(self, st: State) -> DataFrame:
@@ -579,7 +703,9 @@ class Compiler:
             raise CompileError("CALL after other clauses is unsupported")
         # procedure arguments are driver-side values: literals/params only
         lit_args = [self._driver_value(a) for a in clause.args]
-        df = run_procedure(self.g, clause.procedure.lower(), lit_args)
+        df = run_procedure(
+            self.g, clause.procedure.lower(), lit_args, catalog=self.catalog
+        )
 
         def _is_node_struct(col: str) -> bool:
             f = df.schema[col].dataType

@@ -88,8 +88,20 @@ class CypherEngine:
             )
         m = _DDL_VECTOR_FOR.match(text)
         if m:
-            idx = self.catalog.create_index(
-                m.group(2), [m.group(3)], kind="vector"
+            # OPTIONS {dimensions: 384, similarity: 'cosine'} — the
+            # reference records the metric on the index and searches
+            # with it (vector/index.rs:71-77, parser.rs:2249)
+            opts = m.group(4) or ""
+            dim_m = re.search(r"dimensions?\s*:\s*(\d+)", opts, re.IGNORECASE)
+            met_m = re.search(
+                r"(?:similarity|metric)\s*:\s*'([\w]+)'", opts, re.IGNORECASE
+            )
+            idx = self.catalog.create_vector_index(
+                m.group(2),
+                m.group(3),
+                dim=int(dim_m.group(1)) if dim_m else None,
+                metric=(met_m.group(1).lower() if met_m else "cosine"),
+                name=m.group(1),
             )
             return spark.createDataFrame(
                 [(idx.name, "CREATED")], "name string, status string"
@@ -173,10 +185,14 @@ class CypherEngine:
             return ddl
         ast = self._parse_cached(text)
         if len(ast.parts) == 1 and has_write_clause(ast.parts[0]):
-            new_graph, summary = WriteExecutor(self.graph, params).execute(
-                ast.parts[0]
+            wx = WriteExecutor(
+                self.graph, params, id_hint=getattr(self, "_id_hint", None)
             )
+            new_graph, summary = wx.execute(ast.parts[0])
             self.graph = new_graph
+            # carry the id watermark across statements: only the first
+            # write of a session scans per-table max(id)
+            self._id_hint = wx.id_hint
             # Compact periodically: interactive CREATE/MERGE sessions
             # otherwise stack one union + a few partitions per write,
             # and plan depth / task counts grow without bound (a
@@ -184,10 +200,12 @@ class CypherEngine:
             # Lazy localCheckpoint truncates lineage at the next action
             # without running an extra job per write.
             self._writes = getattr(self, "_writes", 0) + 1
-            if self._writes % 16 == 0:
+            if self._writes % 4 == 0:
                 self.graph = self.graph.compacted()
             return summary
-        return Compiler(self.graph, params).compile_query(ast)
+        return Compiler(self.graph, params, catalog=self.catalog).compile_query(
+            ast
+        )
 
     def explain(self, text: str, params: dict[str, Any] | None = None) -> str:
         df = self.query(text, params)

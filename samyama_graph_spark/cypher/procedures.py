@@ -14,6 +14,17 @@ from pyspark.sql import functions as F
 from samyama_graph_spark.graph import PropertyGraph
 
 
+def _normalize_metric(m: str) -> str:
+    """Reference metric spellings -> internal keys (parse_metric,
+    http/vector.rs:44-48: cosine | l2/euclidean | inner_product/dot)."""
+    m = m.lower()
+    if m in ("l2", "euclidean"):
+        return "l2"
+    if m in ("inner_product", "dot", "innerproduct"):
+        return "dot"
+    return "cosine"
+
+
 def _all_edges(g: PropertyGraph) -> DataFrame:
     return g.unified_edges().select("src", "dst")
 
@@ -87,7 +98,9 @@ def _with_node(
     return df.join(packed, df[id_col] == packed["__nid"], "inner").drop("__nid")
 
 
-def run_procedure(g: PropertyGraph, name: str, args: list) -> DataFrame:
+def run_procedure(
+    g: PropertyGraph, name: str, args: list, catalog=None
+) -> DataFrame:
     spark = g.spark
 
     if name == "db.labels":
@@ -107,16 +120,34 @@ def run_procedure(g: PropertyGraph, name: str, args: list) -> DataFrame:
         label, prop, vec, k = args[0], args[1], args[2], int(args[3])
         from samyama_graph_spark.datapipe.similarity import knn_bruteforce
 
+        # honor the metric recorded by CREATE VECTOR INDEX ... OPTIONS
+        # {similarity: 'cosine'|'l2'|'inner_product'} — the reference
+        # searches with the index's DistanceMetric (vector/index.rs:71-77,
+        # parse_metric http/vector.rs:44-48); default cosine
+        metric = "cosine"
+        if catalog is not None:
+            for idx in catalog.indexes.values():
+                if (
+                    idx.kind == "vector"
+                    and idx.label == label
+                    and idx.properties == [prop]
+                ):
+                    metric = _normalize_metric(
+                        idx.options.get("metric") or "cosine"
+                    )
         nodes = g.node_df(label)
         hits = knn_bruteforce(
             nodes.filter(F.col(prop).isNotNull()), prop, "id",
-            [float(x) for x in vec], k, metric="cosine",
+            [float(x) for x in vec], k, metric=metric,
         )
         # binds the full node value + score (VectorSearchOperator,
         # operator.rs:4645; tests YIELD node, score RETURN node.name)
+        # L2 is a distance (ascending); cosine/inner product are
+        # similarities (descending)
+        order = F.asc("score") if metric == "l2" else F.desc("score")
         return _with_node(g, hits.select("id", "score"), "id").select(
             "node", "score", F.col("id").alias("nodeId")
-        ).orderBy(F.desc("score"))
+        ).orderBy(order)
 
     if name.startswith("algo."):
         return _run_algo(g, name[5:], args)

@@ -42,9 +42,18 @@ def has_write_clause(sq: A.SingleQuery) -> bool:
 
 
 class WriteExecutor:
-    def __init__(self, graph: PropertyGraph, params: dict[str, Any] | None = None):
+    def __init__(
+        self,
+        graph: PropertyGraph,
+        params: dict[str, Any] | None = None,
+        id_hint: int | None = None,
+    ):
         self.g = graph
         self.params = params or {}
+        # next-free-id watermark: the session engine threads it across
+        # statements so only the FIRST write scans max(id) per table
+        # (one job per label otherwise, every statement)
+        self.id_hint = id_hint
         self.nodes = dict(graph.nodes)
         self.edges = dict(graph.edges)
         self.edge_meta = dict(graph.edge_meta)
@@ -91,10 +100,7 @@ class WriteExecutor:
         g2 = self._current_graph()
         if sq.ret is not None:
             return g2, self._returning(g2, st, sq.ret)
-        summary = self.g.spark.createDataFrame(
-            [tuple(self.counters.values())],
-            ", ".join(f"{k} long" for k in self.counters),
-        )
+        summary = _literal_row(self.g.spark, dict(self.counters))
         return g2, summary
 
     def _returning(
@@ -137,12 +143,15 @@ class WriteExecutor:
 
     # -------------------------------------------------------------- utils
     def _next_id_base(self) -> int:
+        if self.id_hint is not None:
+            return self.id_hint
         cur = 0
         for df in self.nodes.values():
             m = df.agg(F.max("id")).first()[0]
             if m is not None:
                 cur = max(cur, int(m))
-        return cur + 1
+        self.id_hint = cur + 1
+        return self.id_hint
 
     def _literal_props(self, props: dict[str, A.Expr], scope: Scope) -> dict[str, Any]:
         out = {}
@@ -184,15 +193,13 @@ class WriteExecutor:
                 }
                 nid = base
                 base += 1
-                row_schema = "id long" + "".join(
-                    f", {k} {_sql_type(props[k])}" for k in props
-                )
-                row = spark.createDataFrame([(nid, *props.values())], row_schema)
-                self._append_nodes(label, row)
+                row = _literal_row(spark, {"id": nid, **props})
+                self._append_nodes(label, row, n=1)
                 if var:
                     bound_ids[var] = nid
                     self._created_binds[var] = (label, nid)
                 node_ids[i] = nid  # type: ignore[assignment]
+            self.id_hint = base
             for i, ep in enumerate(path.edges):
                 et = ep.types[0] if ep.types else None
                 if et is None:
@@ -202,13 +209,11 @@ class WriteExecutor:
                     k: _static_value(v, self.params)
                     for k, v in ep.properties.items()
                 }
-                row_schema = "src long, dst long" + "".join(
-                    f", {k} {_sql_type(props[k])}" for k in props
+                row = _literal_row(
+                    spark,
+                    {"src": node_ids[src_i], "dst": node_ids[dst_i], **props},
                 )
-                row = spark.createDataFrame(
-                    [(node_ids[src_i], node_ids[dst_i], *props.values())], row_schema
-                )
-                self._append_edges(et, row)
+                self._append_edges(et, row, n=1)
             return
 
         # frame-bound CREATE: only edges between bound nodes + new nodes
@@ -236,16 +241,23 @@ class WriteExecutor:
                 cols.append(compile_expr(v, scope).alias(k))
             self._append_edges(et, frame.select(*cols))
 
-    def _append_nodes(self, label: str, rows: DataFrame) -> None:
+    def _append_nodes(
+        self, label: str, rows: DataFrame, n: int | None = None
+    ) -> None:
         if label in self.nodes:
             self.nodes[label] = self.nodes[label].unionByName(
                 rows, allowMissingColumns=True
             )
         else:
             self.nodes[label] = rows
-        self.counters["nodes_created"] += rows.count()
+        # n is passed when the delta size is statically known (literal
+        # CREATE): counting a known-1-row frame costs a whole scheduled
+        # job per statement otherwise
+        self.counters["nodes_created"] += n if n is not None else rows.count()
 
-    def _append_edges(self, etype: str, rows: DataFrame) -> None:
+    def _append_edges(
+        self, etype: str, rows: DataFrame, n: int | None = None
+    ) -> None:
         if etype in self.edges:
             self.edges[etype] = self.edges[etype].unionByName(
                 rows, allowMissingColumns=True
@@ -253,7 +265,7 @@ class WriteExecutor:
         else:
             self.edges[etype] = rows
             self.edge_meta.setdefault(etype, EdgeMeta())
-        self.counters["edges_created"] += rows.count()
+        self.counters["edges_created"] += n if n is not None else rows.count()
 
     # -------------------------------------------------------------- merge
     def _merge(self, st: State, clause: A.MergeClause) -> None:
@@ -292,19 +304,15 @@ class WriteExecutor:
                 self._apply_set_to_ids(label, ids, clause.on_match, scope)
         else:
             nid = self._next_id_base()
+            self.id_hint = nid + 1
             all_props = dict(props)
             for item in clause.on_create:
                 v = item.value
                 all_props[item.target.key] = (
                     v.value if isinstance(v, A.Literal) else self.params[v.name]
                 )
-            row_schema = "id long" + "".join(
-                f", {k} {_sql_type(v)}" for k, v in all_props.items()
-            )
-            row = self.g.spark.createDataFrame(
-                [(nid, *all_props.values())], row_schema
-            )
-            self._append_nodes(label, row)
+            row = _literal_row(self.g.spark, {"id": nid, **all_props})
+            self._append_nodes(label, row, n=1)
 
     def _merge_edge(self, st: State, path: A.PatternPath, clause: A.MergeClause) -> None:
         ep = path.edges[0]
@@ -471,6 +479,20 @@ def _static_value(e: A.Expr, params: dict[str, Any]) -> Any:
         return -_static_value(e.operand, params)
     raise CompileError(
         f"unsupported property expression {type(e).__name__} in CREATE"
+    )
+
+
+def _literal_row(spark, cols: dict[str, Any]) -> DataFrame:
+    """One-row, one-partition, PURE-JVM literal frame.
+
+    ``createDataFrame([python_tuple])`` backs the frame with a pickled
+    Python RDD — every downstream stage that rescans it (joins, unions,
+    broadcasts) spins up Python workers, costing seconds per statement
+    on the write path.  ``range(1).select(lit(...))`` is a Catalyst
+    LocalRelation: zero Python involvement forever after.
+    """
+    return spark.range(0, 1, 1, 1).select(
+        *[F.lit(v).cast(_sql_type(v)).alias(k) for k, v in cols.items()]
     )
 
 

@@ -124,3 +124,130 @@ def shortest_path(
     return reached.join(t, reached["node"] == t["target"]).select(
         "start", "target", "hops"
     )
+
+
+_REL_ARRAY_T = "array<struct<src:bigint,dst:bigint,type:string>>"
+
+
+def _typed_view(edges: DataFrame, direction: str) -> DataFrame:
+    """Edge list as traversal steps ``(u, v)`` carrying the underlying
+    edge identity ``(esrc, edst, etype)`` in STORED orientation, so
+    materialized relationship structs are direction-faithful."""
+    cols = edges.columns
+    t = F.col("type") if "type" in cols else F.lit(None).cast("string")
+    base = edges.select(
+        F.col("src").cast("long").alias("esrc"),
+        F.col("dst").cast("long").alias("edst"),
+        t.alias("etype"),
+    )
+    fwd = base.select(
+        F.col("esrc").alias("u"), F.col("edst").alias("v"),
+        "esrc", "edst", "etype",
+    )
+    if direction == "out":
+        return fwd
+    rev = base.select(
+        F.col("edst").alias("u"), F.col("esrc").alias("v"),
+        "esrc", "edst", "etype",
+    )
+    if direction == "in":
+        return rev
+    if direction == "both":
+        return fwd.unionByName(rev).filter(F.col("u") != F.col("v"))
+    raise ValueError(f"direction must be out/in/both, got {direction!r}")
+
+
+def var_length_paths(
+    starts: DataFrame,
+    edges: DataFrame,
+    min_hops: int,
+    max_hops: int,
+    id_col: str = "id",
+    direction: str = "out",
+    all_shortest: bool = False,
+) -> DataFrame:
+    """Materialized BFS-tree paths: one row PER PATH with
+    ``(start, node, hops, path_nodes: array<long>,
+    path_rels: array<struct<src,dst,type>>)``.
+
+    Node-uniqueness per start (each node appears at its first-reached
+    depth only) — the reference's visited-set BFS with the path-
+    tracking flag on (operator.rs:3003).  ``all_shortest=False`` keeps
+    ONE deterministic path per (start, node): the lexicographically
+    smallest node sequence.  ``all_shortest=True`` keeps EVERY
+    minimal-hop path — the multiplicity allShortestPaths needs
+    (operator.rs:7527); sound because every prefix of a shortest path
+    is itself a shortest path, so extending exactly the first-reach
+    frontier enumerates all of them.
+
+    Scale: each hop is one join + one anti-join on (start, node);
+    path arrays ride along as payload (bounded by max_hops).  The
+    all-shortest variant's fan-out is the true path multiplicity —
+    inherent to the semantics, not an implementation artifact.
+    """
+    if min_hops < 0 or max_hops < min_hops:
+        raise ValueError("need 0 <= min_hops <= max_hops")
+    e = checkpoint(_typed_view(edges, direction))
+    base = (
+        starts.select(F.col(id_col).cast("long").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.col("start").alias("node"),
+            F.array(F.col("start")).alias("path_nodes"),
+            F.array().cast(_REL_ARRAY_T).alias("path_rels"),
+            F.lit(0).alias("hops"),
+        )
+    )
+    frontier = checkpoint(base)
+    visited = frontier.select("start", "node")
+    out_frames = [frontier]
+
+    for depth in range(1, max_hops + 1):
+        f = frontier.select("start", "node", "path_nodes", "path_rels")
+        step = e.join(f, e["u"] == f["node"]).select(
+            "start",
+            F.col("v").alias("node"),
+            F.concat("path_nodes", F.array(F.col("v"))).alias("path_nodes"),
+            F.concat(
+                "path_rels",
+                F.array(
+                    F.struct(
+                        F.col("esrc").alias("src"),
+                        F.col("edst").alias("dst"),
+                        F.col("etype").alias("type"),
+                    )
+                ),
+            ).alias("path_rels"),
+        )
+        step = step.join(visited, ["start", "node"], "left_anti")
+        if not all_shortest:
+            step = (
+                step.groupBy("start", "node")
+                .agg(
+                    F.min_by(
+                        F.struct("path_nodes", "path_rels"),
+                        F.col("path_nodes"),
+                    ).alias("pp")
+                )
+                .select(
+                    "start", "node",
+                    F.col("pp.path_nodes").alias("path_nodes"),
+                    F.col("pp.path_rels").alias("path_rels"),
+                )
+            )
+        nxt = checkpoint(step.withColumn("hops", F.lit(depth)), eager=False)
+        if nxt.count() == 0:
+            break
+        out_frames.append(nxt)
+        visited = visited.unionByName(
+            nxt.select("start", "node").distinct()
+            if all_shortest
+            else nxt.select("start", "node")
+        )
+        frontier = nxt
+
+    out = out_frames[0]
+    for fr in out_frames[1:]:
+        out = out.unionByName(fr)
+    return out.filter(F.col("hops") >= min_hops)

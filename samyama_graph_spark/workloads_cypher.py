@@ -297,3 +297,188 @@ def cypher_pattern_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         F.array_join(F.sort_array("suppliers"), ",").alias("suppliers"),
     )
+
+
+@query(
+    "cypher_shortest_path_nodes",
+    f"""
+    SELECT c_name AS name, 2 AS len,
+           (c_custkey + {ID_BASE["Customer"]}) || ','
+           || (c_nationkey + {ID_BASE["Nation"]}) || ','
+           || (n_regionkey + {ID_BASE["Region"]}) AS path_nodes,
+           'IN_NATION,IN_REGION' AS path_types
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey <= 200
+    """,
+)
+def cypher_shortest_path_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shortestPath with FULL path materialization — nodes(p) and
+    relationships(p) on the found path (reference path tracking
+    operator.rs:3003, Value::Path record.rs:86-89).  The customer ->
+    nation -> region path is unique, so the oracle reconstructs it
+    arithmetically."""
+    out = _engine(spark, sf_dir).query(
+        """
+        MATCH p = shortestPath((c:Customer)-[*..3]->(r:Region))
+        WHERE id(c) <= $cmax
+        RETURN c.name AS name, length(p) AS len,
+               nodes(p) AS ns, relationships(p) AS rels
+        """,
+        {"cmax": ID_BASE["Customer"] + 200},
+    )
+    return out.select(
+        "name",
+        "len",
+        F.array_join(F.transform("ns", lambda x: x.cast("string")), ",").alias(
+            "path_nodes"
+        ),
+        F.array_join(F.transform("rels", lambda r: r["type"]), ",").alias(
+            "path_types"
+        ),
+    )
+
+
+@query(
+    "cypher_all_shortest_paths",
+    """
+    SELECT c_name AS name, p_name AS part, count(*) AS n_paths
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE c_custkey <= 25
+    GROUP BY c_name, p_name
+    """,
+)
+def cypher_all_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allShortestPaths TRUE multiplicity (operator.rs:7527): each
+    minimal-hop route customer->order->part is a separate row, so a
+    part contained in k of the customer's orders yields k paths.  The
+    oracle counts (order, lineitem) routes directly."""
+    out = _engine(spark, sf_dir).query(
+        """
+        MATCH p = allShortestPaths((c:Customer)-[:PLACED|CONTAINS*..2]->(pt:Part))
+        WHERE id(c) <= $cmax
+        RETURN c.name AS name, pt.name AS part, count(*) AS n_paths
+        """,
+        {"cmax": ID_BASE["Customer"] + 25},
+    )
+    return out
+
+
+@query(
+    "cypher_var_length_rels",
+    """
+    SELECT c_name AS name, 1 AS n_rels, 'IN_NATION' AS rel_types
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT c_name AS name, 2 AS n_rels, 'IN_NATION,IN_REGION' AS rel_types
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+def cypher_var_length_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-variable binding on a var-length pattern (-[rs:T*1..2]->):
+    rs is the LIST of traversed relationships (reference
+    operator.rs:3003 path-materialization flag).  Every customer has
+    exactly one 1-hop (nation) and one 2-hop (region) traversal."""
+    out = _engine(spark, sf_dir).query(
+        """
+        MATCH (c:Customer)-[rs:IN_NATION|IN_REGION*1..2]->(x)
+        WHERE id(c) <= $cmax
+        RETURN c.name AS name, size(rs) AS n_rels, rs
+        """,
+        {"cmax": ID_BASE["Customer"] + 100},
+    )
+    return out.select(
+        "name",
+        F.col("n_rels").cast("int").alias("n_rels"),
+        F.array_join(F.transform("rs", lambda r: r["type"]), ",").alias(
+            "rel_types"
+        ),
+    )
+
+
+@query(
+    "cypher_write_pipeline",
+    """
+    SELECT 4::BIGINT AS n_people, 133::BIGINT AS total_age,
+           2::BIGINT AS n_knows
+    """,
+)
+def cypher_write_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end write path (reference write operators
+    operator.rs:5157-7425, fixture style tests/advanced_cypher.rs:17-40):
+    CREATE nodes + edge patterns, MATCH..CREATE, MERGE ON CREATE SET /
+    ON MATCH SET, MERGE edge idempotence, DETACH DELETE — then a
+    deterministic aggregate over the final session graph.  The oracle
+    is the analytically-known final state: Alice(31)+Bob(25)+Carol(33)
+    +Dana(44) = 4 people, 133 total age, 2 KNOWS edges (the MERGE must
+    NOT duplicate Bob->Carol; Zed and his incident LIKES edge must be
+    gone)."""
+    from samyama_graph_spark.graph import PropertyGraph
+
+    eng = CypherEngine(PropertyGraph(spark, {}, {}))
+    for stmt in [
+        "CREATE (n:Person {name: 'Alice', age: 30})",
+        "CREATE (a:Person {name: 'Bob', age: 25})"
+        "-[:KNOWS {since: 2020}]->(b:Person {name: 'Carol', age: 33})",
+        "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) "
+        "CREATE (a)-[:KNOWS {since: 2021}]->(b)",
+        "MERGE (n:Person {name: 'Dana'}) ON CREATE SET n.age = 44",
+        "MERGE (n:Person {name: 'Alice'}) ON MATCH SET n.age = 31",
+        # idempotent: Bob->Carol already exists, MERGE must not duplicate
+        "MATCH (b:Person {name: 'Bob'}), (c:Person {name: 'Carol'}) "
+        "MERGE (b)-[:KNOWS]->(c)",
+        "CREATE (z:Person {name: 'Zed', age: 99})",
+        "MATCH (d:Person {name: 'Dana'}), (z:Person {name: 'Zed'}) "
+        "CREATE (d)-[:LIKES]->(z)",
+        "MATCH (z:Person {name: 'Zed'}) DETACH DELETE z",
+        # Alice->Bob KNOWS deleted? no — only Zed's edges; count stays 2
+    ]:
+        eng.query(stmt)
+    return eng.query(
+        """
+        MATCH (p:Person)
+        WITH count(*) AS n_people, sum(p.age) AS total_age
+        MATCH ()-[k:KNOWS]->()
+        RETURN n_people, total_age, count(*) AS n_knows
+        """
+    )
+
+
+@query(
+    "cypher_knn_l2",
+    f"""
+    WITH qe AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings WHERE vec_id = 7),
+    ee AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    s AS (SELECT vec_id, sum((v - qv) * (v - qv)) AS d2
+          FROM ee JOIN qe USING (i) GROUP BY vec_id)
+    SELECT vec_id + {ID_BASE["Document"]} AS nodeId,
+           round(sqrt(d2), 6) AS score
+    FROM s ORDER BY sqrt(d2), vec_id LIMIT 10
+    """,
+)
+def cypher_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VECTOR INDEX ... OPTIONS {similarity: 'l2'} then
+    db.index.vector.queryNodes: the procedure must honor the INDEX's
+    metric (reference vector/index.rs:71-77; parse_metric
+    http/vector.rs:44-48), returning nearest-by-euclidean-distance
+    ascending rather than the cosine default."""
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qv = [float(x) for x in embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    # fresh engine: the L2 index must not leak into the shared session
+    # other workloads use (their cosine default would flip to l2)
+    eng = CypherEngine(tpch_graph(spark, sf_dir))
+    eng.query(
+        "CREATE VECTOR INDEX docL2 FOR (d:Document) ON (d.embedding) "
+        "OPTIONS {dimensions: 64, similarity: 'l2'}"
+    )
+    out = eng.query(
+        "CALL db.index.vector.queryNodes('Document', 'embedding', $q, 10)",
+        {"q": qv},
+    )
+    return out.select("nodeId", F.round("score", 6).alias("score"))
