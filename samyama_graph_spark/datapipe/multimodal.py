@@ -46,16 +46,22 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_stub(content: bytes | None, dim: int) -> list[float]:
-    """Deterministic fake 'decode + embed': byte histogram folded to
-    ``dim`` floats.  Replace with a real codec (PIL/torchaudio/ffmpeg)
-    in production — signature and batch shape stay identical."""
+def _decode_embed(content: bytes | None, dim: int) -> list[float]:
+    """Decode + embed: PNG payloads are REALLY decoded (stdlib inflate
+    + unfilter, png_decode below) and the pixel bytes folded into a
+    ``dim``-float histogram; non-image payloads fall back to a raw
+    byte histogram so plumbing tests can run on arbitrary blobs.
+    Swap in PIL/torchaudio/ffmpeg for other codecs — signature and
+    batch shape stay identical."""
     if content is None:
         raise NotImplementedError("real decoder required for NULL-content rows")
+    data = content
+    if content[:8] == _PNG_MAGIC:
+        _w, _h, _ch, data = png_decode(content)
     acc = [0.0] * dim
-    for i, b in enumerate(content):
+    for i, b in enumerate(data):
         acc[i % dim] += b / 255.0
-    n = max(len(content), 1)
+    n = max(len(data), 1)
     return [round(x / n, 6) for x in acc]
 
 
@@ -79,7 +85,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                         lambda c: len(c) if c is not None else 0
                     ),
                     "feature": pdf["content"].map(
-                        lambda c: _decode_stub(c, dim) if c is not None else None
+                        lambda c: _decode_embed(c, dim) if c is not None else None
                     ),
                 }
             )
@@ -107,3 +113,185 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             ).alias("meta"),
         )
     )
+
+
+# ---------------------------------------------------------------- real PNG
+# Pure-stdlib PNG codec: no PIL in this environment, but PNG itself is
+# just zlib + per-scanline filters (RFC 2083), so the decode step can be
+# REAL — the mapInPandas kernel below parses actual image bytes.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(width: int, height: int, rgb: "list[tuple[int,int,int]]") -> bytes:
+    """Minimal RGB8 PNG writer (filter 0, one IDAT).  Deterministic:
+    fixed zlib level, no ancillary chunks."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # RGB8
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        for x in range(width):
+            r, g, b = rgb[y * width + x]
+            raw += bytes((r, g, b))
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(content: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG (8-bit gray/RGB/RGBA, all 5 scanline filters) to
+    ``(width, height, channels, raw_pixels)``.  Interlace unsupported."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, width, height, channels, bitdepth = 8, 0, 0, 0, 0
+    idat = bytearray()
+    while pos < len(content):
+        (ln,) = struct.unpack(">I", content[pos : pos + 4])
+        tag = content[pos + 4 : pos + 8]
+        payload = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, bitdepth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if bitdepth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNGs supported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _y in range(height):
+        ftype = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        out += line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode + per-channel statistics via Arrow-batched
+    mapInPandas: parses actual PNG bytes executor-side (width, height,
+    channels, channel means, ITU-R 601 luma).  This is the production
+    shape for multimodal feature extraction — swap png_decode for a
+    codec library without touching the Spark plumbing."""
+    from samyama_graph_spark.session import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, ch, px = png_decode(bytes(content))
+                n = w * h
+                sums = [0] * ch
+                for i in range(0, len(px), ch):
+                    for c in range(ch):
+                        sums[c] += px[i + c]
+                means = [s / n for s in sums]
+                r = means[0]
+                g = means[1] if ch >= 3 else means[0]
+                b = means[2] if ch >= 3 else means[0]
+                rows.append(
+                    (int(mid), w, h, ch, r, g, b,
+                     0.299 * r + 0.587 * g + 0.114 * b)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in IMAGE_STATS_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+
+
+def synthetic_png_media(
+    spark, n: int = 64, width: int = 8, height: int = 6
+) -> DataFrame:
+    """Deterministic REAL-PNG media table: pixel (x, y) of image k is
+    rgb((7k+3x+5y)%256, (11k+x+2y)%256, (13k+5x+y)%256) — arithmetic
+    an external oracle can replay without decoding.  Generation runs
+    executor-side (mapInPandas), never on the driver."""
+    from samyama_graph_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for k in pdf["id"]:
+                k = int(k)
+                rgb = [
+                    (
+                        (7 * k + 3 * x + 5 * y) % 256,
+                        (11 * k + x + 2 * y) % 256,
+                        (13 * k + 5 * x + y) % 256,
+                    )
+                    for y in range(height)
+                    for x in range(width)
+                ]
+                out.append(
+                    (k, "image", png_encode(width, height, rgb),
+                     ("image/png", width, height, None))
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -111,6 +111,28 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def component_sign_tables(
+    dim: int, num_tables: int, num_planes: int
+) -> list[list[list[float]]]:
+    """Axis-aligned LSH family: table t's planes are the unit basis
+    vectors e_{t*P+i} (wrapping past dim), so bucket bits are raw
+    component signs.  Weaker than random hyperplanes for correlated
+    dimensions but fully reproducible in plain SQL
+    (``embedding[j] >= 0``) — oracle-checked workloads use it so the
+    driver's DuckDB gate can recompute the exact candidate set."""
+    tables = []
+    j = 0
+    for _t in range(num_tables):
+        planes = []
+        for _i in range(num_planes):
+            v = [0.0] * dim
+            v[j % dim] = 1.0
+            j += 1
+            planes.append(v)
+        tables.append(planes)
+    return tables
+
+
 def knn_lsh(
     df: DataFrame,
     vec_col: str,
@@ -121,12 +143,15 @@ def knn_lsh(
     num_planes: int = 4,
     num_tables: int = 16,
     seed: int = 42,
+    tables: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe ``num_tables`` hyperplane-LSH tables,
     union candidates whose bucket matches the query's, re-rank
     exactly.  The scan prunes to matching buckets (a partition-
     prunable filter once bucket ids are materialized as a partition
-    column at write time)."""
+    column at write time).  ``tables`` overrides the pseudo-random
+    planes with an explicit per-table plane list (e.g.
+    component_sign_tables for SQL-reproducible bucketing)."""
     dim = len(query_vec)
     v = F.col(vec_col).cast("array<double>")
     # ONE scan: evaluate all tables' signatures in a single projection
@@ -139,14 +164,24 @@ def knn_lsh(
     # Column literals costs thousands of py4j round-trips (measured
     # 3-5s of pure driver time for 16x4 planes at dim=64 vs ~50ms for
     # the textual form; both plan identically).
+    if tables is not None:
+        num_tables = len(tables)
+        num_planes = len(tables[0])
     all_planes: list[list[float]] = []
     qbits: list[bool] = []
     for t in range(num_tables):
-        planes = _hyperplanes(dim, num_planes, seed + t * 1000)
+        planes = (
+            tables[t] if tables is not None
+            else _hyperplanes(dim, num_planes, seed + t * 1000)
+        )
         all_planes.extend(planes)
         for p in planes:
             qbits.append(sum(x * y for x, y in zip(query_vec, p)) >= 0)
     def dot_sql(p: list[float]) -> str:
+        hot = [i for i, x in enumerate(p) if x != 0.0]
+        if len(hot) == 1 and p[hot[0]] == 1.0:
+            # one-hot plane: the dot is just that component
+            return f"cast(`{vec_col}`[{hot[0]}] as double)"
         arr = "array(" + ",".join(repr(x) for x in p) + ")"
         return (
             f"aggregate(zip_with({arr}, cast(`{vec_col}` as array<double>), "
@@ -187,6 +222,88 @@ def knn_join_bruteforce(
     b = right.select(F.col(id_col).alias("y"), F.col(vec_col).cast("array<double>").alias("vy"))
     score, desc = _score(metric, F.col("vx"), F.col("vy"))
     scored = a.crossJoin(b).select("x", "y", score.alias("score"))
+    w = Window.partitionBy("x").orderBy(
+        F.desc("score") if desc else F.asc("score"), F.asc("y")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    metric: str = "cosine",
+    tables: list[list[list[float]]] | None = None,
+    dim: int | None = None,
+    num_tables: int = 8,
+    num_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Blocked batch k-NN join — the scale-safe DEFAULT for joining
+    two vector tables: LSH-bucket BOTH sides, equi-join per (table,
+    bucket), dedup candidate pairs, exact re-rank, top-k per left row:
+    ``(x, y, score, rn)``.
+
+    Candidate volume is the sum of per-bucket products — never the
+    all-pairs cross product (knn_join_bruteforce stays available as
+    the exact small-side fallback).  Approximate: recall rises with
+    ``num_tables``.  The bucket join shuffles both sides on
+    (table, bucket) — at rest, signatures become write-time partition
+    columns and the join is co-located.
+    """
+    from pyspark.sql import Window
+
+    if tables is None:
+        if dim is None:
+            first = left.select(F.size(vec_col).alias("d")).first()
+            dim = int(first["d"])
+        tables = [
+            _hyperplanes(dim, num_planes, seed + t * 1000)
+            for t in range(num_tables)
+        ]
+
+    def bucket_sql(planes: list[list[float]]) -> str:
+        def dot_sql(p: list[float]) -> str:
+            hot = [i for i, x in enumerate(p) if x != 0.0]
+            if len(hot) == 1 and p[hot[0]] == 1.0:
+                return f"cast(`{vec_col}`[{hot[0]}] as double)"
+            arr = "array(" + ",".join(repr(x) for x in p) + ")"
+            return (
+                f"aggregate(zip_with({arr}, cast(`{vec_col}` as "
+                "array<double>), (x, y) -> x * y), cast(0.0 as double), "
+                "(acc, d) -> acc + d)"
+            )
+
+        return " + ".join(
+            f"(CASE WHEN {dot_sql(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    sig = (
+        "array("
+        + ",".join(
+            f"struct({t} AS t, cast({bucket_sql(planes)} AS long) AS b)"
+            for t, planes in enumerate(tables)
+        )
+        + ")"
+    )
+
+    def side(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(id_out),
+            F.col(vec_col).cast("array<double>").alias(vec_out),
+            F.explode(F.expr(sig)).alias("tb"),
+        ).select(id_out, vec_out, F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+
+    a = side(left, "x", "vx")
+    b = side(right, "y", "vy")
+    cand = a.join(b, ["t", "b"]).select("x", "vx", "y", "vy").dropDuplicates(
+        ["x", "y"]
+    )
+    score, desc = _score(metric, F.col("vx"), F.col("vy"))
+    scored = cand.select("x", "y", score.alias("score"))
     w = Window.partitionBy("x").orderBy(
         F.desc("score") if desc else F.asc("score"), F.asc("y")
     )

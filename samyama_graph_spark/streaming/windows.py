@@ -18,8 +18,11 @@ from pyspark.sql import types as T
 
 EVENTS_SCHEMA = T.StructType(
     [
+        # ts as nanos-long is the DEFAULT (parquet TIMESTAMP(NANOS)
+        # under the legacy conf); events_stream swaps in the probed
+        # batch dtype when the source is MICROS/timestamp instead
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (parquet TIMESTAMP(NANOS))
+        T.StructField("ts", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -38,18 +41,32 @@ def events_stream(
     truncated to micros exactly like the batch loader; TIMESTAMP(MICROS)
     is already a timestamp), so stream and batch rows agree.
     """
+    from pyspark.errors import AnalysisException
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_nanos_long = (
-        dict(spark.read.parquet(sf_dir).dtypes).get("ts") == "bigint"
-    )
-    schema = EVENTS_SCHEMA
-    if not ts_is_nanos_long:
-        schema = T.StructType(
-            [
-                f if f.name != "ts" else T.StructField("ts", T.TimestampType())
-                for f in EVENTS_SCHEMA.fields
-            ]
+    try:
+        probed = spark.read.parquet(sf_dir).schema
+        ts_type = next(
+            (f.dataType for f in probed.fields if f.name == "ts"),
+            T.LongType(),
         )
+    except AnalysisException:
+        # empty / not-yet-populated source dir: start the stream with
+        # the default nanos-long assumption; batch parity holds once
+        # matching data arrives
+        ts_type = T.LongType()
+    if isinstance(ts_type, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+        # _TYPE); under the engine's fixed UTC session timezone the
+        # instant values are identical
+        ts_type = T.TimestampType()
+    ts_is_nanos_long = isinstance(ts_type, T.LongType)
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", ts_type)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
     path = sf_dir
     if path.endswith(".parquet") and os.path.isfile(path):
         # file-source streams require a directory: stage a symlink dir

@@ -20,7 +20,12 @@ from samyama_graph_spark.datapipe.dedup import (
     simhash_near_dups,
 )
 from samyama_graph_spark.datapipe.multimodal import extract_features, synthetic_media
-from samyama_graph_spark.datapipe.similarity import knn_bruteforce, knn_lsh
+from samyama_graph_spark.datapipe.similarity import (
+    component_sign_tables,
+    knn_bruteforce,
+    knn_join_lsh,
+    knn_lsh,
+)
 from samyama_graph_spark.datapipe.text import (
     STOPWORDS,
     LANG_MARKERS,
@@ -277,14 +282,120 @@ def knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("score", 6).alias("score"))
 
 
-@query("knn_lsh_top10", None)  # approximate: rows-only driver check
+_LSH_T, _LSH_P = 4, 8  # component-sign tables over components 0..31
+
+
+def _sign_bucket_sql(col: str, t: int, planes: int) -> str:
+    """DuckDB bucket expr for component-sign table t (1-based index)."""
+    return " + ".join(
+        f"(CASE WHEN CAST({col}[{t * planes + i + 1}] AS DOUBLE) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(planes)
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    """Exact SQL replay of the component-sign LSH probe: bucket every
+    row and the query in each table, keep rows sharing a bucket with
+    the query in ANY table, cosine re-rank top-10."""
+    eb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {_sign_bucket_sql('embedding', t, _LSH_P)} AS b "
+        "FROM embeddings"
+        for t in range(_LSH_T)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT {t} AS t, {_sign_bucket_sql('embedding', t, _LSH_P)} AS b "
+        "FROM embeddings WHERE vec_id = 0"
+        for t in range(_LSH_T)
+    )
+    return f"""
+    WITH eb AS ({eb}), qb AS ({qb}),
+    cand AS (SELECT DISTINCT eb.vec_id FROM eb JOIN qb USING (t, b)),
+    qe AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+    ee AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS v,
+                  generate_subscripts(e.embedding, 1) AS i
+           FROM embeddings e JOIN cand c ON c.vec_id = e.vec_id),
+    s AS (SELECT vec_id, sum(v * qv) AS dp, sum(v * v) AS nv, sum(qv * qv) AS nq
+          FROM ee JOIN qe USING (i) GROUP BY vec_id)
+    SELECT vec_id AS id, round(dp / (sqrt(nv) * sqrt(nq)), 6) AS score
+    FROM s ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id LIMIT 10
+    """
+
+
+@query("knn_lsh_top10", _lsh_oracle_sql())
 def knn_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN variant; recall vs brute force asserted in
-    tests/test_datapipe.py rather than an exact oracle."""
+    """LSH ANN probe, fully oracle-checked: the workload pins the LSH
+    family to axis-aligned component-sign tables so DuckDB can replay
+    bucketing + candidate pruning + exact re-rank value-for-value.
+    (The operator's default is random hyperplanes; recall vs brute
+    force for that family is asserted in tests/test_datapipe.py.)"""
     embs = _embs(spark, sf_dir)
     qv = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = knn_lsh(embs, "embedding", "vec_id", qv, k=10, metric="cosine")
+    out = knn_lsh(
+        embs, "embedding", "vec_id", qv, k=10, metric="cosine",
+        tables=component_sign_tables(len(qv), _LSH_T, _LSH_P),
+    )
     return out.select("id", F.round("score", 6).alias("score"))
+
+
+def _knn_join_oracle_sql(k: int = 5) -> str:
+    """SQL replay of the blocked k-NN join over component-sign tables:
+    bucket both sides, equi-join, dedup pairs, cosine re-rank top-k
+    per left row."""
+    lb = " UNION ALL ".join(
+        f"SELECT vec_id AS x, {t} AS t, "
+        f"{_sign_bucket_sql('embedding', t, _LSH_P)} AS b "
+        "FROM embeddings WHERE vec_id < 20"
+        for t in range(_LSH_T)
+    )
+    rb = " UNION ALL ".join(
+        f"SELECT vec_id AS y, {t} AS t, "
+        f"{_sign_bucket_sql('embedding', t, _LSH_P)} AS b "
+        "FROM embeddings"
+        for t in range(_LSH_T)
+    )
+    return f"""
+    WITH lb AS ({lb}), rb AS ({rb}),
+    pairs AS (SELECT DISTINCT lb.x, rb.y FROM lb JOIN rb USING (t, b)),
+    le AS (SELECT vec_id AS x, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id < 20),
+    re AS (SELECT vec_id AS y, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    s AS (SELECT p.x, p.y,
+                 sum(le.v * re.v)
+                   / (sqrt(sum(le.v * le.v)) * sqrt(sum(re.v * re.v))) AS sc
+          FROM pairs p
+          JOIN le ON le.x = p.x
+          JOIN re ON re.y = p.y AND re.i = le.i
+          GROUP BY p.x, p.y)
+    SELECT x, y, round(sc, 6) AS score, rn FROM (
+        SELECT x, y, sc,
+               row_number() OVER (PARTITION BY x ORDER BY sc DESC, y) AS rn
+        FROM s) WHERE rn <= {k}
+    """
+
+
+@query("knn_join_top5", _knn_join_oracle_sql())
+def knn_join_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked batch k-NN join (knn_join_lsh): top-5 right rows per
+    left row via (table, bucket) equi-join candidates — the scale-safe
+    default join (never all-pairs).  Component-sign tables make the
+    whole pipeline SQL-replayable for the gate."""
+    embs = _embs(spark, sf_dir)
+    dim = len(embs.select("embedding").first()["embedding"])
+    left = embs.filter(F.col("vec_id") < 20)
+    out = knn_join_lsh(
+        left, embs, "embedding", "vec_id", k=5, metric="cosine",
+        tables=component_sign_tables(dim, _LSH_T, _LSH_P),
+    )
+    return out.select(
+        "x", "y", F.round("score", 6).alias("score"),
+        F.col("rn").cast("long").alias("rn"),
+    )
 
 
 # ------------------------------------------------------------ text analysis
@@ -400,20 +511,60 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_stats(_docs(spark, sf_dir), "text", "doc_id")
 
 
-@query("knn_ivf_top10", None)  # approximate: rows-only driver check
+_IVF_C, _IVF_PROBE = 16, 4
+
+
+def _ivf_oracle_sql() -> str:
+    """SQL replay of the IVF probe: centroids = embeddings of the 16
+    lowest vec_ids; assign every vector to its max-cosine centroid
+    (tie -> lowest centroid id, matching ivf_assign's greatest(struct)
+    tie-break); probe the 4 cells nearest the query; exact re-rank."""
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid,
+                          CAST(unnest(embedding) AS DOUBLE) AS cv,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings WHERE vec_id < {_IVF_C}),
+    cnorm AS (SELECT cid, sqrt(sum(cv * cv)) AS n FROM cents GROUP BY cid),
+    ee AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    dots AS (SELECT e.vec_id, c.cid, sum(e.v * c.cv) / max(n.n) AS s
+             FROM ee e JOIN cents c USING (i) JOIN cnorm n ON n.cid = c.cid
+             GROUP BY e.vec_id, c.cid),
+    assign AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM dots) WHERE rn = 1),
+    probe AS (SELECT cid FROM dots WHERE vec_id = 0
+              ORDER BY s DESC, cid LIMIT {_IVF_PROBE}),
+    cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid),
+    qe AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 0),
+    s2 AS (SELECT e.vec_id, sum(e.v * q.qv) AS dp,
+                  sum(e.v * e.v) AS nv, sum(q.qv * q.qv) AS nq
+           FROM ee e JOIN qe q USING (i) JOIN cand c ON c.vec_id = e.vec_id
+           GROUP BY e.vec_id)
+    SELECT vec_id AS id, round(dp / (sqrt(nv) * sqrt(nq)), 6) AS score
+    FROM s2 ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id LIMIT 10
+    """
+
+
+@query("knn_ivf_top10", _ivf_oracle_sql())
 def knn_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: coarse-quantize to deterministic centroids (embeddings
-    of the lowest 16 vec_ids), probe the 4 nearest cells, exact
-    re-rank; recall vs brute force asserted in tests."""
+    """IVF ANN, fully oracle-checked: coarse-quantize to deterministic
+    centroids (embeddings of the lowest 16 vec_ids), probe the 4
+    nearest cells, exact re-rank.  The assignment, probe selection,
+    and re-rank are all replayed in SQL by the oracle."""
     from samyama_graph_spark.datapipe.similarity import knn_ivf
 
     embs = _embs(spark, sf_dir)
     cents = [
         [float(x) for x in r["embedding"]]
-        for r in embs.orderBy("vec_id").limit(16).collect()
+        for r in embs.orderBy("vec_id").limit(_IVF_C).collect()
     ]
     qv = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = knn_ivf(embs, "embedding", "vec_id", qv, cents, k=10, nprobe=4)
+    out = knn_ivf(embs, "embedding", "vec_id", qv, cents, k=10, nprobe=_IVF_PROBE)
     return out.select("id", F.round("score", 6).alias("score"))
 
 
@@ -432,6 +583,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------- PCA
 
 
+@query(
+    "pca_2d_closed_form",
+    """
+    WITH p AS (SELECT vec_id,
+                      CAST(embedding[1] AS DOUBLE) AS x,
+                      CAST(embedding[2] AS DOUBLE) AS y
+               FROM embeddings),
+    m AS (SELECT avg(x) AS mx, avg(y) AS my,
+                 count(*) AS n FROM p),
+    c AS (SELECT sum((x - mx) * (x - mx)) / (n - 1) AS a,
+                 sum((y - my) * (y - my)) / (n - 1) AS b,
+                 sum((x - mx) * (y - my)) / (n - 1) AS cxy,
+                 max(mx) AS mx, max(my) AS my
+          FROM p, m GROUP BY n),
+    -- major-axis angle of the 2x2 covariance: theta = atan2(2c, a-b)/2
+    e AS (SELECT cos(atan2(2 * cxy, a - b) / 2) AS ex,
+                 sin(atan2(2 * cxy, a - b) / 2) AS ey,
+                 mx, my FROM c)
+    SELECT vec_id AS id,
+           round(abs((x - mx) * ex + (y - my) * ey), 6) AS pc1_abs
+    FROM p, e
+    """,
+)
+def pca_2d_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME distributed PCA operator (one-pass Gram aggregation +
+    driver eigh + codegen projection, reference pca.rs) on a 2-d
+    sub-problem whose principal axis has a closed form the oracle
+    computes with atan2 — value-level gate coverage for the PCA path.
+    abs() fixes the eigenvector sign ambiguity."""
+    from samyama_graph_spark.algorithms import pca_fit, pca_transform
+
+    embs = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.array(
+            F.element_at("embedding", 1).cast("double"),
+            F.element_at("embedding", 2).cast("double"),
+        ).alias("v2"),
+    )
+    model = pca_fit(embs, "v2", n_components=1)
+    out = pca_transform(embs, "v2", model)
+    return out.select(
+        F.col("vec_id").alias("id"),
+        F.round(F.abs(F.element_at("pc", 1)), 6).alias("pc1_abs"),
+    )
+
+
 @query("pca_embeddings", None)  # eigendecomposition: rows-only driver check
 def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """algo PCA (reference pca.rs): fit top-2 components on the
@@ -447,4 +644,47 @@ def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.round(F.element_at("pc", 1), 6).alias("pc1"),
         F.round(F.element_at("pc", 2), 6).alias("pc2"),
+    )
+
+
+@query(
+    "multimodal_png_stats",
+    """
+    WITH imgs AS (SELECT unnest(generate_series(0, 63)) AS k),
+    px AS (SELECT k, x, y,
+                  (7 * k + 3 * x + 5 * y) % 256 AS r,
+                  (11 * k + x + 2 * y) % 256 AS g,
+                  (13 * k + 5 * x + y) % 256 AS b
+           FROM imgs,
+                (SELECT unnest(generate_series(0, 7)) AS x),
+                (SELECT unnest(generate_series(0, 5)) AS y))
+    SELECT k AS media_id, 8 AS width, 6 AS height, 3 AS channels,
+           round(avg(r), 6) AS mean_r,
+           round(avg(g), 6) AS mean_g,
+           round(avg(b), 6) AS mean_b,
+           round(0.299 * avg(r) + 0.587 * avg(g) + 0.114 * avg(b), 6)
+               AS mean_luma
+    FROM px GROUP BY k
+    """,
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal path: executor-side
+    synthesis of valid PNG bytes, then Arrow-batched mapInPandas
+    decode (stdlib inflate + unfilter) computing per-channel means.
+    Pixel values follow a known arithmetic formula, so the oracle
+    re-derives every statistic WITHOUT decoding — the gate fails
+    unless the PNG bytes were genuinely parsed correctly."""
+    from samyama_graph_spark.datapipe.multimodal import (
+        image_stats,
+        synthetic_png_media,
+    )
+
+    media = synthetic_png_media(spark, 64, width=8, height=6)
+    out = image_stats(media)
+    return out.select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_luma", 6).alias("mean_luma"),
     )

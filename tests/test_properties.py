@@ -108,3 +108,56 @@ def test_three_valued_logic(eng, ls, rs):
     for (a, b), (ga, go, gn) in zip(pairs, got):
         assert ga == k_and(a, b) and go == k_or(a, b)
         assert gn == (None if a is None else (not a))
+
+
+# ---------------------------------------------------------------------------
+# Mixed-type ORDER BY total order (reference property.rs:109-142):
+# Null < Boolean < Integer < Float < String < DateTime < Array, strict
+# type rank (an Integer sorts before a Float regardless of magnitude),
+# NaN orderable after +inf (total_cmp, property.rs:42-48).
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_type_total_order(spark):
+    from pyspark.sql import functions as F
+
+    from samyama_graph_spark.operators.ordering import order_mixed, variant
+
+    rows = [
+        # (tag, b, i, f, s, t, arr) -- expected ascending order below
+        ("null", None, None, None, None, None, None),
+        ("false", False, None, None, None, None, None),
+        ("true", True, None, None, None, None, None),
+        ("int_-5", None, -5, None, None, None, None),
+        ("int_999", None, 999, None, None, None, None),
+        ("float_-2.5", None, None, -2.5, None, None, None),
+        ("float_0.5", None, None, 0.5, None, None, None),
+        ("float_inf", None, None, float("inf"), None, None, None),
+        ("float_nan", None, None, float("nan"), None, None, None),
+        ("str_apple", None, None, None, "apple", None, None),
+        ("str_zed", None, None, None, "zed", None, None),
+        ("dt_2020", None, None, None, None, "2020-01-01 00:00:00", None),
+        ("dt_2024", None, None, None, None, "2024-06-01 00:00:00", None),
+        ("arr_a", None, None, None, None, None, ["a"]),
+        ("arr_b", None, None, None, None, None, ["b", "a"]),
+    ]
+    import random
+
+    shuffled = rows[:]
+    random.Random(7).shuffle(shuffled)
+    df = spark.createDataFrame(
+        shuffled,
+        "tag string, b boolean, i long, f double, s string, "
+        "ts string, arr array<string>",
+    ).select(
+        "tag",
+        variant(
+            b=F.col("b"), i=F.col("i"), f=F.col("f"), s=F.col("s"),
+            t=F.to_timestamp("ts"), arr=F.col("arr"),
+        ).alias("v"),
+    )
+    got = [r["tag"] for r in order_mixed(df, "v").select("tag").collect()]
+    assert got == [r[0] for r in rows], got
+    # 999 (Integer) sorts BEFORE -2.5 (Float): strict type rank,
+    # no numeric interleaving -- the reference's documented choice
+    assert got.index("int_999") < got.index("float_-2.5")
