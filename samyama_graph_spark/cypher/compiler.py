@@ -37,6 +37,16 @@ from samyama_graph_spark.cypher.functions import AGGREGATES, aggregate_fn
 from samyama_graph_spark.graph import PropertyGraph
 
 
+def _expr_var_names(e: A.Expr) -> set[str]:
+    """All variable names an expression references (transitively)."""
+    out: set[str] = set()
+    if isinstance(e, A.Variable):
+        out.add(e.name)
+    for c in _expr_children(e):
+        out |= _expr_var_names(c)
+    return out
+
+
 @dataclass
 class State:
     frame: DataFrame | None
@@ -45,6 +55,10 @@ class State:
     # correlated CALL {}: outer-binding columns that must survive every
     # projection and act as implicit grouping keys for aggregates
     carry: list[str] = field(default_factory=list)
+    # WHERE conjuncts not yet applied: pushed below expansions as soon
+    # as all their variables are bound (reference predicate pushdown,
+    # logical_optimizer.rs:24-80)
+    pending_where: list = field(default_factory=list)
 
     def fresh(self, prefix: str) -> str:
         self.anon += 1
@@ -230,10 +244,49 @@ class Compiler:
 
     # ------------------------------------------------------------ match
     def _match(self, st: State, clause: A.MatchClause) -> None:
+        """MATCH with predicate pushdown: WHERE conjuncts apply as soon
+        as every variable they mention is bound — BELOW later pattern
+        joins and, critically, below var-length / shortestPath BFS
+        (``WHERE id(c) <= k`` prunes the start set before the traversal
+        instead of filtering its output).  Subquery-bearing conjuncts
+        (EXISTS{} etc.) keep their original post-pattern placement.
+        Mirrors logical_optimizer.rs:24-80.
+        """
+        pushable: list[A.Expr] = []
+        deferred: list[A.Expr] = []
+        if clause.where is not None:
+            for c in self._split_conjuncts(clause.where):
+                subs: list[A.Expr] = []
+                self._collect_subqueries(c, subs)
+                (deferred if subs else pushable).append(c)
+        st.pending_where = st.pending_where + pushable
         for path in clause.paths:
             self._add_path(st, path)
-        if clause.where is not None:
-            self._apply_where(st, clause.where)
+            self._apply_ready_predicates(st)
+        # anything still pending references vars this MATCH never bound
+        # -> surface the compile error via the normal path
+        leftover = st.pending_where + deferred
+        st.pending_where = []
+        for c in leftover:
+            self._apply_where(st, c)
+
+    def _apply_ready_predicates(self, st: State) -> None:
+        """Filter by every pending WHERE conjunct whose variables are
+        all bound in the current scope."""
+        if not st.pending_where or st.frame is None:
+            return
+        ready, waiting = [], []
+        for c in st.pending_where:
+            vars_ = _expr_var_names(c)
+            (ready if vars_ <= set(st.scope.vars) else waiting).append(c)
+        st.pending_where = waiting
+        if ready:
+            self._refresh_dtypes(st)
+            cond = None
+            for c in ready:
+                col = compile_expr(c, st.scope)
+                cond = col if cond is None else (cond & col)
+            st.frame = st.frame.filter(cond)
 
     def _bind_node(self, st: State, np: A.NodePattern) -> str:
         """Ensure the node pattern's variable is bound; returns var name."""
@@ -402,6 +455,8 @@ class Compiler:
         ep = path.edges[0]
         lvar = self._bind_node(st, path.nodes[0])
         rvar = self._bind_node(st, path.nodes[1])
+        # prune endpoint sets BEFORE the BFS (pushdown below expansion)
+        self._apply_ready_predicates(st)
         if ep.types:
             edges = self._typed_edge_pairs(ep.types)
         else:
@@ -458,6 +513,8 @@ class Compiler:
             var_length_paths,
         )
 
+        # prune the start set BEFORE the BFS (pushdown below expansion)
+        self._apply_ready_predicates(st)
         materialize = want_path or ep.var is not None
         if ep.types:
             edges = (

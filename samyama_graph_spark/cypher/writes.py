@@ -216,22 +216,53 @@ class WriteExecutor:
                 self._append_edges(et, row, n=1)
             return
 
-        # frame-bound CREATE: only edges between bound nodes + new nodes
-        # anchored per row
+        # frame-bound CREATE: edges between bound nodes, plus per-row
+        # creation of unbound pattern nodes (CreateNodesAndEdgesOperator,
+        # operator.rs:5950): MATCH (c) CREATE (c)-[:R]->(x:L {p: c.q})
+        # makes one x per frame row
         frame = st.frame
+        pos_var: dict[int, str] = {}
         for i, np in enumerate(path.nodes):
             var = np.var
-            if var is None or var not in scope.vars:
-                raise CompileError(
-                    "CREATE with a frame requires all pattern nodes bound "
-                    "(per-row node creation lands in a later round)"
-                )
+            if var is not None and var in scope.vars:
+                pos_var[i] = var
+                continue
+            label = np.labels[0] if np.labels else None
+            if label is None:
+                raise CompileError("CREATE node requires a label")
+            var = var or f"__new_{i}"
+            pos_var[i] = var
+            from pyspark.sql import Window
+
+            base = self._next_id_base()
+            # sequential ids via a global row_number: correct and
+            # contiguous; at bulk-ingest scale switch to an id range
+            # reserved per partition (monotonically_increasing_id style)
+            w = Window.orderBy(F.monotonically_increasing_id())
+            idc = (F.row_number().over(w).cast("long") + F.lit(base - 1))
+            prop_cols = [
+                compile_expr(v, scope).alias(k)
+                for k, v in np.properties.items()
+            ]
+            frame = frame.withColumn(
+                var, F.struct(idc.alias("id"), *prop_cols)
+            )
+            frame = frame.localCheckpoint(eager=False)  # pin assigned ids
+            new_rows = frame.select(
+                F.col(f"{var}.id").alias("id"),
+                *[F.col(f"{var}.{k}").alias(k) for k in np.properties],
+            )
+            before = self.counters["nodes_created"]
+            self._append_nodes(label, new_rows)  # counts rows (one job)
+            self.id_hint = base + (self.counters["nodes_created"] - before)
+            scope.vars[var] = VarInfo("node", var, label)
+            st.frame = frame
         for i, ep in enumerate(path.edges):
             et = ep.types[0] if ep.types else None
             if et is None:
                 raise CompileError("CREATE edge requires a type")
-            lvar = path.nodes[i].var
-            rvar = path.nodes[i + 1].var
+            lvar = pos_var[i]
+            rvar = pos_var[i + 1]
             src, dst = (lvar, rvar) if ep.direction != "in" else (rvar, lvar)
             cols = [
                 F.col(f"{src}.id").alias("src"),

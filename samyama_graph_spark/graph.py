@@ -79,14 +79,53 @@ class PropertyGraph:
         return sorted(keys)
 
     def schema_visualization(self) -> DataFrame:
-        """db.schema.visualization: distinct (src_label, type, dst_label)."""
-        rows = [
+        """db.schema.visualization: distinct (src_label, type, dst_label).
+
+        Edge types whose endpoint label is not statically declared
+        (e.g. a type fed by several labels) are resolved from the DATA:
+        endpoint ids join a label-lookup frame and the distinct label
+        pairs actually present are emitted — the reference scans real
+        connectivity the same way (SchemaVisualizationOperator,
+        operator.rs:5785)."""
+        declared = [
             (m.src_label, t, m.dst_label)
             for t, m in sorted(self.edge_meta.items())
+            if m.src_label is not None and m.dst_label is not None
         ]
-        return self.spark.createDataFrame(
-            rows or [(None, None, None)], "src_label string, type string, dst_label string"
+        unresolved = [
+            t for t, m in sorted(self.edge_meta.items())
+            if m.src_label is None or m.dst_label is None
+        ]
+        out = self.spark.createDataFrame(
+            declared or [(None, None, None)],
+            "src_label string, type string, dst_label string",
         ).filter(F.col("type").isNotNull())
+        if unresolved and self.nodes:
+            lookup = None
+            for label, df in self.nodes.items():
+                part = df.select(
+                    F.col(ID).alias("__lid"), F.lit(label).alias("__label")
+                )
+                lookup = part if lookup is None else lookup.unionByName(part)
+            for t in unresolved:
+                e = self.edges[t].select(SRC, DST)
+                pairs = (
+                    e.join(
+                        lookup.withColumnRenamed("__label", "src_label"),
+                        e[SRC] == F.col("__lid"),
+                    )
+                    .drop("__lid")
+                    .join(
+                        lookup.withColumnRenamed("__label", "dst_label"),
+                        F.col(DST) == F.col("__lid"),
+                    )
+                    .select(
+                        "src_label", F.lit(t).alias("type"), "dst_label"
+                    )
+                    .distinct()
+                )
+                out = out.unionByName(pairs)
+        return out
 
     def compacted(self, partitions: int = 8) -> "PropertyGraph":
         """Collapse accumulated write deltas: coalesce each table and

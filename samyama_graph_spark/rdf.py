@@ -278,23 +278,50 @@ class RdfStore:
         return self._df.select("o").distinct()
 
     # -------------------------------------------------------------- I/O
+    def ntriples_lines(self) -> DataFrame:
+        """Default-graph triples serialized to N-Triples lines as ONE
+        string column ``line`` — pure Catalyst expressions, so the
+        serialization runs distributed (reference ntriples.rs:45-77
+        serializes on one thread; here every partition formats its own
+        rows and ``write_ntriples`` streams them straight to storage
+        without touching the driver)."""
+        esc = F.col("o")
+        for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")):
+            esc = F.replace(esc, F.lit(a), F.lit(b))
+        s_term = F.when(
+            F.col("s").startswith("_:"), F.col("s")
+        ).otherwise(F.concat(F.lit("<"), F.col("s"), F.lit(">")))
+        o_term = (
+            F.when(F.col("o_kind") == IRI,
+                   F.concat(F.lit("<"), F.col("o"), F.lit(">")))
+            .when(F.col("o_kind") == BLANK, F.col("o"))
+            .when(F.col("o_lang").isNotNull(),
+                  F.concat(F.lit('"'), esc, F.lit('"@'), F.col("o_lang")))
+            .when(F.col("o_datatype").isNotNull(),
+                  F.concat(F.lit('"'), esc, F.lit('"^^<'),
+                           F.col("o_datatype"), F.lit(">")))
+            .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+        )
+        return self._df.filter(F.col("g").isNull()).select(
+            F.concat(
+                s_term, F.lit(" <"), F.col("p"), F.lit("> "), o_term,
+                F.lit(" ."),
+            ).alias("line")
+        )
+
+    def write_ntriples(self, path: str) -> None:
+        """Distributed N-Triples export: ``df.write.text`` of per-row
+        serialized lines — the 100TB path (no driver collect)."""
+        self.ntriples_lines().write.mode("overwrite").text(path)
+
     def to_ntriples(self) -> str:
-        """Serialize the default graph (reference ntriples.rs:45-77)."""
-        lines = []
-        for r in self._df.filter(F.col("g").isNull()).collect():
-            s = (
-                r["s"]
-                if r["s"].startswith("_:")
-                else f"<{r['s']}>"
-            )
-            o = Term(
-                r["o"][2:] if r["o_kind"] == BLANK else r["o"],
-                r["o_kind"],
-                r["o_datatype"],
-                r["o_lang"],
-            ).ntriples()
-            lines.append(f"{s} <{r['p']}> {o} .")
-        return "\n".join(sorted(lines))
+        """Serialize the default graph to one string (test-scale
+        convenience; serialization itself is distributed, only the
+        final line gather hits the driver)."""
+        return "\n".join(
+            sorted(r["line"] for r in self.ntriples_lines().collect())
+        )
 
     # ------------------------------------------------------------ SPARQL
     def sparql(self, query: str) -> DataFrame:

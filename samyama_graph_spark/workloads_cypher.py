@@ -319,7 +319,7 @@ def cypher_shortest_path_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically."""
     out = _engine(spark, sf_dir).query(
         """
-        MATCH p = shortestPath((c:Customer)-[*..3]->(r:Region))
+        MATCH p = shortestPath((c:Customer)-[:IN_NATION|IN_REGION*..3]->(r:Region))
         WHERE id(c) <= $cmax
         RETURN c.name AS name, length(p) AS len,
                nodes(p) AS ns, relationships(p) AS rels
@@ -482,3 +482,41 @@ def cypher_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"q": qv},
     )
     return out.select("nodeId", F.round("score", 6).alias("score"))
+
+
+@query(
+    "cypher_show_introspection",
+    """
+    SELECT 'Customer' AS label UNION ALL SELECT 'Document'
+    UNION ALL SELECT 'Nation' UNION ALL SELECT 'Order'
+    UNION ALL SELECT 'Part' UNION ALL SELECT 'Region'
+    UNION ALL SELECT 'Supplier'
+    """,
+)
+def cypher_show_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW LABELS through the DDL short-circuit (reference
+    ShowLabelsOperator operator.rs:5654): the TPC-H projection's label
+    set is fixed, so the oracle lists it verbatim."""
+    return _engine(spark, sf_dir).query("SHOW LABELS")
+
+
+@query(
+    "cypher_schema_visualization",
+    """
+    SELECT * FROM (VALUES
+        ('Order', 'CONTAINS', 'Part'),
+        ('Nation', 'IN_REGION', 'Region'),
+        ('Customer', 'PLACED', 'Order'),
+        ('Part', 'SUPPLIED_BY', 'Supplier'),
+        ('Customer', 'IN_NATION', 'Nation'),
+        ('Supplier', 'IN_NATION', 'Nation')
+    ) AS t(src_label, type, dst_label)
+    """,
+)
+def cypher_schema_visualization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL db.schema.visualization (reference
+    SchemaVisualizationOperator operator.rs:5785): distinct
+    (src_label, type, dst_label) triples of the projected graph."""
+    return _engine(spark, sf_dir).query(
+        "CALL db.schema.visualization() YIELD src_label, type, dst_label"
+    )

@@ -146,3 +146,21 @@ def test_remove_label(spark):
     )
     # removing an absent label is a no-op
     eng.query("MATCH (p:Person) REMOVE p:Ghost")
+
+
+def test_match_create_per_row_nodes(engine):
+    """Per-row node creation (CreateNodesAndEdgesOperator,
+    operator.rs:5950): one new node + edge per MATCH row."""
+    engine.query(
+        "MATCH (p:Person) CREATE (p)-[:HAS]->(s:Shadow {of: p.name})"
+    )
+    rows = engine.query(
+        "MATCH (p:Person)-[:HAS]->(s:Shadow) "
+        "RETURN p.name AS n, s.of AS o"
+    ).collect()
+    assert sorted((r["n"], r["o"]) for r in rows) == [
+        ("Alice", "Alice"), ("Bob", "Bob")
+    ]
+    ids = [r[0] for r in engine.query(
+        "MATCH (s:Shadow) RETURN id(s) AS i").collect()]
+    assert len(ids) == len(set(ids)) == 2
