@@ -28,11 +28,11 @@ def wcc(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
     round.  (Hash-to-min converges fine at this diameter; large-star/
     small-star would cut round count on very-high-diameter graphs.)
     """
-    und = checkpoint(symmetrize(edges))
+    und = checkpoint(symmetrize(edges), eager=False)
     comp = vertices_from_edges(edges).select(
         "id", F.col("id").alias("component")
     )
-    comp = checkpoint(comp)
+    comp = checkpoint(comp, eager=False)
 
     for _ in range(max_iterations):
         # candidate = min component among in-neighbors (undirected: all)
@@ -77,9 +77,9 @@ def cdlp(edges: DataFrame, iterations: int = 10) -> DataFrame:
     """
     fwd = edges.select("src", "dst")
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    nbrs = checkpoint(fwd.unionAll(rev))
+    nbrs = checkpoint(fwd.unionAll(rev), eager=False)
     labels = vertices_from_edges(edges).select("id", F.col("id").alias("label"))
-    labels = checkpoint(labels)
+    labels = checkpoint(labels, eager=False)
 
     for it in range(iterations):
         counts = (

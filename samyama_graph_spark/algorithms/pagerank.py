@@ -52,7 +52,7 @@ def pagerank(
     )
     # (id, out_deg) with 0 for sinks; reused every iteration — cache-worthy.
     deg = v.join(out_deg, "id", "left").fillna(0, subset=["out_deg"])
-    deg = checkpoint(deg)
+    deg = checkpoint(deg, eager=False)  # materializes in round-1 job
 
     ranks = deg.withColumn("rank", F.lit(1.0 / n))
 

@@ -29,7 +29,10 @@ def bfs(
     src and anti-joins the visited set — the reference's visited-set
     BFS (operator.rs:3003) in shuffle form.
     """
-    e = checkpoint(edges.select("src", "dst") if directed else symmetrize(edges))
+    e = checkpoint(
+        edges.select("src", "dst") if directed else symmetrize(edges),
+        eager=False,
+    )
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(source, 0, None)], "id long, depth int, parent long"
@@ -90,7 +93,7 @@ def sssp(
                 F.col(weight_col).cast("double").alias("w"),
             )
         )
-    e = checkpoint(e)
+    e = checkpoint(e, eager=False)
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(source, 0.0, None)], "id long, dist double, parent long"

@@ -22,23 +22,45 @@ from pyspark.sql import functions as F
 from samyama_graph_spark.algorithms.util import checkpoint, vertices_from_edges
 
 
-def _min_propagate(
-    edges: DataFrame, verts: DataFrame, max_rounds: int
+def _min_propagate_bidir(
+    e: DataFrame, verts: DataFrame, max_rounds: int
 ) -> DataFrame:
-    """Directed min-label propagation: label(v) = min id over
-    {u : path u ->* v} ∪ {v}.  Returns (id, label)."""
-    labels = checkpoint(verts.select("id", F.col("id").alias("label")))
+    """Forward AND backward min-label propagation in ONE loop: edges
+    carry a direction tag (0 = original orientation, 1 = reversed) and
+    labels are keyed (dir, id), so each round is a single join +
+    aggregation + fused convergence count instead of two independent
+    loops — half the scheduled jobs, same fixpoint.  Returns
+    ``(id, f, b)``: min id that reaches v / min id v reaches."""
+    both = e.select(F.lit(0).alias("d"), "src", "dst").unionByName(
+        e.select(
+            F.lit(1).alias("d"),
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+        )
+    )
+    both = checkpoint(both, eager=False)
+    labels = checkpoint(
+        verts.select("id", F.col("id").alias("label"))
+        .crossJoin(F.broadcast(
+            verts.sparkSession.range(2).select(F.col("id").alias("d"))
+        ))
+        .select("d", "id", "label"),
+        eager=False,
+    )
     for _ in range(max_rounds):
         cand = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy(F.col("dst").alias("id"))
+            both.join(
+                labels,
+                (both["src"] == labels["id"]) & (both["d"] == labels["d"]),
+            )
+            .groupBy(both["d"].alias("d"), F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        # changed flag carried inside the frame: the count() below
-        # materializes the lazy checkpoint AND tests the fixpoint in
-        # one scheduled job (see components.wcc)
+        # changed flag inside the frame: one job materializes the lazy
+        # checkpoint AND tests the fixpoint (see components.wcc)
         new_labels = checkpoint(
-            labels.join(cand, "id", "left").select(
+            labels.join(cand, ["d", "id"], "left").select(
+                "d",
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
@@ -50,10 +72,12 @@ def _min_propagate(
             eager=False,
         )
         changed = new_labels.filter("chg").count()
-        labels = new_labels.select("id", "label")
+        labels = new_labels.select("d", "id", "label")
         if changed == 0:
             break
-    return labels
+    fwd = labels.filter(F.col("d") == 0).select("id", F.col("label").alias("f"))
+    bwd = labels.filter(F.col("d") == 1).select("id", F.col("label").alias("b"))
+    return fwd.join(bwd, "id")
 
 
 def scc(
@@ -61,34 +85,31 @@ def scc(
 ) -> DataFrame:
     """``(id, component)`` where component is the minimum vertex id of
     the strongly connected component."""
-    e_all = checkpoint(edges.select("src", "dst").distinct())
-    remaining = checkpoint(vertices_from_edges(edges))
-    rev = e_all.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e_all = checkpoint(edges.select("src", "dst").distinct(), eager=False)
+    remaining = checkpoint(vertices_from_edges(edges), eager=False)
     spark = edges.sparkSession
     result: DataFrame | None = None
 
     for _ in range(max_outer):
-        if remaining.limit(1).count() == 0:
+        # full count (not limit(1)): materializes every partition of the
+        # lazily-checkpointed frame before lineage truncation
+        if remaining.count() == 0:
             break
         ids = remaining.select("id")
         e = (
             e_all.join(ids, e_all["src"] == ids["id"], "left_semi")
             .join(ids, F.col("dst") == ids["id"], "left_semi")
         )
-        e = checkpoint(e)
-        erev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        fwd = _min_propagate(e, remaining, max_inner)
-        bwd = _min_propagate(erev, remaining, max_inner)
+        fb = _min_propagate_bidir(e, remaining, max_inner)
         settled = (
-            fwd.withColumnRenamed("label", "f")
-            .join(bwd.withColumnRenamed("label", "b"), "id")
-            .filter(F.col("f") == F.col("b"))
+            fb.filter(F.col("f") == F.col("b"))
             .select("id", F.col("f").alias("component"))
         )
-        settled = checkpoint(settled)
+        settled = checkpoint(settled, eager=False)
         result = settled if result is None else result.unionByName(settled)
         remaining = checkpoint(
-            remaining.join(settled.select("id"), "id", "left_anti")
+            remaining.join(settled.select("id"), "id", "left_anti"),
+            eager=False,
         )
     if result is None:
         result = spark.createDataFrame([], "id long, component long")

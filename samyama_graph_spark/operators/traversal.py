@@ -67,11 +67,12 @@ def var_length_expand(
     """
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
-    e = checkpoint(_directed_view(edges, direction))
+    e = checkpoint(_directed_view(edges, direction), eager=False)
     frontier = checkpoint(
         starts.select(
             F.col(id_col).alias("start"), F.col(id_col).alias("node")
-        ).distinct()
+        ).distinct(),
+        eager=False,  # materialized by the count() below
     )
     visited = frontier.withColumn("hops", F.lit(0))
     frontier_n = visited_n = frontier.count()
@@ -187,7 +188,7 @@ def var_length_paths(
     """
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
-    e = checkpoint(_typed_view(edges, direction))
+    e = checkpoint(_typed_view(edges, direction), eager=False)
     base = (
         starts.select(F.col(id_col).cast("long").alias("start"))
         .distinct()
@@ -199,7 +200,7 @@ def var_length_paths(
             F.lit(0).alias("hops"),
         )
     )
-    frontier = checkpoint(base)
+    frontier = checkpoint(base, eager=False)
     visited = frontier.select("start", "node")
     out_frames = [frontier]
 
