@@ -384,13 +384,30 @@ class WriteExecutor:
             info = st.scope.vars.get(var)
             if info is None or info.kind != "node" or info.label is None:
                 raise CompileError(f"SET target {var} must be a labeled node")
-            updates = st.frame.select(
+            valnames = [f"__new_{it.target.key}" for it in var_items]
+            sel = [
                 F.col(f"{var}.id").alias("id"),
                 *[
-                    compile_expr(it.value, st.scope).alias(f"__new_{it.target.key}")
-                    for it in var_items
+                    compile_expr(it.value, st.scope).alias(n)
+                    for it, n in zip(var_items, valnames)
                 ],
-            ).dropDuplicates(["id"])
+            ]
+            if "__foreach_pos" in st.frame.columns:
+                # several update rows per id (FOREACH): the highest
+                # list position wins — sequential-iteration semantics
+                updates = (
+                    st.frame.select(*sel, "__foreach_pos")
+                    .groupBy("id")
+                    .agg(
+                        F.max_by(
+                            F.struct(*valnames), F.col("__foreach_pos")
+                        ).alias("__vals")
+                    )
+                    .select("id", *[F.col(f"__vals.{n}").alias(n)
+                                    for n in valnames])
+                )
+            else:
+                updates = st.frame.select(*sel).dropDuplicates(["id"])
             self._apply_updates(info.label, updates,
                                 {it.target.key: f"__new_{it.target.key}" for it in var_items})
 
@@ -460,8 +477,13 @@ class WriteExecutor:
         if st.frame is None:
             raise CompileError("FOREACH requires a preceding MATCH/WITH")
         src = compile_expr(clause.source, st.scope)
+        # posexplode: the element ORDER drives last-write-wins when
+        # several SETs touch the same node (sequential FOREACH
+        # semantics, ForeachOperator operator.rs:7425)
         exploded = State(
-            st.frame.select("*", F.explode(src).alias(clause.var)),
+            st.frame.select(
+                "*", F.posexplode(src).alias("__foreach_pos", clause.var)
+            ),
             Scope(dict(st.scope.vars), st.scope.params),
         )
         exploded.scope.vars[clause.var] = VarInfo("value", clause.var)

@@ -401,8 +401,8 @@ def cypher_var_length_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cypher_write_pipeline",
     """
-    SELECT 4::BIGINT AS n_people, 133::BIGINT AS total_age,
-           2::BIGINT AS n_knows
+    SELECT 4::BIGINT AS n_people, 100::BIGINT AS total_age,
+           2::BIGINT AS n_knows, 3::BIGINT AS total_bonus
     """,
 )
 def cypher_write_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,11 +410,13 @@ def cypher_write_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator.rs:5157-7425, fixture style tests/advanced_cypher.rs:17-40):
     CREATE nodes + edge patterns, MATCH..CREATE, MERGE ON CREATE SET /
     ON MATCH SET, MERGE edge idempotence, DETACH DELETE — then a
-    deterministic aggregate over the final session graph.  The oracle
-    is the analytically-known final state: Alice(31)+Bob(25)+Carol(33)
-    +Dana(44) = 4 people, 133 total age, 2 KNOWS edges (the MERGE must
-    NOT duplicate Bob->Carol; Zed and his incident LIKES edge must be
-    gone)."""
+    MERGE ON CREATE SET /
+    ON MATCH SET, MERGE edge idempotence, DETACH DELETE, REMOVE, and
+    FOREACH|SET — then a deterministic aggregate over the final session
+    graph.  Oracle = the analytically-known final state: 4 people,
+    total age 100 (Carol's REMOVEd age excluded), 2 KNOWS edges (MERGE
+    must not duplicate Bob->Carol; Zed and his incident LIKES edge
+    gone), bonus 3 (FOREACH last write wins)."""
     from samyama_graph_spark.graph import PropertyGraph
 
     eng = CypherEngine(PropertyGraph(spark, {}, {}))
@@ -433,15 +435,20 @@ def cypher_write_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (d:Person {name: 'Dana'}), (z:Person {name: 'Zed'}) "
         "CREATE (d)-[:LIKES]->(z)",
         "MATCH (z:Person {name: 'Zed'}) DETACH DELETE z",
-        # Alice->Bob KNOWS deleted? no — only Zed's edges; count stays 2
+        # REMOVE drops Carol's age (33): total_age = 31 + 25 + 44 = 100
+        "MATCH (p:Person {name: 'Carol'}) REMOVE p.age",
+        # FOREACH applies SET per list element; last write wins -> 3
+        "MATCH (p:Person {name: 'Dana'}) "
+        "FOREACH (i IN [1, 2, 3] | SET p.bonus = i)",
     ]:
         eng.query(stmt)
     return eng.query(
         """
         MATCH (p:Person)
-        WITH count(*) AS n_people, sum(p.age) AS total_age
+        WITH count(*) AS n_people, sum(p.age) AS total_age,
+             sum(p.bonus) AS total_bonus
         MATCH ()-[k:KNOWS]->()
-        RETURN n_people, total_age, count(*) AS n_knows
+        RETURN n_people, total_age, count(*) AS n_knows, total_bonus
         """
     )
 
@@ -519,4 +526,72 @@ def cypher_schema_visualization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src_label, type, dst_label) triples of the projected graph."""
     return _engine(spark, sf_dir).query(
         "CALL db.schema.visualization() YIELD src_label, type, dst_label"
+    )
+
+
+@query(
+    "cypher_ic2_recent_orders",
+    """
+    SELECT p.c_name AS peer, o.o_orderkey + 6000000000 AS oid,
+           CAST(o.o_orderdate AS VARCHAR) AS odate
+    FROM customer me
+    JOIN customer p ON p.c_nationkey = me.c_nationkey
+    JOIN orders o ON o.o_custkey = p.c_custkey
+    WHERE me.c_custkey = 1 AND o.o_orderdate < DATE '1996-01-01'
+    ORDER BY o.o_orderdate DESC, oid
+    LIMIT 20
+    """,
+)
+def cypher_ic2_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDBC SNB IC2 shape (reference benches/ldbc_benchmark.rs:1-80:
+    friend's recent messages): same-nation peers' orders before a date,
+    newest first, top 20 — expand out + expand in + date predicate +
+    multi-key DESC/ASC sort + limit, the canonical interactive-read
+    operator chain (planner.rs:1047-1230)."""
+    out = _engine(spark, sf_dir).query(
+        """
+        MATCH (me:Customer)-[:IN_NATION]->(:Nation)<-[:IN_NATION]-(p:Customer),
+              (p)-[:PLACED]->(o:Order)
+        WHERE id(me) = $me AND o.orderdate < date('1996-01-01')
+        RETURN p.name AS peer, id(o) AS oid,
+               toString(o.orderdate) AS odate
+        ORDER BY o.orderdate DESC, oid
+        LIMIT 20
+        """,
+        {"me": ID_BASE["Customer"] + 1},
+    )
+    return out
+
+
+@query(
+    "cypher_bi_priority_months",
+    """
+    SELECT o_orderpriority AS prio,
+           substring(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY prio, month
+    HAVING count(*) >= 20
+    ORDER BY n DESC, prio, month
+    LIMIT 25
+    """,
+)
+def cypher_bi_priority_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDBC SNB BI shape (benches/ldbc_bi_benchmark.rs): full-scan
+    grouped aggregation with a post-aggregation WITH ... WHERE filter
+    (HAVING), string projection of a date, and a top-k over the
+    aggregate — WithBarrierOperator + AggregateOperator end-to-end
+    (operator.rs:7715, :3683)."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (o:Order)
+        WITH o.orderpriority AS prio,
+             substring(toString(o.orderdate), 0, 7) AS month,
+             count(*) AS n, round(sum(o.totalprice), 2) AS revenue
+        WHERE n >= 20
+        RETURN prio, month, n, revenue
+        ORDER BY n DESC, prio, month
+        LIMIT 25
+        """
     )

@@ -119,3 +119,32 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_windows(stream, gap="10 minutes"), _qname("wl_sessions"),
         "complete",
     )
+
+
+@query(
+    "streaming_sliding_windows",
+    """
+    WITH e AS (
+        SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS t30
+        FROM events
+    ),
+    w AS (
+        SELECT event_type, t30 AS window_start FROM e
+        UNION ALL
+        SELECT event_type, t30 - INTERVAL 30 MINUTE FROM e
+    )
+    SELECT event_type, window_start, count(*) AS n
+    FROM w GROUP BY event_type, window_start
+    """,
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour / 30 min slide): every event lands in
+    exactly two windows whose starts are the 30-minute buckets at and
+    before it — which is precisely how the oracle enumerates them."""
+    from samyama_graph_spark.streaming.windows import sliding_windows
+
+    stream = events_stream(spark, f"{sf_dir}/events.parquet")
+    return run_stream_to_memory(
+        sliding_windows(stream, "1 hour", "30 minutes"),
+        _qname("wl_sliding"), "complete",
+    )
