@@ -571,10 +571,22 @@ def knn_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- multimodal
 
 
-@query("multimodal_features", None)  # stubbed decode: rows-only check
+@query(
+    "multimodal_features",
+    """
+    SELECT k AS media_id,
+           CAST(length('payload-' || CAST(k AS VARCHAR)) AS BIGINT)
+               AS n_bytes,
+           8 AS dim
+    FROM (SELECT unnest(generate_series(0, 63)) AS k)
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary media
-    (decode kernel stubbed; plumbing real)."""
+    """Arrow-batched mapInPandas feature extraction over binary media:
+    byte-level payloads flow executor-side through the decode+embed
+    kernel; the projected sizes are arithmetic the oracle replays.
+    (Real PNG pixel decoding is value-checked by multimodal_png_stats.)
+    """
     media = synthetic_media(spark, 64)
     feats = extract_features(media, dim=8)
     return feats.select("media_id", "n_bytes", F.size("feature").alias("dim"))
