@@ -582,3 +582,23 @@ def test_time_of_day_functions(engine):
     ]
     now = rows(engine, "RETURN time() AS t")[0][0]
     assert 0 <= now < 86_400_000
+
+
+def test_order_by_null_position(spark):
+    """Reference total order (property.rs:109-142): Null is the
+    SMALLEST value, so ORDER BY ASC puts null-aged rows first and
+    DESC puts them last — Spark's default null ordering agrees."""
+    from samyama_graph_spark.cypher import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    persons = spark.createDataFrame(
+        [(1, "a", 30), (2, "b", None), (3, "c", 10)],
+        "id long, name string, age long",
+    )
+    eng = CypherEngine(PropertyGraph(spark, {"Person": persons}, {}))
+    asc = [r["n"] for r in eng.query(
+        "MATCH (p:Person) RETURN p.name AS n ORDER BY p.age").collect()]
+    desc = [r["n"] for r in eng.query(
+        "MATCH (p:Person) RETURN p.name AS n ORDER BY p.age DESC").collect()]
+    assert asc == ["b", "c", "a"]
+    assert desc == ["a", "c", "b"]
