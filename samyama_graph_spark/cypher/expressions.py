@@ -682,6 +682,12 @@ def _call(e: A.FunctionCall, scope: Scope) -> Column:
         return compile_expr(e.args[0], scope)
     if name == "exists":
         return compile_expr(e.args[0], scope).isNotNull()
+    if (
+        name in ("date", "datetime", "localdatetime")
+        and e.args
+        and isinstance(e.args[0], A.MapLiteral)
+    ):
+        return _temporal_from_map(name, e.args[0], scope)
     if name == "duration":
         return _duration(e, scope)
     if name == "duration.between":
@@ -692,6 +698,27 @@ def _call(e: A.FunctionCall, scope: Scope) -> Column:
         args = [compile_expr(a, scope) for a in e.args]
         return SCALARS[name](*args)
     raise CompileError(f"unknown function {name}")
+
+
+def _temporal_from_map(name: str, m: A.MapLiteral, scope: Scope) -> Column:
+    """date/datetime/localdatetime({year, month, day[, hour, minute,
+    second]}) — component-map construction (reference
+    operator.rs:1212-1221, :1242-1260; missing keys default to
+    1970-01-01 / midnight)."""
+    parts = {k.lower(): compile_expr(v, scope) for k, v in m.entries.items()}
+
+    def get(key: str, default: int) -> Column:
+        return (
+            parts[key].cast("int") if key in parts else F.lit(default)
+        )
+
+    if name == "date":
+        return F.make_date(get("year", 1970), get("month", 1), get("day", 1))
+    return F.call_function(
+        "make_timestamp",
+        get("year", 1970), get("month", 1), get("day", 1),
+        get("hour", 0), get("minute", 0), get("second", 0),
+    )
 
 
 def _time_of_day(e: A.FunctionCall, scope: Scope) -> Column:

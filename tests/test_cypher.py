@@ -602,3 +602,21 @@ def test_order_by_null_position(spark):
         "MATCH (p:Person) RETURN p.name AS n ORDER BY p.age DESC").collect()]
     assert asc == ["b", "c", "a"]
     assert desc == ["a", "c", "b"]
+
+
+def test_temporal_map_construction(spark):
+    """date()/datetime() from component maps (reference
+    operator.rs:1212-1221, :1242-1260); missing keys default to
+    1970-01-01 midnight."""
+    from samyama_graph_spark.cypher import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    eng = CypherEngine(PropertyGraph(spark, {}, {}))
+    r = eng.query(
+        "RETURN date({year: 1999, month: 7, day: 4}) AS d, "
+        "datetime({year: 2000, month: 1, day: 2, hour: 3, minute: 4, "
+        "second: 5}) AS dt, date({year: 1988}) AS dflt"
+    ).collect()[0]
+    assert str(r["d"]) == "1999-07-04"
+    assert str(r["dt"]).startswith("2000-01-02 03:04:05")
+    assert str(r["dflt"]) == "1988-01-01"
