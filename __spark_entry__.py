@@ -24,14 +24,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from samyama_graph_spark.workloads import all_queries
+    """One entry per implemented operator family from SURVEY.md §2 —
+    the curated 50-entry gate window (the driver checks exactly the
+    first 50 keys; DataFrame-API/Cypher duplicate pairs are merged and
+    the removed twins stay pytest-verified in the full REGISTRY)."""
+    from samyama_graph_spark.workloads import gate_queries
 
-    return all_queries()
+    return gate_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column aliases)."""
-    from samyama_graph_spark.workloads import all_oracles
+    from samyama_graph_spark.workloads import gate_oracles
 
-    return all_oracles()
+    return gate_oracles()

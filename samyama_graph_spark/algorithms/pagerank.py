@@ -8,9 +8,14 @@ iteration.
 
 Scale notes: contributions = edges ⋈ ranks on src (shuffle on src),
 aggregated by dst (shuffle on dst).  Both shuffles reuse the same
-hash partitioning across iterations; ranks are localCheckpoint'ed
-every iteration to keep lineage flat.  The dangling sum is a scalar
-``first()`` — O(1) driver traffic per iteration.
+hash partitioning across iterations.  The loop runs EXACTLY ONE job
+per iteration: the per-vertex message frame is a lazy localCheckpoint
+whose materialization is triggered by the same tiny ``first()`` that
+reads off the global message sum, and the dangling mass follows from
+the rank-sum invariant (sum(msg) = S - dangling, S tracked as an O(1)
+driver scalar) — no per-iteration broadcast exchange, no separate
+dangling-aggregate leg, and every iteration's lineage is flat
+(checkpointed deg ⋈ checkpointed contrib).
 """
 
 from __future__ import annotations
@@ -26,70 +31,67 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     vertices: DataFrame | None = None,
-    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Returns ``(id, rank)``; ranks sum to ~1.
 
-    Intermediate iterations are ``cache()``d (no action — each rank
-    frame still computes exactly once inside whatever job first needs
-    it, since every iteration references its predecessor from two
-    branches: the dangling sum and the contribution join); an EAGER
-    checkpoint runs only every ``checkpoint_interval`` rounds to
-    truncate lineage.  This cuts scheduled jobs from one-per-iteration
-    to one-per-interval — the per-job constant dominates at small SF,
-    and at cluster scale fewer barriers means better pipelining.
+    ``vertices`` may be passed to include isolated vertices; it must be
+    a superset of the edge endpoints (the rank-sum bookkeeping assumes
+    every edge source holds a rank).
     """
+    # materialize the edge list once (executor storage): every
+    # iteration re-reads these blocks instead of re-running the source
+    # scan/union — the GraphX-style iterative-workload pattern
+    e = checkpoint(edges.select("src", "dst"))
     if vertices is None:
-        vertices = vertices_from_edges(edges)
+        vertices = vertices_from_edges(e)
     v = vertices.select("id")
-    n = v.count()
-    if n == 0:
-        return v.withColumn("rank", F.lit(0.0))
-
-    e = edges.select("src", "dst")
     out_deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    # (id, out_deg) with 0 for sinks; reused every iteration — cache-worthy.
-    deg = v.join(out_deg, "id", "left").fillna(0, subset=["out_deg"])
-    deg = checkpoint(deg, eager=False)  # materializes in round-1 job
+    # (id, out_deg) with 0 for sinks; reused every iteration.  n comes
+    # from counting the checkpointed blocks — no separate distinct job.
+    deg = checkpoint(v.join(out_deg, "id", "left").fillna(0, subset=["out_deg"]))
+    n = deg.count()
+    if n == 0:
+        return v.withColumn("rank", F.lit(0.0))
 
     ranks = deg.withColumn("rank", F.lit(1.0 / n))
+    s_total = 1.0  # exact rank sum, tracked on the driver
 
-    for it in range(iterations):
-        # dangling mass as a broadcast 1-row frame: keeps each iteration
-        # ONE job (the eager checkpoint) instead of a separate scalar
-        # first() action + the checkpoint job
-        dang = ranks.filter(F.col("out_deg") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
-        )
+    for _ in range(iterations):
+        # shuffle-hash joins: both sides are hash-shuffled on the join
+        # key (vertex-frame sizes make per-partition hash maps safe at
+        # any scale) instead of re-collecting + re-broadcasting the
+        # vertex frame to the driver on every iteration
         contrib = (
-            e.join(ranks, e["src"] == ranks["id"])
+            e.join(ranks.hint("shuffle_hash"), e["src"] == ranks["id"])
             .select(
                 F.col("dst").alias("id"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
             )
             .groupBy("id")
             .agg(F.sum("c").alias("msg"))
+            .localCheckpoint(eager=False)
         )
-        base = (
-            F.lit((1.0 - damping) / n)
-            + F.lit(damping / n) * F.col("__dang")
+        # ONE job: runs the heavy join+agg, materializes the lazy
+        # checkpoint blocks, and returns the global message sum.  Each
+        # source's rank splits across its out-edges and sums back, so
+        # sum(msg) = S - dangling_mass — the reference's explicit
+        # dangling pass (pagerank.rs:35) folded into the aggregate
+        # that's already being computed.
+        total_msg = float(
+            contrib.agg(F.coalesce(F.sum("msg"), F.lit(0.0))).first()[0]
         )
-        ranks = (
-            deg.join(contrib, "id", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "id",
-                "out_deg",
-                (base + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
+        dang = s_total - total_msg
+        base = (1.0 - damping) / n + damping * dang / n
+        ranks = deg.join(contrib.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            "out_deg",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+            ).alias("rank"),
         )
-        if (it + 1) % checkpoint_interval == 0:
-            ranks = checkpoint(ranks)  # eager: one job per interval
-        else:
-            ranks = ranks.cache()  # no action; computed once, on demand
+        s_total = (1.0 - damping) + damping * dang + damping * total_msg
 
-    return checkpoint(ranks.select("id", "rank"), eager=False)
+    return ranks.select("id", "rank")

@@ -92,6 +92,52 @@ def label_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "label_edge_counts",
+    """
+    SELECT 'label' AS kind, 'Region' AS name, count(*) AS n FROM region
+    UNION ALL SELECT 'label', 'Nation', count(*) FROM nation
+    UNION ALL SELECT 'label', 'Customer', count(*) FROM customer
+    UNION ALL SELECT 'label', 'Supplier', count(*) FROM supplier
+    UNION ALL SELECT 'label', 'Part', count(*) FROM part
+    UNION ALL SELECT 'label', 'Order', count(*) FROM orders
+    UNION ALL SELECT 'label', 'Document', count(*) FROM documents
+    UNION ALL SELECT 'edge', 'PLACED', count(*) FROM orders
+    UNION ALL SELECT 'edge', 'CONTAINS', count(*) FROM lineitem
+    UNION ALL SELECT 'edge', 'SUPPLIED_BY', count(*) FROM lineitem
+    UNION ALL SELECT 'edge', 'IN_NATION',
+        (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+    UNION ALL SELECT 'edge', 'IN_REGION', count(*) FROM nation
+    """,
+)
+def label_edge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LabelCountOperator + EdgeTypeCountOperator in one gate row
+    (reference operator.rs:2164, :2225): per-label node counts and
+    per-type edge counts — both metadata aggregates the reference
+    answers from catalog counters, here one count per label/type frame
+    (each collapses to a parquet-footer-count scan)."""
+    g = tpch_graph(spark, sf_dir)
+    parts = [
+        df.agg(
+            F.lit("label").alias("kind"),
+            F.lit(lbl).alias("name"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        for lbl, df in g.nodes.items()
+    ] + [
+        df.agg(
+            F.lit("edge").alias("kind"),
+            F.lit(t).alias("name"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        for t, df in g.edges.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
     "edge_type_count",
     """
     SELECT 'PLACED' AS type, count(*) AS n FROM orders
@@ -489,6 +535,96 @@ def load_all_workloads() -> dict[str, QuerySpec]:
     import samyama_graph_spark.workloads_streaming  # noqa: F401
 
     return REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# Gate view: the driver's correctness gate checks exactly the FIRST 50
+# keys of __spark_entry__.queries().  GATE_ORDER is the curated 50-entry
+# window — one row per SURVEY.md §2 operator family and per
+# datapipe/streaming operator, duplicates merged.  Everything NOT listed
+# here stays in REGISTRY (pytest parity tests + bench still run it);
+# only the driver-facing view is restricted.
+# ---------------------------------------------------------------------------
+
+GATE_ORDER: list[str] = [
+    # scans / point lookups / metadata counts (§2 #1-5)
+    "node_scan_filter",
+    "node_by_id",
+    "label_edge_counts",
+    # Cypher engine end-to-end (§2 #6-33, 41-47, 60-61)
+    "cypher_flagship",
+    "cypher_two_hop_agg",
+    "cypher_optional_match",
+    "cypher_exists",
+    "cypher_not_exists",
+    "cypher_union",
+    "cypher_with_unwind",
+    "order_skip_limit",
+    "agg_stats",
+    "cypher_case_projection",
+    "cypher_var_length",
+    "cypher_var_length_rels",
+    "cypher_shortest_path_nodes",
+    "cypher_all_shortest_paths",
+    "cypher_call_subquery",
+    "cypher_pattern_comprehension",
+    "cypher_write_pipeline",
+    "cypher_knn",
+    "cypher_introspection",
+    # LLM-data-pipeline: dedup + ANN (+ §2 #46 family)
+    "dedup_exact",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_block",
+    "simhash_dedup",
+    "embedding_near_dup",
+    "knn_lsh_top10",
+    "knn_join_top5",
+    "knn_ivf_top10",
+    # text analysis
+    "text_metrics",
+    "text_fingerprints",
+    "bpe_token_counts",
+    # multimodal
+    "multimodal_features",
+    "multimodal_png_stats",
+    # PCA (§2 #59) — the oracled slot; full-dim twin is pytest-checked
+    "pca_2d_closed_form",
+    # graph algorithms (§2 #48-58; #16 var-length gated via the Cypher
+    # rows above — var_length_reachability is its DF-API pytest twin)
+    "bfs_layers",
+    "wcc_placed_components",
+    "pagerank_top20",
+    "sssp_weighted",
+    "cdlp_communities",
+    "lcc_triangle_coorder",
+    "scc_nation_rings",
+    "mst_nation_rings",
+    "max_flow_layered",
+    "or_solve_budget",
+    # RDF / SPARQL (§2 #62)
+    "rdf_sparql_bgp",
+    # structured streaming
+    "streaming_windows",
+    "streaming_stateful_totals",
+    "streaming_dedup",
+]
+
+
+def gate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    load_all_workloads()
+    missing = [n for n in GATE_ORDER if n not in REGISTRY]
+    assert not missing, f"GATE_ORDER names not registered: {missing}"
+    assert len(GATE_ORDER) == len(set(GATE_ORDER)) <= 50
+    return {name: REGISTRY[name].fn for name in GATE_ORDER}
+
+
+def gate_oracles() -> dict[str, str]:
+    load_all_workloads()
+    return {
+        name: REGISTRY[name].oracle
+        for name in GATE_ORDER
+        if REGISTRY[name].oracle
+    }
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

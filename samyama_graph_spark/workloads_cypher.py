@@ -492,6 +492,109 @@ def cypher_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cypher_knn",
+    f"""
+    WITH qc AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings WHERE vec_id = 0),
+    q2 AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS qv,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings WHERE vec_id = 7),
+    ee AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    sc AS (SELECT vec_id, sum(v * qv) AS dp, sum(v * v) AS nv,
+                  sum(qv * qv) AS nq
+           FROM ee JOIN qc USING (i) GROUP BY vec_id),
+    s2 AS (SELECT vec_id, sum((v - qv) * (v - qv)) AS d2
+           FROM ee JOIN q2 USING (i) GROUP BY vec_id)
+    SELECT * FROM (
+        SELECT 'cosine' AS metric, vec_id + {ID_BASE["Document"]} AS nodeId,
+               round(dp / (sqrt(nv) * sqrt(nq)), 6) AS score
+        FROM sc ORDER BY dp / (sqrt(nv) * sqrt(nq)) DESC, vec_id LIMIT 10)
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'l2' AS metric, vec_id + {ID_BASE["Document"]} AS nodeId,
+               round(sqrt(d2), 6) AS score
+        FROM s2 ORDER BY sqrt(d2), vec_id LIMIT 10)
+    """,
+)
+def cypher_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """db.index.vector.queryNodes under BOTH index metrics in one gate
+    row (reference vector/index.rs:71-77, parse_metric
+    http/vector.rs:44-48): cosine top-10 through the shared session's
+    default index, then L2 top-10 through a fresh engine whose
+    CREATE VECTOR INDEX declares similarity 'l2' — the procedure must
+    honor the declared metric (descending similarity vs ascending
+    distance)."""
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    qc = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    q2 = [float(x) for x in embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    cos = _engine(spark, sf_dir).query(
+        "CALL db.index.vector.queryNodes('Document', 'embedding', $q, 10)",
+        {"q": qc},
+    )
+    # fresh engine: the L2 index must not leak into the shared session
+    eng = CypherEngine(tpch_graph(spark, sf_dir))
+    eng.query(
+        "CREATE VECTOR INDEX docL2g FOR (d:Document) ON (d.embedding) "
+        "OPTIONS {dimensions: 64, similarity: 'l2'}"
+    )
+    l2 = eng.query(
+        "CALL db.index.vector.queryNodes('Document', 'embedding', $q, 10)",
+        {"q": q2},
+    )
+    return cos.select(
+        F.lit("cosine").alias("metric"), "nodeId",
+        F.round("score", 6).alias("score"),
+    ).unionAll(
+        l2.select(
+            F.lit("l2").alias("metric"), "nodeId",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+@query(
+    "cypher_introspection",
+    """
+    SELECT 'label' AS kind, label AS a, '' AS b, '' AS c FROM (
+        SELECT 'Customer' AS label UNION ALL SELECT 'Document'
+        UNION ALL SELECT 'Nation' UNION ALL SELECT 'Order'
+        UNION ALL SELECT 'Part' UNION ALL SELECT 'Region'
+        UNION ALL SELECT 'Supplier')
+    UNION ALL
+    SELECT 'schema', src_label, type, dst_label FROM (VALUES
+        ('Order', 'CONTAINS', 'Part'),
+        ('Nation', 'IN_REGION', 'Region'),
+        ('Customer', 'PLACED', 'Order'),
+        ('Part', 'SUPPLIED_BY', 'Supplier'),
+        ('Customer', 'IN_NATION', 'Nation'),
+        ('Supplier', 'IN_NATION', 'Nation')
+    ) AS t(src_label, type, dst_label)
+    """,
+)
+def cypher_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW LABELS + CALL db.schema.visualization in one gate row
+    (reference ShowLabelsOperator operator.rs:5654,
+    SchemaVisualizationOperator operator.rs:5785): the catalog's label
+    set and the distinct (src_label, type, dst_label) triples of the
+    projected graph, tagged by kind."""
+    eng = _engine(spark, sf_dir)
+    labels = eng.query("SHOW LABELS").select(
+        F.lit("label").alias("kind"), F.col("label").alias("a"),
+        F.lit("").alias("b"), F.lit("").alias("c"),
+    )
+    schema = eng.query(
+        "CALL db.schema.visualization() YIELD src_label, type, dst_label"
+    ).select(
+        F.lit("schema").alias("kind"), F.col("src_label").alias("a"),
+        F.col("type").alias("b"), F.col("dst_label").alias("c"),
+    )
+    return labels.unionAll(schema)
+
+
+@query(
     "cypher_show_introspection",
     """
     SELECT 'Customer' AS label UNION ALL SELECT 'Document'

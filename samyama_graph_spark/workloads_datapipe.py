@@ -476,6 +476,66 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("id", "lang_guess", F.col("lang_hits").cast("long"))
 
 
+def _text_metrics_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ",\n           ".join(
+        "len(list_filter(ws, w -> w IN ({}))) AS h_{}".format(
+            ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    cases = []
+    for i, lang in enumerate(langs):
+        others = [f"h_{lang} >= h_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(others) if others else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    greatest = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    return f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+               FROM documents),
+    s AS (SELECT doc_id, len(ws) AS nt, len(list_distinct(ws)) AS nd,
+                 len(list_filter(ws, w -> w IN ({_STOP_IN}))) AS ns,
+                 {hit_cols}
+          FROM t)
+    SELECT t.doc_id AS id,
+           length(t.text) AS n_chars,
+           s.nt AS n_tokens,
+           s.nd AS n_distinct_tokens,
+           round((length(t.text) - s.nt + 1) * 1.0 / s.nt, 6)
+               AS avg_token_len,
+           round(0.4 * least(s.nt / 50.0, 1.0)
+               + 0.4 * (s.nd * 1.0 / s.nt)
+               + 0.2 * least(s.ns * 5.0 / s.nt, 1.0), 6) AS quality,
+           {case_sql} AS lang_guess,
+           {greatest} AS lang_hits
+    FROM t JOIN s ON s.doc_id = t.doc_id
+    """
+
+
+@query("text_metrics", _text_metrics_oracle())
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring + language-ID in one gate row —
+    three pure-column-expression text operators joined per document
+    (each is its own narrow projection over the same scan; Catalyst
+    collapses the id-equi-joins since all sides share the documents
+    scan).  The individual operators keep their own oracled REGISTRY
+    entries for pytest."""
+    docs = _docs(spark, sf_dir)
+    tok = token_stats(docs, "text", "doc_id").select(
+        "id",
+        F.col("n_chars").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_distinct_tokens").cast("long"),
+        "avg_token_len",
+    )
+    qual = quality_score(docs, "text", "doc_id")
+    lang = language_id(docs, "text", "doc_id").select(
+        "id", "lang_guess", F.col("lang_hits").cast("long")
+    )
+    return tok.join(qual, "id").join(lang, "id")
+
+
 @query(
     "text_fingerprints",
     f"""

@@ -187,7 +187,7 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) and rounding to 6 decimals is meaningful)."""
     g = tpch_graph(spark, sf_dir)
     edges = _rank_edges(g)
-    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING).cache()
     n = ranks.count()
     return (
         ranks.select(
@@ -399,6 +399,69 @@ def lcc_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         (F.col("id") - ID_BASE["Part"]).alias("id"),
         F.round("lcc", 6).alias("lcc"),
+    )
+
+
+@query(
+    "lcc_triangle_coorder",
+    """
+    WITH pe AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tris AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM pe e1 JOIN pe e2 ON e1.v = e2.u
+        JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tv AS (SELECT id, count(*) AS t FROM (
+        SELECT a AS id FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    ) GROUP BY id),
+    deg AS (SELECT id, count(*) AS d FROM (
+        SELECT u AS id FROM pe UNION ALL SELECT v FROM pe
+    ) GROUP BY id)
+    SELECT deg.id AS id,
+           round(CASE WHEN d >= 2 THEN COALESCE(t, 0) * 2.0 / (d * (d - 1))
+                      ELSE 0 END, 6) AS lcc,
+           COALESCE(t, 0) AS tri
+    FROM deg LEFT JOIN tv ON tv.id = deg.id
+    """,
+)
+def lcc_triangle_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL algo.lcc + algo.triangleCount in one gate row (reference
+    lcc.rs:29, topology.rs:14) over the part co-purchase graph:
+    per-vertex triangle counts AND clustering coefficients from ONE
+    checkpointed degree-oriented closure (the global triangle total is
+    sum(tri)/3).  The separate lcc_coorder / triangle_count_coorder
+    REGISTRY twins stay pytest/bench-checked."""
+    from samyama_graph_spark.algorithms.topology import (
+        _per_vertex_triangles,
+        _pinned,
+    )
+
+    deg, te = _coorder_closure(spark, sf_dir)
+    tri = _per_vertex_triangles(_pinned(te))
+    out = (
+        deg.join(tri, "id", "left")
+        .fillna(0, subset=["triangles"])
+        .select(
+            "id",
+            F.when(
+                F.col("deg") >= 2,
+                F.col("triangles") / (F.col("deg") * (F.col("deg") - 1) / 2.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+            F.col("triangles").cast("long").alias("tri"),
+        )
+    )
+    return out.select(
+        (F.col("id") - ID_BASE["Part"]).alias("id"),
+        F.round("lcc", 6).alias("lcc"),
+        "tri",
     )
 
 

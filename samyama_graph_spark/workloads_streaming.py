@@ -26,6 +26,98 @@ def _qname(base: str) -> str:
 
 
 @query(
+    "streaming_windows",
+    """
+    WITH sess_e AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ),
+    sess_m AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts > prev + INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS ns
+        FROM sess_e
+    ),
+    sess_s AS (
+        SELECT user_id, ts,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM sess_m
+    ),
+    slide_e AS (
+        SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS t30
+        FROM events
+    ),
+    slide_w AS (
+        SELECT event_type, t30 AS window_start FROM slide_e
+        UNION ALL
+        SELECT event_type, t30 - INTERVAL 30 MINUTE FROM slide_e
+    )
+    SELECT 'tumbling' AS kind, event_type, NULL::BIGINT AS user_id,
+           date_trunc('hour', ts) AS window_start,
+           NULL::TIMESTAMP AS window_end,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'sliding', event_type, NULL, window_start, NULL,
+           count(*), NULL::DOUBLE
+    FROM slide_w GROUP BY event_type, window_start
+    UNION ALL
+    SELECT 'session', NULL::VARCHAR, user_id, min(ts),
+           max(ts) + INTERVAL 10 MINUTE, count(*), NULL::DOUBLE
+    FROM sess_s GROUP BY user_id, sid
+    """,
+)
+def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1h) + sliding (1h/30min) + gap-based session (10min)
+    windowed aggregations in one gate row — each driven readStream ->
+    withWatermark -> window()/session_window() -> availableNow ->
+    memory sink, compared against a batch SQL sessionization /
+    window-enumeration oracle (stream-vs-batch parity, the Structured
+    Streaming correctness contract).  The per-operator REGISTRY twins
+    stay for pytest."""
+    from samyama_graph_spark.streaming.windows import (
+        session_windows,
+        sliding_windows,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    tumb = run_stream_to_memory(
+        hourly_windows(events_stream(spark, path)), _qname("wm_tumb"),
+        "complete",
+    ).select(
+        F.lit("tumbling").alias("kind"), "event_type",
+        F.lit(None).cast("long").alias("user_id"),
+        "window_start", F.lit(None).cast("timestamp").alias("window_end"),
+        F.col("n").cast("long").alias("n"), F.col("total"),
+    )
+    slide = run_stream_to_memory(
+        sliding_windows(events_stream(spark, path)), _qname("wm_slide"),
+        "complete",
+    ).select(
+        F.lit("sliding").alias("kind"), "event_type",
+        F.lit(None).cast("long").alias("user_id"),
+        "window_start", F.lit(None).cast("timestamp").alias("window_end"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("total"),
+    )
+    sess = run_stream_to_memory(
+        session_windows(events_stream(spark, path), gap="10 minutes"),
+        _qname("wm_sess"), "complete",
+    ).select(
+        F.lit("session").alias("kind"),
+        F.lit(None).cast("string").alias("event_type"),
+        "user_id",
+        F.col("session_start").alias("window_start"),
+        F.col("session_end").alias("window_end"),
+        F.col("n_events").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("total"),
+    )
+    return tumb.unionByName(slide).unionByName(sess)
+
+
+@query(
     "streaming_hourly_windows",
     """
     SELECT event_type, date_trunc('hour', ts) AS window_start,
