@@ -81,6 +81,7 @@ def cdlp(edges: DataFrame, iterations: int = 10) -> DataFrame:
     labels = vertices_from_edges(edges).select("id", F.col("id").alias("label"))
     labels = checkpoint(labels, eager=False)
 
+    cached_rounds: list[DataFrame] = []
     for it in range(iterations):
         counts = (
             nbrs.join(labels, nbrs["src"] == labels["id"])
@@ -111,9 +112,22 @@ def cdlp(edges: DataFrame, iterations: int = 10) -> DataFrame:
         )
         # fixed iteration count (no convergence action needed): cache
         # intermediate rounds with no action, eager-checkpoint every 3rd
-        # to truncate lineage — one scheduled job per interval
+        # to truncate lineage — one scheduled job per interval.  Within
+        # that one checkpoint job each cached round is computed once and
+        # reused by its two consumers (the next round's counts join and
+        # the label carry-over join); the superseded round caches are
+        # unpersisted as soon as the checkpoint holds the data.
         if (it + 1) % 3 == 0:
             labels = checkpoint(labels)
+            for c in cached_rounds:
+                c.unpersist()
+            cached_rounds = []
         else:
             labels = labels.cache()
+            cached_rounds.append(labels)
+    # rounds cached after the last eager checkpoint stay persisted: the
+    # caller's first action still needs them (unpersisting here would
+    # force a recompute).  They are reclaimed by the ContextCleaner once
+    # the returned frame drops out of scope — a bounded tail of at most
+    # two round frames, not an unbounded leak.
     return checkpoint(labels, eager=False)

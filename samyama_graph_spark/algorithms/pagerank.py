@@ -82,6 +82,11 @@ def pagerank(
         total_msg = float(
             contrib.agg(F.coalesce(F.sum("msg"), F.lit(0.0))).first()[0]
         )
+        # superseded contribution checkpoints: iteration i's blocks are
+        # last read by iteration i+1's join; once the Python reference
+        # is dropped the ContextCleaner unpersists them, so live storage
+        # is bounded at ~2 message frames + deg + e regardless of
+        # iteration count.
         dang = s_total - total_msg
         base = (1.0 - damping) / n + damping * dang / n
         ranks = deg.join(contrib.hint("shuffle_hash"), "id", "left").select(

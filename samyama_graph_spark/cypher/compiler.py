@@ -330,6 +330,7 @@ class Compiler:
         if path.shortest is not None:
             self._shortest_path(st, path)
             return
+        path = self._orient_path(st, path)
         node_vars: list[str] = []
         edge_vars: list[str] = []
         want_path = path.path_var is not None
@@ -435,6 +436,86 @@ class Compiler:
             if vl_temp_cols:
                 st.frame = st.frame.drop(*vl_temp_cols)
             st.scope.vars[pvar] = VarInfo("path", pvar)
+
+    # ------------------------------------------------- anchor selection
+    def _orient_path(self, st: State, path: A.PatternPath) -> A.PatternPath:
+        """Cardinality-based start-node (anchor) selection.
+
+        The compiler expands a pattern chain left-to-right, so the
+        leftmost node's scan bounds every intermediate result.  Pick
+        the cheaper endpoint and reverse the path when the right one
+        wins — the two-candidate version of the reference's plan
+        enumeration (plan_enumerator.rs:17-64 ranks every start node
+        with the multiplicative cost model of cost_model.rs:20-60 over
+        catalog stats, catalog.rs:63-140).  Catalyst/AQE handle the
+        relational re-ordering below this; anchor choice is the part
+        that is OUR job (SURVEY §4).
+
+        Bound endpoints win outright (expanding from an already-bound
+        variable is free).  Reversal re-orients edge traversal, which
+        swaps the src/dst fields inside edge structs — safe only when
+        no edge variable is user-visible and no named path is being
+        materialized, so those paths keep their syntactic order.
+        """
+        if not path.edges or path.path_var is not None:
+            return path
+        if any(ep.var is not None for ep in path.edges):
+            return path
+        # inline property VALUES that reference other variables pin the
+        # binding order (e.g. (a)-[:R]->(b {k: a.q})) — keep it
+        for pat in [*path.nodes, *path.edges]:
+            for v in pat.properties.values():
+                if _expr_var_names(v):
+                    return path
+        first, last = path.nodes[0], path.nodes[-1]
+        first_bound = first.var is not None and first.var in st.scope.vars
+        last_bound = last.var is not None and last.var in st.scope.vars
+        if first_bound:
+            return path
+        if last_bound:
+            return self._reversed_path(path)
+        cost_f = self._anchor_cost(st, first)
+        cost_l = self._anchor_cost(st, last)
+        # 2x hysteresis: only reverse on a clear win so near-ties keep
+        # the user's syntactic order (stable plans, stable tests)
+        if cost_l < cost_f * 0.5:
+            return self._reversed_path(path)
+        return path
+
+    def _anchor_cost(self, st: State, np: A.NodePattern) -> float:
+        """Estimated post-filter cardinality of scanning this node
+        pattern: label count x 0.1 per equality predicate x 0.5 per
+        other single-variable predicate (selectivity constants in the
+        spirit of cost_model.rs:20-60)."""
+        n = self.g.label_count_est(np.labels[0] if np.labels else None)
+        n_eq = len(np.properties)
+        n_other = 0
+        if np.var is not None:
+            for c in st.pending_where:
+                if _expr_var_names(c) == {np.var}:
+                    if isinstance(c, A.BinaryOp) and c.op == "=":
+                        n_eq += 1
+                    else:
+                        n_other += 1
+        return max(n, 1) * (0.1**n_eq) * (0.5**n_other)
+
+    @staticmethod
+    def _reversed_path(path: A.PatternPath) -> A.PatternPath:
+        flip = {"out": "in", "in": "out", "both": "both"}
+        edges = [
+            A.EdgePattern(
+                ep.var,
+                list(ep.types),
+                flip[ep.direction],
+                dict(ep.properties),
+                ep.min_hops,
+                ep.max_hops,
+            )
+            for ep in reversed(path.edges)
+        ]
+        return A.PatternPath(
+            list(reversed(path.nodes)), edges, path.path_var, path.shortest
+        )
 
     def _shortest_path(self, st: State, path: A.PatternPath) -> None:
         """MATCH p = shortestPath((a)-[:T*]->(b)): bind both endpoints,

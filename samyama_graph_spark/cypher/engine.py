@@ -64,6 +64,21 @@ class CypherEngine:
         self._ast_cache: dict[str, Any] = {}
         self._cache_size = cache_size
 
+    @property
+    def graph(self) -> PropertyGraph:
+        return self._graph
+
+    @graph.setter
+    def graph(self, g: PropertyGraph) -> None:
+        # The id-allocation watermark is only valid for graphs produced
+        # by this engine's own write path; a caller swapping in a
+        # different graph must not inherit it (stale hints could mint
+        # ids that collide with existing nodes).  The write path
+        # re-establishes the hint right after assignment.
+        if getattr(self, "_graph", None) is not g:
+            self._id_hint = None
+        self._graph = g
+
     def _try_ddl(self, text: str) -> DataFrame | None:
         """DDL short-circuit before parsing (the reference planner does
         the same, planner.rs:293-378).  Index DDL is metadata on Spark
@@ -202,6 +217,9 @@ class CypherEngine:
             self._writes = getattr(self, "_writes", 0) + 1
             if self._writes % 4 == 0:
                 self.graph = self.graph.compacted()
+                # compaction preserves every id -> the watermark stays
+                # valid (the setter cleared it for the general case)
+                self._id_hint = wx.id_hint
             return summary
         return Compiler(self.graph, params, catalog=self.catalog).compile_query(
             ast

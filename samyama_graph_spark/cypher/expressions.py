@@ -704,8 +704,21 @@ def _temporal_from_map(name: str, m: A.MapLiteral, scope: Scope) -> Column:
     """date/datetime/localdatetime({year, month, day[, hour, minute,
     second]}) — component-map construction (reference
     operator.rs:1212-1221, :1242-1260; missing keys default to
-    1970-01-01 / midnight)."""
+    1970-01-01 / midnight).  Keys outside the supported component set
+    raise (the reference rejects unknown components rather than
+    silently dropping them, operator.rs:1212-1260)."""
     parts = {k.lower(): compile_expr(v, scope) for k, v in m.entries.items()}
+    supported = (
+        {"year", "month", "day"}
+        if name == "date"
+        else {"year", "month", "day", "hour", "minute", "second"}
+    )
+    unknown = sorted(set(parts) - supported)
+    if unknown:
+        raise CompileError(
+            f"{name}() map: unsupported component(s) {unknown}; "
+            f"supported: {sorted(supported)}"
+        )
 
     def get(key: str, default: int) -> Column:
         return (

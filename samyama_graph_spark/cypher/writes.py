@@ -232,29 +232,58 @@ class WriteExecutor:
                 raise CompileError("CREATE node requires a label")
             var = var or f"__new_{i}"
             pos_var[i] = var
-            from pyspark.sql import Window
-
             base = self._next_id_base()
-            # sequential ids via a global row_number: correct and
-            # contiguous; at bulk-ingest scale switch to an id range
-            # reserved per partition (monotonically_increasing_id style)
-            w = Window.orderBy(F.monotonically_increasing_id())
-            idc = (F.row_number().over(w).cast("long") + F.lit(base - 1))
+            # contiguous ids from per-partition reserved ranges:
+            # monotonically_increasing_id packs (partition << 33) |
+            # row-index-within-partition, so the low bits are already a
+            # dense per-partition sequence.  A tiny aggregate over
+            # #partitions rows yields cumulative offsets — no global
+            # window (which would collapse the whole frame into a
+            # single task, an OOM/serial bottleneck at bulk-ingest
+            # scale).  The mid column is pinned by a localCheckpoint
+            # BEFORE the offset read so ids stay stable across reuses.
+            frame = frame.withColumn(
+                "__mid", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=False)
+            pid = F.shiftright(F.col("__mid"), 33)
+            part_rows = (
+                frame.groupBy(pid.alias("__pid"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()  # one job: materializes the checkpoint too
+            )
+            acc = 0
+            offsets: dict[int, int] = {}
+            for r in sorted(part_rows, key=lambda r: r["__pid"]):
+                offsets[r["__pid"]] = acc
+                acc += r["__n"]
+            if offsets:
+                off_map = F.create_map(
+                    *[
+                        F.lit(v)
+                        for k_off in sorted(offsets.items())
+                        for v in k_off
+                    ]
+                )
+                idc = (
+                    F.lit(base)
+                    + off_map[pid]
+                    + F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+                ).cast("long")
+            else:  # empty frame: no ids to mint, keep the expression typed
+                idc = F.lit(base).cast("long")
             prop_cols = [
                 compile_expr(v, scope).alias(k)
                 for k, v in np.properties.items()
             ]
             frame = frame.withColumn(
                 var, F.struct(idc.alias("id"), *prop_cols)
-            )
-            frame = frame.localCheckpoint(eager=False)  # pin assigned ids
+            ).drop("__mid")
             new_rows = frame.select(
                 F.col(f"{var}.id").alias("id"),
                 *[F.col(f"{var}.{k}").alias(k) for k in np.properties],
             )
-            before = self.counters["nodes_created"]
-            self._append_nodes(label, new_rows)  # counts rows (one job)
-            self.id_hint = base + (self.counters["nodes_created"] - before)
+            self._append_nodes(label, new_rows, n=acc)
+            self.id_hint = base + acc
             scope.vars[var] = VarInfo("node", var, label)
             st.frame = frame
         for i, ep in enumerate(path.edges):
@@ -479,9 +508,15 @@ class WriteExecutor:
         src = compile_expr(clause.source, st.scope)
         # posexplode: the element ORDER drives last-write-wins when
         # several SETs touch the same node (sequential FOREACH
-        # semantics, ForeachOperator operator.rs:7425)
+        # semantics, ForeachOperator operator.rs:7425).  A stale
+        # __foreach_pos from an enclosing context would make the
+        # position reference ambiguous — drop it first (the exploded
+        # frame is local to this clause, so nothing downstream needs it).
+        base_frame = st.frame
+        if "__foreach_pos" in base_frame.columns:
+            base_frame = base_frame.drop("__foreach_pos")
         exploded = State(
-            st.frame.select(
+            base_frame.select(
                 "*", F.posexplode(src).alias("__foreach_pos", clause.var)
             ),
             Scope(dict(st.scope.vars), st.scope.params),

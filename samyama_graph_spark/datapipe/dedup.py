@@ -319,26 +319,73 @@ def embedding_near_dups(
     id_col: str,
     threshold: float = 0.95,
     block_col: str | None = None,
+    num_tables: int = 4,
+    num_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    exact_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ``(x, y, cos)`` with cos >= threshold.
 
-    Exhaustive within blocks (``block_col``); at scale, feed this the
-    bucket assignments from similarity.knn_lsh instead of a label
-    column.  Dot products via zip_with/aggregate HOFs in double
-    precision.
-    """
-    from samyama_graph_spark.datapipe.similarity import cosine
+    Candidate generation is always a bucket equi-join:
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    - ``block_col`` given: exhaustive within the caller's blocks;
+    - otherwise (the default): random-hyperplane LSH blocking —
+      ``num_tables`` signature tables of ``num_planes`` bits each,
+      pairs colliding in ANY table are scored exactly.  Approximate:
+      a pair whose vectors land in different buckets in every table is
+      missed; raise ``num_tables`` for recall.
+    - ``exact_all_pairs=True``: explicit opt-in to the exhaustive
+      O(n²) self-join — small frames only, never the default (an
+      all-pairs join on a constant key is a scale-killer).
+
+    Dot products via zip_with/aggregate HOFs in double precision.
+    """
+    from samyama_graph_spark.datapipe.similarity import (
+        _hyperplanes,
+        cosine,
+        lsh_bucket,
     )
+
+    vec = F.col(vec_col).cast("array<double>")
+    if block_col is not None:
+        blk = F.col(block_col)
+    elif exact_all_pairs:
+        blk = F.lit(0)
+    else:
+        if dim is None:
+            row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = int(row["d"]) if row and row["d"] is not None else 1
+        tables = [
+            _hyperplanes(dim, num_planes, seed + 1000 * t)
+            for t in range(num_tables)
+        ]
+        # blk = array of (table, bucket) structs, exploded below so the
+        # join key is a plain column (equi-join per table)
+        blk = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(vec, tables[t]).alias("b"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+    base = df.select(
+        F.col(id_col).alias("id"), vec.alias("v"), blk.alias("blk")
+    )
+    if block_col is None and not exact_all_pairs:
+        base = base.select("id", "v", F.explode("blk").alias("blk"))
     a = base.select(F.col("id").alias("x"), F.col("v").alias("vx"), "blk")
     b = base.select(F.col("id").alias("y"), F.col("v").alias("vy"), "blk")
-    return (
+    out = (
         a.join(b, "blk")
         .filter(F.col("x") < F.col("y"))
         .select("x", "y", cosine(F.col("vx"), F.col("vy")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+    if block_col is None and not exact_all_pairs:
+        # a pair may collide in several tables: dedup the small scored
+        # (x, y, cos) triple, never the vectors
+        out = out.distinct()
+    return out

@@ -143,7 +143,7 @@ class PropertyGraph:
             {k: c(v) for k, v in self.nodes.items()},
             {k: c(v) for k, v in self.edges.items()},
             dict(self.edge_meta),
-        )
+        )._carry_stats_from(self)
 
     # ---------------------------------------------------------------- scans
     def node_df(self, label: str | None = None) -> DataFrame:
@@ -244,6 +244,34 @@ class PropertyGraph:
         if edge_type is not None:
             return self.edges[edge_type].count()
         return sum(df.count() for df in self.edges.values())
+
+    # ----------------------------------------------------- planner stats
+    def label_count_est(self, label: str | None = None) -> int:
+        """Memoized per-label cardinality ESTIMATE for the pattern
+        planner (the reference keeps equivalent triple stats in its
+        catalog, src/graph/catalog.rs:63-140).  First use per (graph,
+        label) runs one metadata-count job (parquet footer counts);
+        ``compacted()`` carries the cache forward, so interactive write
+        sessions don't re-count per statement — planner estimates
+        tolerate that slight staleness."""
+        cache = self.__dict__.setdefault("_count_cache", {})
+        key = label if label is not None else "\x00ALL"
+        if key not in cache:
+            if label is None:
+                cache[key] = sum(self.label_count_est(l) for l in self.nodes)
+            elif label in self.nodes:
+                cache[key] = self.nodes[label].count()
+            else:
+                cache[key] = 0
+        return cache[key]
+
+    def _carry_stats_from(self, other: "PropertyGraph") -> "PropertyGraph":
+        """Copy another graph's stats cache (id-preserving derivations:
+        compaction, write deltas)."""
+        prior = other.__dict__.get("_count_cache")
+        if prior:
+            self.__dict__["_count_cache"] = dict(prior)
+        return self
 
     # ------------------------------------------------------------ register
     def register_views(self, prefix: str = "") -> None:

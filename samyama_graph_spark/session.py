@@ -51,6 +51,25 @@ def get_spark(
     return spark
 
 
+def ensure_checkpoint_dir(spark: SparkSession) -> str:
+    """Set a reliable-checkpoint dir if none is configured; temp dirs
+    created here are removed at interpreter exit (repeated local
+    sessions otherwise leak checkpoint files on disk).  On a real
+    cluster callers configure a durable HDFS/S3 path instead and this
+    is a no-op.  Returns the active checkpoint dir."""
+    sc = spark.sparkContext
+    d = sc.getCheckpointDir()
+    if d is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="samyama_ckpt_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        sc.setCheckpointDir(d)
+    return d
+
+
 def ensure_shipped(spark: SparkSession) -> None:
     """Ship this package to executor Python workers via addPyFile.
 

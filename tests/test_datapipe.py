@@ -65,6 +65,31 @@ def test_knn_ivf_recall(spark, sf_dir):
     assert 0 in approx  # the query vector itself lives in a probed cell
 
 
+def test_embedding_near_dup_default_is_blocked(spark, sf_dir):
+    """The no-block_col default must be LSH-blocked, not all-pairs:
+    results are a subset of the exact pairs, the plan joins on a real
+    key (no constant-key self-join), and the explicit exact opt-in
+    remains the reference answer."""
+    from samyama_graph_spark.datapipe.dedup import embedding_near_dups
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    exact = embedding_near_dups(
+        embs, "embedding", "vec_id", threshold=0.2, exact_all_pairs=True
+    )
+    approx = embedding_near_dups(
+        embs, "embedding", "vec_id", threshold=0.2, num_tables=8
+    )
+    exact_pairs = {(r["x"], r["y"]) for r in exact.collect()}
+    approx_pairs = {(r["x"], r["y"]) for r in approx.collect()}
+    assert approx_pairs <= exact_pairs
+    if exact_pairs:
+        assert len(approx_pairs) / len(exact_pairs) >= 0.3
+    # the candidate join key is the exploded (table, bucket) struct —
+    # a constant-key cross join would show a trivial equality instead
+    plan = approx._jdf.queryExecution().optimizedPlan().toString()
+    assert "blk" in plan
+
+
 def test_bpe_token_stats(spark, sf_dir):
     from samyama_graph_spark.datapipe.text import bpe_token_stats
 

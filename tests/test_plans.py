@@ -58,3 +58,46 @@ def test_codegen_on_scan_filter(spark, sf_dir):
     df = g.node_df("Order").filter(F.col("totalprice") > 100000).select("id")
     # formatted mode marks codegen'd operators with "[codegen id : N]"
     assert "codegen id" in _plan(df)
+
+
+def test_anchor_selection_scans_selective_side_first(spark, sf_dir):
+    """MATCH (a:BigLabel)-[:R]->(b:SmallLabel {k: v}) must anchor the
+    scan at SmallLabel (cardinality-based start-node selection,
+    mirroring the reference's plan enumerator / cost model,
+    plan_enumerator.rs:17-64, cost_model.rs:20-60) — and produce the
+    same rows either way."""
+    from samyama_graph_spark.cypher.compiler import Compiler
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    big = spark.range(0, 1000).select(F.col("id"), F.lit("x").alias("tag"))
+    small = spark.range(5000, 5005).select(
+        F.col("id"), (F.col("id") - 5000).alias("k")
+    )
+    edges = spark.range(0, 1000).select(
+        F.col("id").alias("src"), (F.lit(5000) + F.col("id") % 5).alias("dst")
+    )
+    g = PropertyGraph(spark, {"Big": big, "Small": small}, {"R": edges})
+    engine = CypherEngine(g)
+
+    scanned: list[str | None] = []
+    orig = Compiler._node_source
+
+    def spy(self, label, var):
+        scanned.append(label)
+        return orig(self, label, var)
+
+    Compiler._node_source = spy
+    try:
+        out = engine.query(
+            "MATCH (a:Big)-[:R]->(b:Small {k: 2}) RETURN count(*) AS n"
+        ).collect()
+    finally:
+        Compiler._node_source = orig
+    assert scanned[0] == "Small", f"anchored at {scanned[0]}, not Small"
+    assert out[0]["n"] == 200  # 1000 edges / 5 small nodes
+    # parity with the syntactically-reversed form (no reversal applies)
+    out2 = engine.query(
+        "MATCH (b:Small {k: 2})<-[:R]-(a:Big) RETURN count(*) AS n"
+    ).collect()
+    assert out2[0]["n"] == 200
