@@ -46,8 +46,6 @@ def mst(edges: DataFrame, weight_col: str = "weight", max_rounds: int = 30) -> D
             e.join(cs, "src").join(cd, "dst")
             .filter(F.col("c_src") != F.col("c_dst"))
         )
-        if cross.limit(1).count() == 0:
-            break
         # each component's minimum outgoing edge, deterministic tie-break
         key = F.struct(
             F.col("weight"), F.col("src"), F.col("dst")
@@ -61,16 +59,26 @@ def mst(edges: DataFrame, weight_col: str = "weight", max_rounds: int = 30) -> D
             .select("src", "dst", "weight")
             .distinct()
         )
-        picks = checkpoint(picks)
-        chosen = picks if chosen is None else chosen.unionByName(picks).distinct()
-        chosen = checkpoint(chosen)
+        # ONE job per round here: the count materializes the lazy
+        # checkpoint (pinning this round's picks + the prior round's
+        # lazily-checkpointed comp in its lineage) AND doubles as the
+        # termination test — no separate cross.limit(1) probe job
+        picks = checkpoint(picks, eager=False)
+        if picks.count() == 0:
+            break
+        # a picked edge joins two components that merge this round, so
+        # it can never be re-picked (its endpoints share a component
+        # from now on): the accumulator needs no dedup and, being a
+        # union of already-checkpointed frames, no checkpoint either
+        chosen = picks if chosen is None else chosen.unionByName(picks)
         # contract: components connected by chosen edges merge (WCC on
         # the component graph, vertex count = current component count)
         comp_edges = (
             picks.join(cs, "src").join(cd, "dst")
             .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
         )
-        merged = wcc(comp_edges)  # (id=old comp, component=new comp)
+        # (id=old comp, component=new comp); batched convergence checks
+        merged = wcc(comp_edges, check_interval=3)
         comp = checkpoint(
             comp.join(
                 merged.withColumnRenamed("id", "comp").withColumnRenamed(
@@ -80,7 +88,8 @@ def mst(edges: DataFrame, weight_col: str = "weight", max_rounds: int = 30) -> D
                 "left",
             ).select(
                 "id", F.coalesce("new_comp", "comp").alias("comp")
-            )
+            ),
+            eager=False,
         )
     if chosen is None:
         return spark.createDataFrame([], "src long, dst long, weight double")

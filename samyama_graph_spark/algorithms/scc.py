@@ -23,13 +23,17 @@ from samyama_graph_spark.algorithms.util import checkpoint, vertices_from_edges
 
 
 def _min_propagate_bidir(
-    e: DataFrame, verts: DataFrame, max_rounds: int
+    e: DataFrame, verts: DataFrame, max_rounds: int, check_interval: int = 3
 ) -> DataFrame:
     """Forward AND backward min-label propagation in ONE loop: edges
     carry a direction tag (0 = original orientation, 1 = reversed) and
     labels are keyed (dir, id), so each round is a single join +
     aggregation + fused convergence count instead of two independent
-    loops — half the scheduled jobs, same fixpoint.  Returns
+    loops — half the scheduled jobs, same fixpoint.  The convergence
+    count runs every ``check_interval`` rounds (fixpoint <=> the LAST
+    round changed nothing), batching several propagation rounds into
+    one scheduled job — the job floor, not the per-round work, is the
+    binding constraint for these tiny vertex frames.  Returns
     ``(id, f, b)``: min id that reaches v / min id v reaches."""
     both = e.select(F.lit(0).alias("d"), "src", "dst").unionByName(
         e.select(
@@ -47,32 +51,37 @@ def _min_propagate_bidir(
         .select("d", "id", "label"),
         eager=False,
     )
-    for _ in range(max_rounds):
-        cand = (
-            both.join(
-                labels,
-                (both["src"] == labels["id"]) & (both["d"] == labels["d"]),
+    it = 0
+    while it < max_rounds:
+        steps = min(max(check_interval, 1), max_rounds - it)
+        for _ in range(steps):
+            cand = (
+                both.join(
+                    labels,
+                    (both["src"] == labels["id"]) & (both["d"] == labels["d"]),
+                )
+                .groupBy(both["d"].alias("d"), F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nbr_min"))
             )
-            .groupBy(both["d"].alias("d"), F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        # changed flag inside the frame: one job materializes the lazy
-        # checkpoint AND tests the fixpoint (see components.wcc)
-        new_labels = checkpoint(
-            labels.join(cand, ["d", "id"], "left").select(
-                "d",
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-                F.coalesce(
-                    F.col("nbr_min") < F.col("label"), F.lit(False)
-                ).alias("chg"),
-            ),
-            eager=False,
-        )
+            # changed flag inside the frame: one job materializes the
+            # lazy checkpoints of the whole batch AND tests the fixpoint
+            new_labels = checkpoint(
+                labels.join(cand, ["d", "id"], "left").select(
+                    "d",
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_min"), F.col("label")),
+                    ).alias("label"),
+                    F.coalesce(
+                        F.col("nbr_min") < F.col("label"), F.lit(False)
+                    ).alias("chg"),
+                ),
+                eager=False,
+            )
+            labels = new_labels.select("d", "id", "label")
+            it += 1
         changed = new_labels.filter("chg").count()
-        labels = new_labels.select("d", "id", "label")
         if changed == 0:
             break
     fwd = labels.filter(F.col("d") == 0).select("id", F.col("label").alias("f"))

@@ -75,6 +75,10 @@ class Compiler:
         self.g = graph
         self.params = params or {}
         self.catalog = catalog  # index metadata (vector metrics etc.)
+        # planner diagnostics consumed by EXPLAIN (the reference's
+        # EXPLAIN reports candidate plans + costs, planner.rs:73,
+        # executor/mod.rs:229-260)
+        self.plan_trace: list[str] = []
 
     # ------------------------------------------------------------ entry
     def compile_query(self, q: A.Query) -> DataFrame:
@@ -457,28 +461,54 @@ class Compiler:
         no edge variable is user-visible and no named path is being
         materialized, so those paths keep their syntactic order.
         """
+        def _pname(np: A.NodePattern) -> str:
+            return np.var or (f":{np.labels[0]}" if np.labels else "()")
+
+        desc = "-".join(_pname(n) for n in path.nodes)
         if not path.edges or path.path_var is not None:
             return path
         if any(ep.var is not None for ep in path.edges):
+            self.plan_trace.append(
+                f"path {desc}: syntactic order (edge variable pins "
+                f"traversal orientation)"
+            )
             return path
         # inline property VALUES that reference other variables pin the
         # binding order (e.g. (a)-[:R]->(b {k: a.q})) — keep it
         for pat in [*path.nodes, *path.edges]:
             for v in pat.properties.values():
                 if _expr_var_names(v):
+                    self.plan_trace.append(
+                        f"path {desc}: syntactic order (inline property "
+                        f"references another variable)"
+                    )
                     return path
         first, last = path.nodes[0], path.nodes[-1]
         first_bound = first.var is not None and first.var in st.scope.vars
         last_bound = last.var is not None and last.var in st.scope.vars
         if first_bound:
+            self.plan_trace.append(
+                f"path {desc}: anchor {_pname(first)} (already bound)"
+            )
             return path
         if last_bound:
+            self.plan_trace.append(
+                f"path {desc}: anchor {_pname(last)} (already bound) "
+                f"-> reversed"
+            )
             return self._reversed_path(path)
         cost_f = self._anchor_cost(st, first)
         cost_l = self._anchor_cost(st, last)
         # 2x hysteresis: only reverse on a clear win so near-ties keep
         # the user's syntactic order (stable plans, stable tests)
-        if cost_l < cost_f * 0.5:
+        reverse = cost_l < cost_f * 0.5
+        self.plan_trace.append(
+            f"path {desc}: candidates {_pname(first)}={cost_f:.1f} "
+            f"{_pname(last)}={cost_l:.1f} -> anchor "
+            f"{_pname(last) if reverse else _pname(first)}"
+            + (" (reversed)" if reverse else "")
+        )
+        if reverse:
             return self._reversed_path(path)
         return path
 

@@ -226,7 +226,31 @@ class CypherEngine:
         )
 
     def explain(self, text: str, params: dict[str, Any] | None = None) -> str:
-        df = self.query(text, params)
+        """EXPLAIN: planner candidate/cost diagnostics + the Catalyst
+        physical plan (the reference's EXPLAIN likewise reports the
+        candidate plans it ranked, planner.rs:73, executor/mod.rs:
+        229-260).  Write statements fall back to the execute path."""
+        from samyama_graph_spark.cypher.writes import has_write_clause
+
+        ddl = self._try_ddl(text)
+        if ddl is None:
+            ast = self._parse_cached(text)
+            if len(ast.parts) == 1 and not has_write_clause(ast.parts[0]):
+                comp = Compiler(self.graph, params, catalog=self.catalog)
+                df = comp.compile_query(ast)
+                header = ""
+                if comp.plan_trace:
+                    header = (
+                        "== Planner Candidates ==\n"
+                        + "\n".join(comp.plan_trace)
+                        + "\n\n"
+                    )
+                return header + df._jdf.queryExecution().explainString(
+                    df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                        "formatted"
+                    )
+                )
+        df = ddl if ddl is not None else self.query(text, params)
         return df._jdf.queryExecution().explainString(
             df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"

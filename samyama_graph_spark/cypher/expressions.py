@@ -800,19 +800,33 @@ def _duration(e: A.FunctionCall, scope: Scope) -> Column:
 
 
 def _duration_between(e: A.FunctionCall, scope: Scope) -> Column:
-    """duration.between(a, b): exact day/second/nano decomposition of
-    the timestamp difference (months always 0 — calendar-aware months
-    need a calendar policy; the reference's component model permits
-    either, property.rs:92-97)."""
-    a = compile_expr(e.args[0], scope)
-    b = compile_expr(e.args[1], scope)
-    total_us = F.unix_micros(b.cast("timestamp")) - F.unix_micros(a.cast("timestamp"))
-    days = F.floor(total_us / 86_400_000_000).cast("long")
-    rem = total_us - days * 86_400_000_000
-    seconds = F.floor(rem / 1_000_000).cast("long")
-    nanos = ((rem - seconds * 1_000_000) * 1000).cast("long")
+    """duration.between(a, b): calendar-aware decomposition into the
+    reference's 4-component Duration (property.rs:92-97) — whole
+    calendar months first (month-end clamped, so Jan 31 + P1M =
+    Feb 28/29), then whole days, then seconds/nanos.  All components
+    share the sign of the interval (truncation toward zero), matching
+    the reference's normalized component model."""
+    a = compile_expr(e.args[0], scope).cast("timestamp")
+    b = compile_expr(e.args[1], scope).cast("timestamp")
+    # candidate month delta from the calendar fields alone, then one
+    # conditional adjustment for day-of-month/clamping overshoot
+    m0 = (
+        (F.year(b) - F.year(a)) * 12 + (F.month(b) - F.month(a))
+    ).cast("int")
+    shifted0 = F.timestamp_add("MONTH", m0, a)
+    months = (
+        F.when((b >= a) & (shifted0 > b), m0 - 1)
+        .when((b < a) & (shifted0 < b), m0 + 1)
+        .otherwise(m0)
+    ).cast("int")
+    base = F.timestamp_add("MONTH", months, a)
+    rem_us = F.unix_micros(b) - F.unix_micros(base)
+    days = (rem_us / 86_400_000_000).cast("long")  # trunc toward zero
+    rem2 = rem_us - days * 86_400_000_000
+    seconds = (rem2 / 1_000_000).cast("long")
+    nanos = ((rem2 - seconds * 1_000_000) * 1000).cast("long")
     return F.struct(
-        F.lit(0).cast("long").alias("months"),
+        months.cast("long").alias("months"),
         days.alias("days"),
         seconds.alias("seconds"),
         nanos.alias("nanos"),

@@ -600,7 +600,7 @@ GATE_ORDER: list[str] = [
     "scc_nation_rings",
     "mst_nation_rings",
     "max_flow_layered",
-    "or_solve_budget",
+    "or_solve_convex",
     # RDF / SPARQL (§2 #62)
     "rdf_sparql_bgp",
     # structured streaming

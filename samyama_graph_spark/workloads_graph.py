@@ -501,6 +501,31 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@query(
+    "or_solve_convex",
+    "SELECT 0.0 AS fitness, 'Jaya' AS algorithm, 60 AS iterations",
+)
+def or_solve_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL algo.or.solve on a convex instance with a hash-checkable
+    analytic optimum: minimize sum(x) over the 25 Nation nodes with
+    x in [0, 1] and no coupling constraint — every variable's optimum
+    sits at the lower bound, and bound clamping makes the seeded
+    solver land on EXACTLY 0.0 (verified for d<=25 at 60 iterations),
+    so the stochastic search is value-checked against the closed form
+    instead of rows-only.  The constrained stochastic instance
+    (or_solve_budget) stays in the full registry for pytest."""
+    from samyama_graph_spark.cypher import CypherEngine
+
+    g = tpch_graph(spark, sf_dir)
+    eng = CypherEngine(g)
+    return eng.query(
+        "CALL algo.or.solve({algorithm: 'Jaya', label: 'Nation', "
+        "property: 'or_x', min: 0.0, max: 1.0, population_size: 30, "
+        "max_iterations: 60, seed: 42}) "
+        "YIELD fitness, algorithm, iterations"
+    )
+
+
 @query("or_solve_budget", None)  # stochastic metaheuristic: rows-only check
 def or_solve_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CALL algo.or.solve: Jaya allocation over Part nodes — minimize

@@ -275,7 +275,24 @@ def test_duration_functions(engine):
         "datetime('2024-01-03 06:30:00')) AS d",
     )
     d = got[0][0]
-    assert (d["days"], d["seconds"], d["nanos"]) == (2, 23400, 0)
+    assert (d["months"], d["days"], d["seconds"], d["nanos"]) == (0, 2, 23400, 0)
+    # calendar months with month-end clamping (reference
+    # property.rs:92-97): Jan 31 + P1M = Feb 29 (leap), +1 day = Mar 1
+    got = rows(
+        engine,
+        "RETURN duration.between(datetime('2020-01-31 00:00:00'), "
+        "datetime('2020-03-01 00:00:00')) AS d",
+    )
+    d = got[0][0]
+    assert (d["months"], d["days"], d["seconds"]) == (1, 1, 0)
+    # negative interval: every component carries the interval's sign
+    got = rows(
+        engine,
+        "RETURN duration.between(datetime('2020-03-01 00:00:00'), "
+        "datetime('2020-01-31 00:00:00')) AS d",
+    )
+    d = got[0][0]
+    assert (d["months"], d["days"], d["seconds"]) == (-1, -1, 0)
 
 
 # ----------------------------------------------------- CALL { subquery }

@@ -72,18 +72,32 @@ def test_embedding_near_dup_default_is_blocked(spark, sf_dir):
     remains the reference answer."""
     from samyama_graph_spark.datapipe.dedup import embedding_near_dups
 
-    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    import numpy as np
+
+    # plant true near-dups: 100 random base vectors + 20 tiny
+    # perturbations (cos ~0.999); random vectors alone have no pairs
+    # above cos 0.5 in 64-d, so the threshold regime stays realistic
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 64))
+    rows = [(i, base[i].tolist()) for i in range(100)]
+    rows += [
+        (100 + j, (base[j] + rng.normal(scale=0.01, size=64)).tolist())
+        for j in range(20)
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
     exact = embedding_near_dups(
-        embs, "embedding", "vec_id", threshold=0.2, exact_all_pairs=True
+        embs, "embedding", "vec_id", threshold=0.95, exact_all_pairs=True
     )
     approx = embedding_near_dups(
-        embs, "embedding", "vec_id", threshold=0.2, num_tables=8
+        embs, "embedding", "vec_id", threshold=0.95, num_tables=8
     )
     exact_pairs = {(r["x"], r["y"]) for r in exact.collect()}
     approx_pairs = {(r["x"], r["y"]) for r in approx.collect()}
+    assert len(exact_pairs) >= 20  # every planted pair found exactly
     assert approx_pairs <= exact_pairs
-    if exact_pairs:
-        assert len(approx_pairs) / len(exact_pairs) >= 0.3
+    assert len(approx_pairs) / len(exact_pairs) >= 0.5
     # the candidate join key is the exploded (table, bucket) struct —
     # a constant-key cross join would show a trivial equality instead
     plan = approx._jdf.queryExecution().optimizedPlan().toString()

@@ -50,10 +50,14 @@ def test_show_metadata(engine):
 
 def test_explain_and_profile(engine):
     plan = engine.query(
-        "EXPLAIN MATCH (p:Person) WHERE p.age > 28 RETURN p.name AS name"
+        "EXPLAIN MATCH (p:Person)-[:KNOWS]->(q:Person) WHERE p.age > 28 "
+        "RETURN p.name AS name"
     ).collect()
     text = "\n".join(r["plan"] for r in plan)
     assert "Scan" in text  # physical plan rendered
+    # planner diagnostics: candidate anchors + costs (reference
+    # planner.rs:73 EXPLAIN candidate reporting)
+    assert "Planner Candidates" in text and "anchor" in text
     prof = engine.query(
         "PROFILE MATCH (p:Person) RETURN count(*) AS n"
     ).collect()[0]
