@@ -100,15 +100,22 @@ def scc(
     result: DataFrame | None = None
 
     for _ in range(max_outer):
-        # full count (not limit(1)): materializes every partition of the
-        # lazily-checkpointed frame before lineage truncation
-        if remaining.count() == 0:
-            break
         ids = remaining.select("id")
         e = (
             e_all.join(ids, e_all["src"] == ids["id"], "left_semi")
             .join(ids, F.col("dst") == ids["id"], "left_semi")
         )
+        # ONE probe job doubles as the termination test AND the
+        # singleton fast path: remaining empty => e empty => done; e
+        # empty with vertices left => every leftover is its own SCC
+        # (the common tail after the big components peel), settled in
+        # bulk without another propagation loop.
+        if e.limit(1).count() == 0:
+            singles = remaining.select("id", F.col("id").alias("component"))
+            result = (
+                singles if result is None else result.unionByName(singles)
+            )
+            break
         fb = _min_propagate_bidir(e, remaining, max_inner)
         settled = (
             fb.filter(F.col("f") == F.col("b"))

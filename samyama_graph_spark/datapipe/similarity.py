@@ -19,7 +19,7 @@ from __future__ import annotations
 
 
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -368,4 +368,64 @@ def knn_ivf(
     probe = ranked[: min(nprobe, len(centroids))]
     assigned = ivf_assign(df, vec_col, centroids)
     cands = assigned.filter(F.col("__ivf_cell").isin(probe)).drop("__ivf_cell")
+    return knn_bruteforce(cands, vec_col, id_col, query_vec, k, metric)
+
+
+def ivf_probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cell ids whose centroids are cosine-closest to
+    the query (deterministic index tie-break)."""
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (-cos(query_vec, centroids[i]), i),
+    )
+    return ranked[: min(nprobe, len(centroids))]
+
+
+def ivf_write_partitioned(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Materialize the IVF index AT REST: rows written under one
+    parquet partition directory per cell (``__ivf_cell=<i>/``).  This
+    is the 100TB shape of the index — a probe reads only the nprobe
+    matching directories (source-level partition pruning), so query
+    cost scales with nprobe/C of the corpus instead of a full scan."""
+    ivf_assign(df, vec_col, centroids).write.mode("overwrite").partitionBy(
+        "__ivf_cell"
+    ).parquet(path)
+
+
+def knn_ivf_partitioned(
+    spark: SparkSession,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    metric: str = "cosine",
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k over a cell-partitioned table written by
+    ivf_write_partitioned: the cell filter prunes partitions at the
+    file source (assert via PartitionFilters in the physical plan),
+    then the survivors re-rank exactly.  Same results as knn_ivf on
+    the un-partitioned frame."""
+    probe = ivf_probe_cells(query_vec, centroids, nprobe)
+    cands = (
+        spark.read.parquet(path)
+        .filter(F.col("__ivf_cell").isin(probe))
+        .drop("__ivf_cell")
+    )
     return knn_bruteforce(cands, vec_col, id_col, query_vec, k, metric)

@@ -63,8 +63,8 @@ def load_tables(
     """
     sf_dir = sf_dir or default_sf_dir()
     wanted = names or TABLES
-    cache_key = (id(spark), sf_dir)
-    cached = _TABLE_CACHE.setdefault(cache_key, {})
+    per = _TABLE_CACHE.setdefault(spark, {})
+    cached = per.setdefault(sf_dir, {})
     missing = [n for n in wanted if n not in cached]
     if missing:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -82,8 +82,17 @@ def load_tables(
 
 # DataFrames are lazy plan handles: caching them per (session, sf_dir)
 # skips repeated parquet footer/schema reads without pinning any data.
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
-_GRAPH_CACHE: dict[tuple[int, str], "PropertyGraph"] = {}
+# Keyed WEAKLY on the live session object — id(spark) can be reused by
+# a new session after the old one is collected, which would hand out
+# plan handles bound to a dead context.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+_GRAPH_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, PropertyGraph]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
@@ -109,9 +118,9 @@ def tpch_graph(spark: SparkSession, sf_dir: str | None = None) -> PropertyGraph:
     SUPPLIED_BY (part->supplier per lineitem).
     """
     sf_dir = sf_dir or default_sf_dir()
-    key = (id(spark), sf_dir)
-    if key in _GRAPH_CACHE:
-        return _GRAPH_CACHE[key]
+    per = _GRAPH_CACHE.setdefault(spark, {})
+    if sf_dir in per:
+        return per[sf_dir]
     t = load_tables(spark, sf_dir)
 
     nodes = {
@@ -213,7 +222,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str | None = None) -> PropertyGraph:
         "SUPPLIED_BY": EdgeMeta("Part", "Supplier"),
     }
     g = PropertyGraph(spark, nodes, edges, meta)
-    _GRAPH_CACHE[key] = g
+    per[sf_dir] = g
     return g
 
 

@@ -164,3 +164,34 @@ def test_match_create_per_row_nodes(engine):
     ids = [r[0] for r in engine.query(
         "MATCH (s:Shadow) RETURN id(s) AS i").collect()]
     assert len(ids) == len(set(ids)) == 2
+
+
+def test_per_row_create_ids_contiguous_across_partitions(spark):
+    """Per-partition reserved id ranges must still mint contiguous,
+    unique ids when the MATCH frame spans many partitions (the
+    replaced global-window implementation guaranteed this on a single
+    task; the distributed one must match it)."""
+    people = spark.range(0, 500, numPartitions=7)
+    eng = CypherEngine(PropertyGraph(spark, {"P": people}, {}))
+    eng.query("MATCH (p:P) CREATE (t:Tag {of: p.id})")
+    ids = sorted(
+        r["i"] for r in eng.query("MATCH (t:Tag) RETURN id(t) AS i").collect()
+    )
+    assert len(ids) == 500
+    assert ids == list(range(ids[0], ids[0] + 500))  # contiguous + unique
+
+
+def test_engine_graph_swap_invalidates_id_watermark(spark):
+    """Replacing engine.graph with a foreign graph must drop the id
+    watermark: newly minted ids may not collide with the new graph's
+    existing ids."""
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    eng = CypherEngine(PropertyGraph(spark, {"P": a}, {}))
+    eng.query("CREATE (n:P {name: 'y'})")  # establishes a watermark
+    big = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(1, 51)], "id long, name string"
+    )
+    eng.graph = PropertyGraph(spark, {"P": big}, {})  # foreign swap
+    eng.query("CREATE (n:P {name: 'z'})")
+    ids = [r["i"] for r in eng.query("MATCH (p:P) RETURN id(p) AS i").collect()]
+    assert len(ids) == len(set(ids)) == 51  # no collision

@@ -104,6 +104,37 @@ def test_embedding_near_dup_default_is_blocked(spark, sf_dir):
     assert "blk" in plan
 
 
+def test_ivf_partitioned_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The at-rest IVF index (cell-partitioned parquet) must (a) return
+    the same rows as the in-memory IVF path and (b) prune to the nprobe
+    cell directories at the file source — the property that makes the
+    index sublinear at corpus scale."""
+    from samyama_graph_spark.datapipe.similarity import (
+        ivf_write_partitioned,
+        knn_ivf,
+        knn_ivf_partitioned,
+    )
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embs.orderBy("vec_id").limit(16).collect()
+    ]
+    qv = _query_vec(embs)
+    path = str(tmp_path / "ivf_idx")
+    ivf_write_partitioned(embs, "embedding", cents, path)
+
+    part = knn_ivf_partitioned(
+        spark, path, "embedding", "vec_id", qv, cents, 10, nprobe=4
+    )
+    mem = knn_ivf(embs, "embedding", "vec_id", qv, cents, 10, nprobe=4)
+    assert [(r["id"], round(r["score"], 9)) for r in part.collect()] == [
+        (r["id"], round(r["score"], 9)) for r in mem.collect()
+    ]
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__ivf_cell" in plan
+
+
 def test_bpe_token_stats(spark, sf_dir):
     from samyama_graph_spark.datapipe.text import bpe_token_stats
 
