@@ -295,3 +295,172 @@ def synthetic_png_media(
             )
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------------- resize
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def image_resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame:
+    """REAL image resize (nearest-neighbor) over the binary column:
+    decode PNG pixels executor-side, resample, re-encode — media in,
+    media out, so resize stages compose with decode/feature stages in
+    one pipeline.  Output rows carry updated meta dimensions.  Swap
+    the kernel for PIL/opencv interpolation without touching the
+    Spark plumbing (same schema, same Arrow batching)."""
+    from samyama_graph_spark.session import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                w, h, ch, px = png_decode(bytes(content))
+                rgb = []
+                for y2 in range(new_height):
+                    sy = min(y2 * h // new_height, h - 1)
+                    for x2 in range(new_width):
+                        sx = min(x2 * w // new_width, w - 1)
+                        off = (sy * w + sx) * ch
+                        if ch >= 3:
+                            rgb.append((px[off], px[off + 1], px[off + 2]))
+                        else:
+                            v = px[off]
+                            rgb.append((v, v, v))
+                rows.append(
+                    (
+                        int(mid),
+                        str(kind),
+                        png_encode(new_width, new_height, rgb),
+                        ("image/png", new_width, new_height, None),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# -------------------------------------------------------- frame sample
+# Synthetic video container: b"SVID" + u32 frame count, then per frame
+# u32 byte length + PNG bytes.  Parsing it is REAL (length-prefixed
+# walk); real codecs (mp4/h264) are not in this environment, so that
+# branch raises NotImplementedError — the Spark-side contract (schema,
+# batching, explode shape) is identical either way.
+
+_SVID_MAGIC = b"SVID"
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def video_frame_sample(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Sample every ``every_n``-th frame out of video payloads: one
+    output ROW PER FRAME (media_id, frame_no, frame PNG bytes, dims) —
+    the fan-out shape of a frame-extraction stage feeding image ops
+    downstream (resize/feature over the exploded frames).  Synthetic
+    SVID containers are really parsed; other containers need a codec
+    library and raise NotImplementedError."""
+    import struct
+
+    from samyama_graph_spark.session import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                if data[:4] != _SVID_MAGIC:
+                    raise NotImplementedError(
+                        "real video codec required for non-SVID containers"
+                    )
+                (n_frames,) = struct.unpack(">I", data[4:8])
+                off = 8
+                for i in range(n_frames):
+                    (ln,) = struct.unpack(">I", data[off : off + 4])
+                    off += 4
+                    frame = data[off : off + ln]
+                    off += ln
+                    if i % every_n == 0:
+                        w, h, _ch, _px = png_decode(frame)
+                        rows.append((int(mid), i, frame, w, h))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synthetic_video_media(
+    spark, n: int = 8, frames: int = 6, width: int = 4, height: int = 3
+) -> DataFrame:
+    """Deterministic SVID media table: video k's frame i is the
+    synthetic PNG pattern of image (k * frames + i).  Generated
+    executor-side."""
+    import struct
+
+    from samyama_graph_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for k in pdf["id"]:
+                k = int(k)
+                payload = [_SVID_MAGIC, struct.pack(">I", frames)]
+                for i in range(frames):
+                    seed = k * frames + i
+                    rgb = [
+                        (
+                            (7 * seed + 3 * x + 5 * y) % 256,
+                            (11 * seed + x + 2 * y) % 256,
+                            (13 * seed + 5 * x + y) % 256,
+                        )
+                        for y in range(height)
+                        for x in range(width)
+                    ]
+                    png = png_encode(width, height, rgb)
+                    payload.append(struct.pack(">I", len(png)))
+                    payload.append(png)
+                dur = frames * 40  # 25 fps
+                out.append(
+                    (k, "video", b"".join(payload),
+                     ("video/x-svid", width, height, dur))
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -104,6 +104,62 @@ def test_embedding_near_dup_default_is_blocked(spark, sf_dir):
     assert "blk" in plan
 
 
+def test_image_resize_real_pixels(spark):
+    """Nearest-neighbor resize must produce decodable PNGs with the
+    expected dimensions and pixels sampled from the source pattern."""
+    from samyama_graph_spark.datapipe.multimodal import (
+        image_resize,
+        png_decode,
+        synthetic_png_media,
+    )
+
+    media = synthetic_png_media(spark, 4, width=8, height=6)
+    out = {r["media_id"]: r for r in image_resize(media, 4, 3).collect()}
+    assert len(out) == 4
+    for k, r in out.items():
+        assert (r["meta"]["width"], r["meta"]["height"]) == (4, 3)
+        w, h, ch, px = png_decode(bytes(r["content"]))
+        assert (w, h, ch) == (4, 3, 3)
+        # nearest-neighbor: output pixel (x,y) == source pixel (2x, 2y)
+        for y in range(3):
+            for x in range(4):
+                off = (y * 4 + x) * 3
+                sx, sy = 2 * x, 2 * y
+                assert px[off] == (7 * k + 3 * sx + 5 * sy) % 256
+                assert px[off + 1] == (11 * k + sx + 2 * sy) % 256
+
+
+def test_video_frame_sampling(spark):
+    """SVID container parsing is real: every_n sampling yields the
+    right frame numbers and each frame decodes to the seeded pattern;
+    the exploded frames compose with the image feature stage."""
+    from samyama_graph_spark.datapipe.multimodal import (
+        extract_features,
+        png_decode,
+        synthetic_video_media,
+        video_frame_sample,
+    )
+
+    vids = synthetic_video_media(spark, 3, frames=6, width=4, height=3)
+    frames = video_frame_sample(vids, every_n=2)
+    rows = frames.collect()
+    assert sorted({r["frame_no"] for r in rows}) == [0, 2, 4]
+    assert len(rows) == 3 * 3
+    r = next(x for x in rows if x["media_id"] == 1 and x["frame_no"] == 2)
+    w, h, ch, px = png_decode(bytes(r["frame"]))
+    seed = 1 * 6 + 2
+    assert (w, h) == (4, 3) and px[0] == (7 * seed) % 256
+    # frames feed the image pipeline downstream (media-shaped columns)
+    feats = extract_features(
+        frames.select(
+            (F.col("media_id") * 100 + F.col("frame_no")).alias("media_id"),
+            F.col("frame").alias("content"),
+        ),
+        dim=4,
+    )
+    assert feats.count() == 9
+
+
 def test_ivf_partitioned_index_prunes_partitions(spark, sf_dir, tmp_path):
     """The at-rest IVF index (cell-partitioned parquet) must (a) return
     the same rows as the in-memory IVF path and (b) prune to the nprobe
