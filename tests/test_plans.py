@@ -60,6 +60,43 @@ def test_codegen_on_scan_filter(spark, sf_dir):
     assert "codegen id" in _plan(df)
 
 
+def test_gate_window_fully_oracled():
+    """Gate health: exactly 50 entries, every one present in REGISTRY,
+    and every one carries a DuckDB oracle — the driver's correctness
+    gate must value-check the whole window (no rows-only slots)."""
+    from samyama_graph_spark.workloads import (
+        GATE_ORDER,
+        REGISTRY,
+        gate_oracles,
+        gate_queries,
+    )
+
+    qs = gate_queries()
+    assert len(qs) == 50 == len(GATE_ORDER)
+    oracles = gate_oracles()
+    missing = [n for n in GATE_ORDER if n not in oracles]
+    assert not missing, f"gate entries without oracle: {missing}"
+    assert all(REGISTRY[n].oracle for n in GATE_ORDER)
+
+
+def test_pagerank_iteration_has_no_broadcast_exchange(spark):
+    """The PageRank loop must not schedule a broadcast exchange per
+    iteration (the r2 bottleneck): rank updates join shuffle-hash, and
+    the dangling mass comes from the message aggregate, not a
+    broadcast-joined 1-row frame."""
+    from samyama_graph_spark.algorithms import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    ranks = pagerank(edges, iterations=2)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
 def test_anchor_selection_scans_selective_side_first(spark, sf_dir):
     """MATCH (a:BigLabel)-[:R]->(b:SmallLabel {k: v}) must anchor the
     scan at SmallLabel (cardinality-based start-node selection,
