@@ -185,6 +185,34 @@ def run_stream_to_memory(
     return stream_df.sparkSession.table(query_name)
 
 
+def run_streams_to_memory(
+    jobs: "list[tuple[DataFrame, str, str]]",
+) -> "list[DataFrame]":
+    """Drive several independent streaming frames CONCURRENTLY to
+    completion (each ``(stream_df, query_name, output_mode)`` gets its
+    own availableNow query + memory sink) and return the sink tables.
+    Wall time is the max of the queries, not the sum — the natural
+    shape when several windowed views of one source are materialized
+    together."""
+    qs = []
+    try:
+        for df, name, mode in jobs:
+            qs.append(
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        for q in qs:
+            q.awaitTermination()
+    finally:
+        for q in qs:
+            q.stop()  # release state-store/source resources promptly
+    spark = jobs[0][0].sparkSession
+    return [spark.table(name) for _, name, _ in jobs]
+
+
 def stream_dedup(
     events: DataFrame,
     key_cols: list[str] | tuple[str, ...] = ("event_id",),

@@ -78,34 +78,47 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming correctness contract).  The per-operator REGISTRY twins
     stay for pytest."""
     from samyama_graph_spark.streaming.windows import (
+        run_streams_to_memory,
         session_windows,
         sliding_windows,
     )
 
     path = f"{sf_dir}/events.parquet"
-    tumb = run_stream_to_memory(
-        hourly_windows(events_stream(spark, path)), _qname("wm_tumb"),
-        "complete",
-    ).select(
+    # the three windowed views of the one source run CONCURRENTLY
+    # (independent availableNow queries): wall time = max, not sum
+    tumb_t, slide_t, sess_t = run_streams_to_memory(
+        [
+            (
+                hourly_windows(events_stream(spark, path)),
+                _qname("wm_tumb"),
+                "complete",
+            ),
+            (
+                sliding_windows(events_stream(spark, path)),
+                _qname("wm_slide"),
+                "complete",
+            ),
+            (
+                session_windows(events_stream(spark, path), gap="10 minutes"),
+                _qname("wm_sess"),
+                "complete",
+            ),
+        ]
+    )
+    tumb = tumb_t.select(
         F.lit("tumbling").alias("kind"), "event_type",
         F.lit(None).cast("long").alias("user_id"),
         "window_start", F.lit(None).cast("timestamp").alias("window_end"),
         F.col("n").cast("long").alias("n"), F.col("total"),
     )
-    slide = run_stream_to_memory(
-        sliding_windows(events_stream(spark, path)), _qname("wm_slide"),
-        "complete",
-    ).select(
+    slide = slide_t.select(
         F.lit("sliding").alias("kind"), "event_type",
         F.lit(None).cast("long").alias("user_id"),
         "window_start", F.lit(None).cast("timestamp").alias("window_end"),
         F.col("n").cast("long").alias("n"),
         F.lit(None).cast("double").alias("total"),
     )
-    sess = run_stream_to_memory(
-        session_windows(events_stream(spark, path), gap="10 minutes"),
-        _qname("wm_sess"), "complete",
-    ).select(
+    sess = sess_t.select(
         F.lit("session").alias("kind"),
         F.lit(None).cast("string").alias("event_type"),
         "user_id",
