@@ -520,13 +520,26 @@ class Compiler:
         n = self.g.label_count_est(np.labels[0] if np.labels else None)
         n_eq = len(np.properties)
         n_other = 0
+        point = False
         if np.var is not None:
             for c in st.pending_where:
                 if _expr_var_names(c) == {np.var}:
                     if isinstance(c, A.BinaryOp) and c.op == "=":
-                        n_eq += 1
+                        # id(v) = <expr> is a UNIQUE point lookup, not a
+                        # generic 10%-selectivity equality
+                        sides = (c.left, c.right)
+                        if any(
+                            isinstance(s, A.FunctionCall)
+                            and s.name.lower() in ("id", "elementid")
+                            for s in sides
+                        ):
+                            point = True
+                        else:
+                            n_eq += 1
                     else:
                         n_other += 1
+        if point:
+            return 1.0 * (0.1**n_eq) * (0.5**n_other)
         return max(n, 1) * (0.1**n_eq) * (0.5**n_other)
 
     @staticmethod
