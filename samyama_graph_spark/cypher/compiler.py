@@ -264,7 +264,7 @@ class Compiler:
                 self._collect_subqueries(c, subs)
                 (deferred if subs else pushable).append(c)
         st.pending_where = st.pending_where + pushable
-        for path in clause.paths:
+        for path in self._order_paths(st, clause.paths):
             self._add_path(st, path)
             self._apply_ready_predicates(st)
         # anything still pending references vars this MATCH never bound
@@ -321,6 +321,23 @@ class Compiler:
             if info.label and info.label not in np.labels:
                 raise CompileError(
                     f"variable {var} re-labeled {info.label} -> {np.labels}"
+                )
+            # a re-occurrence may CARRY labels the first binding didn't
+            # (e.g. MATCH (x)-[:E]->(y), (x:B) — or after cost-based
+            # path reordering): enforce membership with a semi-join per
+            # un-guaranteed label instead of silently dropping the
+            # constraint
+            for lbl in np.labels:
+                if lbl == info.label:
+                    continue
+                try:
+                    ids = self.g.node_df(lbl).select(
+                        F.col("id").alias("__xid")
+                    )
+                except KeyError:
+                    ids = self.g.spark.createDataFrame([], "__xid long")
+                st.frame = st.frame.join(
+                    ids, F.col(f"{var}.id") == F.col("__xid"), "left_semi"
                 )
         self._inline_props(st, var, np.properties)
 
@@ -442,6 +459,68 @@ class Compiler:
             st.scope.vars[pvar] = VarInfo("path", pvar)
 
     # ------------------------------------------------- anchor selection
+    def _order_paths(
+        self, st: State, paths: list[A.PatternPath]
+    ) -> list[A.PatternPath]:
+        """Greedy path ordering inside one MATCH: start with the path
+        whose cheapest endpoint has the lowest estimated cardinality,
+        then repeatedly take the cheapest path CONNECTED to the
+        already-bound variables (avoiding cartesian products), falling
+        back to the cheapest remaining when none connects — the greedy
+        BFS over the pattern graph that the reference's enumerator
+        ranks exhaustively (plan_enumerator.rs:17-64).  Paths in one
+        MATCH are conjunctive, so any order is semantically equal;
+        inline properties that reference other variables pin the
+        syntactic order (a later path may bind what an earlier inline
+        map reads)."""
+        if len(paths) < 2:
+            return paths
+        for p in paths:
+            if p.shortest is not None:
+                return paths
+            for pat in [*p.nodes, *p.edges]:
+                for v in pat.properties.values():
+                    if _expr_var_names(v):
+                        return paths
+
+        def path_vars(p: A.PatternPath) -> set[str]:
+            out = {n.var for n in p.nodes if n.var}
+            out |= {e.var for e in p.edges if e.var}
+            if p.path_var:
+                out.add(p.path_var)
+            return out
+
+        def path_cost(p: A.PatternPath, bound: set[str]) -> float:
+            ends = [p.nodes[0], p.nodes[-1]]
+            costs = [
+                0.0
+                if (np.var is not None and np.var in bound)
+                else self._anchor_cost(st, np)
+                for np in ends
+            ]
+            return min(costs)
+
+        remaining = list(paths)
+        ordered: list[A.PatternPath] = []
+        bound: set[str] = set(st.scope.vars)
+        while remaining:
+            connected = [
+                p for p in remaining if bound and (path_vars(p) & bound)
+            ]
+            pool = connected or remaining
+            nxt = min(pool, key=lambda p: path_cost(p, bound))
+            remaining.remove(nxt)
+            ordered.append(nxt)
+            bound |= path_vars(nxt)
+        if ordered != paths:
+            self.plan_trace.append(
+                "match paths reordered: "
+                + " | ".join(
+                    "-".join(n.var or "()" for n in p.nodes) for p in ordered
+                )
+            )
+        return ordered
+
     def _orient_path(self, st: State, path: A.PatternPath) -> A.PatternPath:
         """Cardinality-based start-node (anchor) selection.
 

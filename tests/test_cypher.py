@@ -637,3 +637,21 @@ def test_temporal_map_construction(spark):
     assert str(r["d"]) == "1999-07-04"
     assert str(r["dt"]).startswith("2000-01-02 03:04:05")
     assert str(r["dflt"]) == "1988-01-01"
+
+
+def test_rebind_applies_late_label_constraint(spark):
+    """A variable first bound WITHOUT a label must still honor a label
+    carried by a later occurrence (MATCH (x {k: 1}), (x:B)) — the
+    constraint becomes a semi-join instead of being dropped.  Matters
+    doubly since cost-based path reordering can move the unlabeled
+    occurrence first."""
+    from samyama_graph_spark.cypher import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    a = spark.range(0, 100).selectExpr("id", "id % 10 AS k")
+    b = spark.range(100, 150).selectExpr("id", "id % 10 AS k")
+    eng = CypherEngine(PropertyGraph(spark, {"A": a, "B": b}, {}))
+    n_all = eng.query("MATCH (x {k: 1}) RETURN count(*) AS n").collect()
+    assert n_all[0]["n"] == 15  # 10 in A + 5 in B
+    n_b = eng.query("MATCH (x {k: 1}), (x:B) RETURN count(*) AS n").collect()
+    assert n_b[0]["n"] == 5
