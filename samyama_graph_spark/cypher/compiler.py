@@ -326,10 +326,19 @@ class Compiler:
             # (e.g. MATCH (x)-[:E]->(y), (x:B) — or after cost-based
             # path reordering): enforce membership with a semi-join per
             # un-guaranteed label instead of silently dropping the
-            # constraint
+            # constraint.  Labels already enforced for this variable
+            # are remembered so a third occurrence doesn't stack a
+            # duplicate join.  (info.label stays as-bound: labels(x)
+            # must keep reporting the node's REAL label set, not the
+            # constraint.)
+            checked = getattr(info, "checked_labels", None)
+            if checked is None:
+                checked = set()
+                info.checked_labels = checked
             for lbl in np.labels:
-                if lbl == info.label:
+                if lbl == info.label or lbl in checked:
                     continue
+                checked.add(lbl)
                 try:
                     ids = self.g.node_df(lbl).select(
                         F.col("id").alias("__xid")
@@ -604,13 +613,18 @@ class Compiler:
             for c in st.pending_where:
                 if _expr_var_names(c) == {np.var}:
                     if isinstance(c, A.BinaryOp) and c.op == "=":
-                        # id(v) = <expr> is a UNIQUE point lookup, not a
-                        # generic 10%-selectivity equality
-                        sides = (c.left, c.right)
-                        if any(
-                            isinstance(s, A.FunctionCall)
-                            and s.name.lower() in ("id", "elementid")
-                            for s in sides
+                        # id(v) = <constant> is a UNIQUE point lookup,
+                        # not a generic 10%-selectivity equality; the
+                        # other side must be variable-free (id(a) =
+                        # a.partner_id is a row filter, not a lookup)
+                        def _is_id(s):
+                            return (
+                                isinstance(s, A.FunctionCall)
+                                and s.name.lower() in ("id", "elementid")
+                            )
+
+                        if (_is_id(c.left) and not _expr_var_names(c.right)) or (
+                            _is_id(c.right) and not _expr_var_names(c.left)
                         ):
                             point = True
                         else:

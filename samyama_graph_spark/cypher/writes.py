@@ -139,7 +139,12 @@ class WriteExecutor:
         )
 
     def _current_graph(self) -> PropertyGraph:
-        return PropertyGraph(self.g.spark, self.nodes, self.edges, self.edge_meta)
+        # carry the planner stats cache across the write delta —
+        # estimates tolerate the slight staleness, and without it every
+        # post-write MATCH would re-run label-count jobs per statement
+        return PropertyGraph(
+            self.g.spark, self.nodes, self.edges, self.edge_meta
+        )._carry_stats_from(self.g)
 
     # -------------------------------------------------------------- utils
     def _next_id_base(self) -> int:

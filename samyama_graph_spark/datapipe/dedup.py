@@ -354,8 +354,16 @@ def embedding_near_dups(
         blk = F.lit(0)
     else:
         if dim is None:
-            row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-            dim = int(row["d"]) if row and row["d"] is not None else 1
+            # max over the frame, not first(): an arbitrary NULL first
+            # row would silently collapse every hyperplane to dim=1
+            # (near-random buckets, silent recall loss)
+            row = df.agg(F.max(F.size(F.col(vec_col))).alias("d")).first()
+            if row is None or row["d"] is None:
+                raise ValueError(
+                    "embedding_near_dups: cannot infer vector dim "
+                    f"(no non-null {vec_col!r} values); pass dim="
+                )
+            dim = int(row["d"])
         tables = [
             _hyperplanes(dim, num_planes, seed + 1000 * t)
             for t in range(num_tables)

@@ -336,6 +336,14 @@ def image_resize(media: DataFrame, new_width: int, new_height: int) -> DataFrame
             for mid, kind, content in zip(
                 pdf["media_id"], pdf["kind"], pdf["content"]
             ):
+                if content is None or bytes(content)[:8] != _PNG_MAGIC:
+                    # clear contract failure instead of an opaque
+                    # executor traceback on mixed media tables
+                    raise NotImplementedError(
+                        f"image_resize: media {int(mid)} ({kind}) is not "
+                        "a PNG payload — decode other codecs with a real "
+                        "image library (filter by kind upstream)"
+                    )
                 w, h, ch, px = png_decode(bytes(content))
                 rgb = []
                 for y2 in range(new_height):

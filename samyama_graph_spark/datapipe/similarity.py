@@ -354,18 +354,7 @@ def knn_ivf(
     cells whose centroids are closest to the query, re-rank exactly.
     Deterministic given the centroid list (callers derive centroids
     from fixed sample ids or offline k-means)."""
-
-    def cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
-
-    ranked = sorted(
-        range(len(centroids)),
-        key=lambda i: (-cos(query_vec, centroids[i]), i),
-    )
-    probe = ranked[: min(nprobe, len(centroids))]
+    probe = ivf_probe_cells(query_vec, centroids, nprobe)
     assigned = ivf_assign(df, vec_col, centroids)
     cands = assigned.filter(F.col("__ivf_cell").isin(probe)).drop("__ivf_cell")
     return knn_bruteforce(cands, vec_col, id_col, query_vec, k, metric)

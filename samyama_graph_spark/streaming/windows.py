@@ -194,6 +194,8 @@ def run_streams_to_memory(
     Wall time is the max of the queries, not the sum — the natural
     shape when several windowed views of one source are materialized
     together."""
+    if not jobs:
+        return []
     qs = []
     try:
         for df, name, mode in jobs:

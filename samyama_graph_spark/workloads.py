@@ -612,9 +612,15 @@ GATE_ORDER: list[str] = [
 
 def gate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     load_all_workloads()
+    # explicit raises (not assert): the gate window must stay validated
+    # even under python -O
     missing = [n for n in GATE_ORDER if n not in REGISTRY]
-    assert not missing, f"GATE_ORDER names not registered: {missing}"
-    assert len(GATE_ORDER) == len(set(GATE_ORDER)) <= 50
+    if missing:
+        raise ValueError(f"GATE_ORDER names not registered: {missing}")
+    if len(GATE_ORDER) != len(set(GATE_ORDER)) or len(GATE_ORDER) > 50:
+        raise ValueError(
+            f"GATE_ORDER must be <=50 unique names, got {len(GATE_ORDER)}"
+        )
     return {name: REGISTRY[name].fn for name in GATE_ORDER}
 
 
