@@ -397,3 +397,56 @@ def embedding_near_dups(
         # (x, y, cos) triple, never the vectors
         out = out.distinct()
     return out
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Group near-dup pairs ``(x, y, ...)`` into clusters and pick a
+    canonical representative per cluster.
+
+    Connected components (min-id propagation, algorithms.components.wcc)
+    over the pair graph: a ~ b ~ c collapses into ONE cluster even when
+    (a, c) was never emitted as a candidate pair — the behavior a dedup
+    pipeline needs before dropping rows, otherwise transitive duplicates
+    survive pairwise filtering.  Returns one row per cluster:
+    ``(cluster_id, size, keep_id, member_ids)`` where cluster_id =
+    keep_id = min member id (the canonical doc) and member_ids is the
+    sorted comma-joined id list (deterministic, oracle-hashable).
+
+    ``nodes`` (optional ``(id)`` frame) adds singleton clusters for ids
+    with no dup pair, so the output is a full partition of the corpus.
+
+    Scale: dup clusters are overwhelmingly tiny (pairs are already
+    Jaccard/cosine-verified), so WCC converges in a few rounds; the
+    collect_list is bounded by the largest dup cluster, not the corpus.
+    """
+    from samyama_graph_spark.algorithms.components import wcc
+
+    edges = pairs.select(
+        F.col("x").cast("long").alias("src"), F.col("y").cast("long").alias("dst")
+    )
+    comp = wcc(edges, max_iterations=max_iterations)
+    if nodes is not None:
+        ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+        comp = comp.unionByName(
+            ids.join(comp.select("id"), "id", "left_anti").select(
+                "id", F.col("id").alias("component")
+            )
+        )
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.min("id").alias("keep_id"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
+        )
+    )

@@ -131,3 +131,38 @@ def text_fingerprint(
     )
     # keep docs shorter than k words (no shingles) with NULL fingerprints
     return df.select(F.col(id_col).alias("id")).join(fp, "id", "left")
+
+
+# Masking patterns shared with the DuckDB oracle: plain RE2/Java-common
+# syntax (no lookaround, no shorthand differences).  Order matters —
+# URLs are masked before emails so `user@host` inside a URL query
+# string is not double-masked.
+URL_RE = "https?://[^ \\t\\n]+"
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+WS_RE = "[ \\t\\n]+"
+
+
+def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Training-corpus text normalization as one codegen projection:
+    mask URLs/emails with placeholder tokens, collapse whitespace runs,
+    trim, lowercase.  Returns ``(id, norm_text, n_urls, n_emails,
+    n_chars_norm)``.
+
+    Pure column expressions (regexp_replace/regexp_count are JVM-side),
+    so normalizing 100 TB is a map-only pass with no Python in the
+    loop; the identical regexes run in the DuckDB oracle.
+    """
+    t = F.col(text_col)
+    masked = F.regexp_replace(t, URL_RE, "<URL>")
+    masked = F.regexp_replace(masked, EMAIL_RE, "<EMAIL>")
+    norm = F.lower(F.trim(F.regexp_replace(masked, WS_RE, " ")))
+    return df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("norm_text"),
+        F.regexp_count(t, F.lit(URL_RE)).cast("long").alias("n_urls"),
+        # count on the url-masked text, matching the masking order
+        F.regexp_count(
+            F.regexp_replace(t, URL_RE, "<URL>"), F.lit(EMAIL_RE)
+        ).cast("long").alias("n_emails"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )

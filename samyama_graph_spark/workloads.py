@@ -563,9 +563,7 @@ GATE_ORDER: list[str] = [
     "agg_stats",
     "cypher_case_projection",
     "cypher_var_length",
-    "cypher_var_length_rels",
-    "cypher_shortest_path_nodes",
-    "cypher_all_shortest_paths",
+    "cypher_shortest_paths",
     "cypher_call_subquery",
     "cypher_pattern_comprehension",
     "cypher_write_pipeline",
@@ -580,10 +578,14 @@ GATE_ORDER: list[str] = [
     "knn_lsh_top10",
     "knn_join_top5",
     "knn_ivf_top10",
-    # text analysis
+    # text analysis (metrics entry also carries normalization columns;
+    # fingerprints entry also carries the BPE pre-tokenizer counts)
     "text_metrics",
     "text_fingerprints",
-    "bpe_token_counts",
+    # sampling / packing / transitive dedup (training-data pipeline)
+    "doc_split_sample",
+    "sequence_packing",
+    "dedup_clusters",
     # multimodal
     "multimodal_features",
     "multimodal_png_stats",

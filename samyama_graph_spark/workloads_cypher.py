@@ -101,23 +101,39 @@ def cypher_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cypher_var_length",
     """
-    SELECT n_name AS name FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE c_custkey = 1
-    UNION
-    SELECT r_name AS name
+    SELECT c_name AS name, n_name AS dest, 1 AS n_rels,
+           'IN_NATION' AS rel_types
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey <= 100
+    UNION ALL
+    SELECT c_name AS name, r_name AS dest, 2 AS n_rels,
+           'IN_NATION,IN_REGION' AS rel_types
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
-    WHERE c_custkey = 1
+    WHERE c_custkey <= 100
     """,
 )
 def cypher_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _engine(spark, sf_dir).query(
+    """VarLengthExpand with BOTH target binding and edge-variable
+    binding (-[rs:T*1..2]->): destinations plus the traversed
+    relationship-type list per row (reference operator.rs:3003
+    path-materialization flag).  Each customer has exactly one 1-hop
+    (nation) and one 2-hop (region) route."""
+    out = _engine(spark, sf_dir).query(
         """
-        MATCH (c:Customer)-[:IN_NATION|IN_REGION*1..2]->(x)
-        WHERE id(c) = $cid
-        RETURN DISTINCT x.name AS name
+        MATCH (c:Customer)-[rs:IN_NATION|IN_REGION*1..2]->(x)
+        WHERE id(c) <= $cmax
+        RETURN c.name AS name, x.name AS dest, size(rs) AS n_rels, rs
         """,
-        {"cid": ID_BASE["Customer"] + 1},
+        {"cmax": ID_BASE["Customer"] + 100},
+    )
+    return out.select(
+        "name",
+        "dest",
+        F.col("n_rels").cast("int").alias("n_rels"),
+        F.array_join(F.transform("rs", lambda r: r["type"]), ",").alias(
+            "rel_types"
+        ),
     )
 
 
@@ -698,3 +714,66 @@ def cypher_bi_priority_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 25
         """
     )
+
+
+@query(
+    "cypher_shortest_paths",
+    f"""
+    SELECT 'sp' AS kind, c_name AS name,
+           (c_custkey + {ID_BASE["Customer"]}) || ','
+           || (c_nationkey + {ID_BASE["Nation"]}) || ','
+           || (n_regionkey + {ID_BASE["Region"]})
+           || '|IN_NATION,IN_REGION' AS detail,
+           CAST(2 AS BIGINT) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey <= 200
+    UNION ALL
+    SELECT 'asp' AS kind, c_name AS name, p_name AS detail,
+           count(*) AS n
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE c_custkey <= 25
+    GROUP BY c_name, p_name
+    """,
+)
+def cypher_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShortestPathOperator both ways in one gate row (reference
+    operator.rs:7527): shortestPath with FULL path materialization
+    (nodes(p)/relationships(p)/length(p)) and allShortestPaths with
+    TRUE path multiplicity.  The standalone entries remain
+    REGISTRY/pytest-checked."""
+    eng = _engine(spark, sf_dir)
+    sp = eng.query(
+        """
+        MATCH p = shortestPath((c:Customer)-[:IN_NATION|IN_REGION*..3]->(r:Region))
+        WHERE id(c) <= $cmax
+        RETURN c.name AS name, length(p) AS len,
+               nodes(p) AS ns, relationships(p) AS rels
+        """,
+        {"cmax": ID_BASE["Customer"] + 200},
+    ).select(
+        F.lit("sp").alias("kind"),
+        "name",
+        F.concat(
+            F.array_join(F.transform("ns", lambda x: x.cast("string")), ","),
+            F.lit("|"),
+            F.array_join(F.transform("rels", lambda r: r["type"]), ","),
+        ).alias("detail"),
+        F.col("len").cast("long").alias("n"),
+    )
+    asp = eng.query(
+        """
+        MATCH p = allShortestPaths((c:Customer)-[:PLACED|CONTAINS*..2]->(pt:Part))
+        WHERE id(c) <= $cmax
+        RETURN c.name AS name, pt.name AS part, count(*) AS n_paths
+        """,
+        {"cmax": ID_BASE["Customer"] + 25},
+    ).select(
+        F.lit("asp").alias("kind"),
+        "name",
+        F.col("part").alias("detail"),
+        F.col("n_paths").cast("long").alias("n"),
+    )
+    return sp.unionByName(asp)

@@ -79,7 +79,10 @@ _MH_BANDS = 4
 _MH_THRESHOLD = 0.5
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """CTE chain ending in ``pairs(x, y, jacc)`` — the verified
+    MinHash-LSH near-dup pairs.  Shared by the pair-listing oracle and
+    the transitive-closure cluster oracle."""
     rows = _MH_HASHES // _MH_BANDS
     mh_cols = ",\n        ".join(
         f"min({seeded_sql(i, 's')}) AS mh{i}" for i in range(_MH_HASHES)
@@ -95,7 +98,7 @@ def _minhash_oracle() -> str:
     )
     band_eq = " AND ".join(f"a.v{r} = b.v{r}" for r in range(rows))
     return f"""
-    WITH {_SHINGLES_CTE},
+    {_SHINGLES_CTE},
     sig AS (SELECT id, {mh_cols} FROM sh GROUP BY id),
     bkt AS ({band_selects}),
     cand AS (SELECT DISTINCT a.id AS x, b.id AS y
@@ -105,10 +108,18 @@ def _minhash_oracle() -> str:
     inter AS (SELECT c.x, c.y, count(*) AS i
               FROM cand c JOIN sh a ON a.id = c.x
               JOIN sh b ON b.id = c.y AND b.s = a.s
-              GROUP BY c.x, c.y)
-    SELECT x, y, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jacc
-    FROM inter JOIN sz sa ON sa.id = x JOIN sz sb ON sb.id = y
-    WHERE i * 1.0 / (sa.n + sb.n - i) >= {_MH_THRESHOLD}
+              GROUP BY c.x, c.y),
+    pairs AS (
+        SELECT x, y, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jacc
+        FROM inter JOIN sz sa ON sa.id = x JOIN sz sb ON sb.id = y
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= {_MH_THRESHOLD})
+    """
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_pair_ctes()}
+    SELECT x, y, jacc FROM pairs
     """
 
 
@@ -477,6 +488,9 @@ def language_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_metrics_oracle() -> str:
+    from samyama_graph_spark.datapipe.text import EMAIL_RE, URL_RE, WS_RE
+
+    _URL_RE, _EMAIL_RE, _WS_RE = URL_RE, EMAIL_RE, WS_RE
     langs = sorted(LANG_MARKERS)
     hit_cols = ",\n           ".join(
         "len(list_filter(ws, w -> w IN ({}))) AS h_{}".format(
@@ -508,7 +522,18 @@ def _text_metrics_oracle() -> str:
                + 0.4 * (s.nd * 1.0 / s.nt)
                + 0.2 * least(s.ns * 5.0 / s.nt, 1.0), 6) AS quality,
            {case_sql} AS lang_guess,
-           {greatest} AS lang_hits
+           {greatest} AS lang_hits,
+           lower(trim(regexp_replace(regexp_replace(regexp_replace(
+               t.text, '{_URL_RE}', '<URL>', 'g'),
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_WS_RE}', ' ', 'g'))) AS norm_text,
+           len(regexp_extract_all(t.text, '{_URL_RE}')) AS n_urls,
+           len(regexp_extract_all(regexp_replace(t.text, '{_URL_RE}',
+               '<URL>', 'g'), '{_EMAIL_RE}')) AS n_emails,
+           length(lower(trim(regexp_replace(regexp_replace(regexp_replace(
+               t.text, '{_URL_RE}', '<URL>', 'g'),
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_WS_RE}', ' ', 'g')))) AS n_chars_norm
     FROM t JOIN s ON s.doc_id = t.doc_id
     """
 
@@ -521,6 +546,8 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses the id-equi-joins since all sides share the documents
     scan).  The individual operators keep their own oracled REGISTRY
     entries for pytest."""
+    from samyama_graph_spark.datapipe.text import normalize_text
+
     docs = _docs(spark, sf_dir)
     tok = token_stats(docs, "text", "doc_id").select(
         "id",
@@ -533,22 +560,39 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang = language_id(docs, "text", "doc_id").select(
         "id", "lang_guess", F.col("lang_hits").cast("long")
     )
-    return tok.join(qual, "id").join(lang, "id")
+    norm = normalize_text(docs, "text", "doc_id")
+    return tok.join(qual, "id").join(lang, "id").join(norm, "id")
 
 
 @query(
     "text_fingerprints",
-    f"""
+    rf"""
     WITH {_SHINGLES_CTE},
     fp AS (SELECT id, min({hash60_sql('s')}) AS fp_min,
                   max({hash60_sql('s')}) AS fp_max
            FROM sh GROUP BY id)
-    SELECT d.doc_id AS id, fp.fp_min, fp.fp_max
+    SELECT d.doc_id AS id, fp.fp_min, fp.fp_max,
+           len(regexp_extract_all(d.text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subtokens,
+           len(list_distinct(regexp_extract_all(d.text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS n_distinct_subtokens
     FROM documents d LEFT JOIN fp ON fp.id = d.doc_id
     """,
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_fingerprint(_docs(spark, sf_dir), "text", "doc_id")
+    """Document fingerprinting + BPE-ish pre-tokenizer counts in one
+    gate row (both pure column expressions over the same scan; the
+    standalone entries stay REGISTRY/pytest-checked)."""
+    from samyama_graph_spark.datapipe.text import bpe_token_stats
+
+    docs = _docs(spark, sf_dir)
+    fp = text_fingerprint(docs, "text", "doc_id")
+    bpe = bpe_token_stats(docs, "text", "doc_id").select(
+        "id",
+        F.col("n_subtokens").cast("long"),
+        F.col("n_distinct_subtokens").cast("long"),
+    )
+    return fp.join(bpe, "id")
 
 
 @query(
@@ -759,4 +803,141 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
         F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+# -------------------------------------------- sampling / dataset splits
+# (new scope: deterministic hash-based selection — datapipe/sampling.py)
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_SAMPLE_RATES = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.25}
+
+
+def _split_sample_oracle() -> str:
+    from samyama_graph_spark.datapipe.sampling import (
+        BUCKETS,
+        hash_bucket_sql,
+        split_case_sql,
+    )
+
+    b1 = hash_bucket_sql("doc_id", 1)
+    rate_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN lang = '{s}' THEN {int(round(r * BUCKETS))}"
+            for s, r in sorted(_SAMPLE_RATES.items())
+        )
+        + " ELSE 0 END"
+    )
+    split_case = split_case_sql("doc_id", _SPLIT_WEIGHTS, 0)
+    return f"""
+    SELECT lang, {split_case} AS split,
+           count(*) AS n, sum(n_chars) AS chars
+    FROM documents
+    WHERE {b1} < {rate_case}
+    GROUP BY lang, split
+    """
+
+
+@query("doc_split_sample", _split_sample_oracle())
+def doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified down-sampling (per-language keep rates) composed with
+    deterministic train/val/test split assignment — both pure
+    projections on the scan (no shuffle until the final count agg), so
+    the same pipeline is a single map pass over 100 TB."""
+    from samyama_graph_spark.datapipe.sampling import (
+        assign_split,
+        stratified_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sampled = stratified_sample(
+        docs, "doc_id", _SAMPLE_RATES, strata_col="lang", seed=1
+    )
+    split = assign_split(sampled, "doc_id", _SPLIT_WEIGHTS, seed=0)
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+# ------------------------------------------------------ sequence packing
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH t AS (SELECT doc_id, lang,
+                      len(string_split(text, ' ')) AS toks
+               FROM documents),
+    p AS (SELECT lang, doc_id, toks,
+            COALESCE(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS start
+          FROM t)
+    SELECT lang AS shard, count(*) AS n_docs, sum(toks) AS n_tokens,
+           CAST(ceil(sum(toks) * 1.0 / {_PACK_BUDGET}) AS BIGINT) AS n_packs,
+           sum(CASE WHEN CAST(floor(start * 1.0 / {_PACK_BUDGET}) AS BIGINT)
+                    <> CAST(floor((start + greatest(toks - 1, 0)) * 1.0
+                                  / {_PACK_BUDGET}) AS BIGINT)
+               THEN 1 ELSE 0 END) AS n_split_docs,
+           round((sum(toks) % {_PACK_BUDGET}) * 1.0 / {_PACK_BUDGET}, 6)
+               AS tail_fill
+    FROM p GROUP BY lang
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM-pretraining
+    layout): cumulative-token windows per language shard assign every
+    document to its budget-sized chunks; summary per shard.  One
+    shuffle (the shard window); window size is bounded by the shard,
+    never the corpus."""
+    from samyama_graph_spark.datapipe.packing import pack_stats
+    from samyama_graph_spark.datapipe.common import tokens
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "toks", F.size(tokens(F.col("text")))
+    )
+    return pack_stats(docs, "toks", _PACK_BUDGET, "lang", "doc_id")
+
+
+# --------------------------------------------------- near-dup clustering
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    e(a, b) AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+    vn(id) AS (SELECT a FROM e UNION SELECT b FROM e),
+    reach(a, b) AS (SELECT id, id FROM vn
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b),
+    comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+    SELECT component AS cluster_id, count(*) AS size, min(id) AS keep_id,
+           string_agg(id, ',' ORDER BY id) AS member_ids
+    FROM comp GROUP BY component
+    """
+
+
+@query("dedup_clusters", _dedup_clusters_oracle())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash-LSH pairs -> connected
+    components -> one canonical doc per cluster.  The oracle replays
+    the full pipeline including the closure (recursive CTE), so cluster
+    membership — not just pair counts — is hash-checked."""
+    from samyama_graph_spark.datapipe.dedup import dup_clusters
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        k=3,
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+    out = dup_clusters(pairs)
+    return out.select(
+        "cluster_id", F.col("size").cast("long"), "keep_id", "member_ids"
     )

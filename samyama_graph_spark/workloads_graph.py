@@ -503,7 +503,10 @@ def triangle_count_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "or_solve_convex",
-    "SELECT 0.0 AS fitness, 'Jaya' AS algorithm, 60 AS iterations",
+    # CAST: a bare 0.0 literal is DECIMAL in DuckDB, which value-hash
+    # normalizers may stringify differently from a DOUBLE
+    "SELECT CAST(0.0 AS DOUBLE) AS fitness, 'Jaya' AS algorithm, "
+    "60 AS iterations",
 )
 def or_solve_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CALL algo.or.solve on a convex instance with a hash-checkable

@@ -198,3 +198,117 @@ def test_bpe_token_stats(spark, sf_dir):
     out = bpe_token_stats(docs, "text", "doc_id").collect()
     assert len(out) == docs.count()
     assert all(r["n_subtokens"] >= r["n_distinct_subtokens"] > 0 for r in out)
+
+
+# ------------------------------------------------- sampling / splits
+
+
+def test_assign_split_deterministic_partition(spark):
+    from samyama_graph_spark.datapipe.sampling import assign_split
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = assign_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["split"]: r["n"] for r in
+            out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # every row in exactly one split; proportions roughly honored
+    assert sum(rows.values()) == 1000
+    assert rows["train"] > 700
+    assert 40 < rows["val"] + rows["test"] < 300
+    # stability: same assignment on a re-shuffled subset
+    sub = assign_split(
+        df.filter(F.col("doc_id") % 3 == 0).repartition(7),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    joined = out.withColumnRenamed("split", "s1").join(sub.withColumnRenamed("split", "s2"), "doc_id")
+    assert joined.filter(F.col("s1") != F.col("s2")).count() == 0
+
+
+def test_stratified_sample_rates(spark):
+    from samyama_graph_spark.datapipe.sampling import stratified_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("grp"),
+    )
+    out = stratified_sample(df, "doc_id", {"a": 1.0, "b": 0.1}, strata_col="grp")
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["a"] == 1000          # rate 1.0 keeps everything
+    assert 40 <= counts.get("b", 0) <= 250  # ~10%
+    # stratum not in the dict is dropped
+    df2 = df.withColumn("grp", F.lit("zz"))
+    assert stratified_sample(df2, "doc_id", {"a": 1.0}, strata_col="grp").count() == 0
+
+
+def test_sample_exact_k(spark):
+    from samyama_graph_spark.datapipe.sampling import sample_exact_k
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("grp"),
+    )
+    out = sample_exact_k(df, "doc_id", 7, strata_col="grp")
+    per = out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] == 7 for r in per) and len(per) == 5
+    out2 = sample_exact_k(df, "doc_id", 13)
+    assert out2.count() == 13
+
+
+# ------------------------------------------------------ sequence packing
+
+
+def test_pack_chunks_boundaries(spark):
+    from samyama_graph_spark.datapipe.packing import pack_chunks, pack_stats
+
+    rows = [(i, "s", t) for i, t in enumerate([100, 100, 100, 100, 150])]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, toks long")
+    out = {r["doc_id"]: r for r in
+           pack_chunks(df, "toks", 256, "shard", "doc_id").collect()}
+    # cumulative starts: 0,100,200,300,400; budget 256
+    assert [out[i]["start_tok"] for i in range(5)] == [0, 100, 200, 300, 400]
+    assert [out[i]["first_pack"] for i in range(5)] == [0, 0, 0, 1, 1]
+    # doc 2 spans packs 0-1 (200..299), doc 4 spans 1-2 (400..549)
+    assert out[2]["n_splits"] == 1 and out[4]["n_splits"] == 1
+    st = pack_stats(df, "toks", 256, "shard", "doc_id").collect()[0]
+    assert st["n_docs"] == 5 and st["n_tokens"] == 550
+    assert st["n_packs"] == 3 and st["n_split_docs"] == 2
+    assert abs(st["tail_fill"] - (550 % 256) / 256.0) < 1e-6
+
+
+# --------------------------------------------------- dup clustering
+
+
+def test_dup_clusters_transitive_and_singletons(spark):
+    from samyama_graph_spark.datapipe.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "x long, y long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    out = {r["cluster_id"]: r for r in dup_clusters(pairs, nodes).collect()}
+    assert out[1]["size"] == 3 and out[1]["member_ids"] == "1,2,3"
+    assert out[5]["size"] == 2 and out[5]["keep_id"] == 5
+    assert out[4]["size"] == 1 and out[7]["size"] == 1  # singletons joined in
+    assert len(out) == 4
+
+
+# --------------------------------------------------- text normalization
+
+
+def test_normalize_text(spark):
+    from samyama_graph_spark.datapipe.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Visit https://x.com/a?b=c  NOW or mail Bob.Smith+1@ex.org  please"),
+            (2, "no  links\there"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in normalize_text(df, "text", "doc_id").collect()}
+    assert out[1]["norm_text"] == "visit <url> now or mail <email> please"
+    assert out[1]["n_urls"] == 1 and out[1]["n_emails"] == 1
+    assert out[2]["norm_text"] == "no links here"
+    assert out[2]["n_urls"] == 0 and out[2]["n_emails"] == 0
+    assert out[2]["n_chars_norm"] == len("no links here")

@@ -138,3 +138,46 @@ def test_anchor_selection_scans_selective_side_first(spark, sf_dir):
         "MATCH (b:Small {k: 2})<-[:R]-(a:Big) RETURN count(*) AS n"
     ).collect()
     assert out2[0]["n"] == 200
+
+
+def test_sampling_is_map_only(spark, sf_dir):
+    """Split+sample selection must be a projection/filter on the scan —
+    zero Exchange until the caller aggregates (a 100 TB sample is one
+    map pass)."""
+    from samyama_graph_spark.datapipe.sampling import (
+        assign_split,
+        stratified_sample,
+    )
+    from samyama_graph_spark.loaders import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = assign_split(
+        stratified_sample(
+            docs, "doc_id", {"en": 0.5, "de": 1.0}, strata_col="lang"
+        ),
+        "doc_id",
+        {"train": 0.9, "val": 0.1},
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    # hash arithmetic stays JVM-side (no BatchEvalPython)
+    assert "Python" not in plan
+
+
+def test_packing_single_shuffle(spark, sf_dir):
+    """Concat-and-chunk packing = exactly one Exchange (the shard
+    window); the pack arithmetic itself is window + projection."""
+    from samyama_graph_spark.datapipe.common import tokens
+    from samyama_graph_spark.datapipe.packing import pack_chunks
+    from samyama_graph_spark.loaders import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    import re
+
+    docs = docs.withColumn("toks", F.size(tokens(F.col("text"))))
+    plan = _plan(pack_chunks(docs, "toks", 512, "lang", "doc_id"))
+    # formatted mode lists each node once in the tree and once in the
+    # detail section — count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "Python" not in plan
