@@ -29,11 +29,34 @@ def bfs(
     src and anti-joins the visited set — the reference's visited-set
     BFS (operator.rs:3003) in shuffle form.
     """
+    spark = edges.sparkSession
+    if max_depth <= 4:
+        # bounded shallow BFS: one lazy unrolled plan, zero per-depth
+        # count/checkpoint jobs (AQE skips empty frontiers and picks
+        # broadcast sides at runtime; identical frontier subplans are
+        # shared via ReuseExchange)
+        e = edges.select("src", "dst") if directed else symmetrize(edges)
+        visited = spark.createDataFrame(
+            [(source, 0, None)], "id long, depth int, parent long"
+        )
+        frontier = visited
+        for d in range(1, max_depth + 1):
+            nxt = (
+                e.join(frontier, e["src"] == frontier["id"])
+                .select(F.col("dst").alias("id"), F.col("src").alias("parent"))
+                .groupBy("id")
+                .agg(F.min("parent").alias("parent"))
+                .join(visited.select("id"), "id", "left_anti")
+                .withColumn("depth", F.lit(d))
+                .select("id", "depth", "parent")
+            )
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        return visited if parents else visited.select("id", "depth")
     e = checkpoint(
         edges.select("src", "dst") if directed else symmetrize(edges),
         eager=False,
     )
-    spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(source, 0, None)], "id long, depth int, parent long"
     )

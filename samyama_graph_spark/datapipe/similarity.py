@@ -218,9 +218,18 @@ def knn_join_bruteforce(
     only with a blocked/bucketed right side at scale."""
     from pyspark.sql import Window
 
-    a = left.select(F.col(id_col).alias("x"), F.col(vec_col).cast("array<double>").alias("vx"))
-    b = right.select(F.col(id_col).alias("y"), F.col(vec_col).cast("array<double>").alias("vy"))
-    score, desc = _score(metric, F.col("vx"), F.col("vy"))
+    va = F.col(vec_col).cast("array<double>")
+    a = left.select(F.col(id_col).alias("x"), va.alias("vx"))
+    b = right.select(F.col(id_col).alias("y"), va.alias("vy"))
+    if metric == "cosine":
+        # hoist per-ROW norms above the pair join: pair scoring is then
+        # one dot instead of dot + two norms (bit-identical value)
+        a = a.withColumn("nx", norm(F.col("vx")))
+        b = b.withColumn("ny", norm(F.col("vy")))
+        score = dot(F.col("vx"), F.col("vy")) / (F.col("nx") * F.col("ny"))
+        desc = True
+    else:
+        score, desc = _score(metric, F.col("vx"), F.col("vy"))
     scored = a.crossJoin(b).select("x", "y", score.alias("score"))
     w = Window.partitionBy("x").orderBy(
         F.desc("score") if desc else F.asc("score"), F.asc("y")
@@ -290,19 +299,30 @@ def knn_join_lsh(
         + ")"
     )
 
-    def side(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
-        return df.select(
+    hoist = metric == "cosine"
+
+    def side(df: DataFrame, id_out: str, vec_out: str, n_out: str) -> DataFrame:
+        out = df.select(
             F.col(id_col).alias(id_out),
             F.col(vec_col).cast("array<double>").alias(vec_out),
             F.explode(F.expr(sig)).alias("tb"),
-        ).select(id_out, vec_out, F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        )
+        cols = [id_out, vec_out, F.col("tb.t").alias("t"), F.col("tb.b").alias("b")]
+        if hoist:
+            # per-ROW norm computed before the bucket join — pair
+            # scoring then needs only the dot (bit-identical value)
+            cols.insert(2, norm(F.col(vec_out)).alias(n_out))
+        return out.select(*cols)
 
-    a = side(left, "x", "vx")
-    b = side(right, "y", "vy")
-    cand = a.join(b, ["t", "b"]).select("x", "vx", "y", "vy").dropDuplicates(
-        ["x", "y"]
-    )
-    score, desc = _score(metric, F.col("vx"), F.col("vy"))
+    a = side(left, "x", "vx", "nx")
+    b = side(right, "y", "vy", "ny")
+    keep = ["x", "vx", "y", "vy"] + (["nx", "ny"] if hoist else [])
+    cand = a.join(b, ["t", "b"]).select(*keep).dropDuplicates(["x", "y"])
+    if hoist:
+        score = dot(F.col("vx"), F.col("vy")) / (F.col("nx") * F.col("ny"))
+        desc = True
+    else:
+        score, desc = _score(metric, F.col("vx"), F.col("vy"))
     scored = cand.select("x", "y", score.alias("score"))
     w = Window.partitionBy("x").orderBy(
         F.desc("score") if desc else F.asc("score"), F.asc("y")

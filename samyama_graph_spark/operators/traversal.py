@@ -67,6 +67,34 @@ def var_length_expand(
     """
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
+    if max_hops <= _UNROLL_MAX:
+        # bounded short patterns (*1..2, *..3 — the common Cypher
+        # shapes): unroll the hops into ONE lazy plan with no per-depth
+        # count/checkpoint jobs.  Early-exit checks only save work when
+        # the frontier can empty before a LARGE bound; at depth <= 4
+        # they cost a scheduled job per hop while AQE already skips
+        # empty frontiers at runtime (and picks broadcast sides from
+        # the real sizes).
+        e = _directed_view(edges, direction)
+        frontier = starts.select(
+            F.col(id_col).alias("start"), F.col(id_col).alias("node")
+        ).distinct()
+        visited = frontier.withColumn("hops", F.lit(0))
+        for depth in range(1, max_hops + 1):
+            nxt = (
+                e.join(frontier, e["src"] == frontier["node"])
+                .select("start", F.col("dst").alias("node"))
+                .distinct()
+                .join(
+                    visited.select("start", "node"),
+                    ["start", "node"],
+                    "left_anti",
+                )
+                .withColumn("hops", F.lit(depth))
+            )
+            visited = visited.unionByName(nxt)
+            frontier = nxt.select("start", "node")
+        return visited.filter(F.col("hops") >= min_hops)
     e = checkpoint(_directed_view(edges, direction), eager=False)
     frontier = checkpoint(
         starts.select(
@@ -129,6 +157,12 @@ def shortest_path(
 
 _REL_ARRAY_T = "array<struct<src:bigint,dst:bigint,type:string>>"
 
+# Bounded var-length patterns up to this depth compile to one fully
+# lazy unrolled plan (no per-hop count/checkpoint jobs); deeper or
+# unbounded traversals keep the iterative early-exit loop.  Identical
+# frontier subplans are computed once per action via ReuseExchange.
+_UNROLL_MAX = 4
+
 
 def _typed_view(edges: DataFrame, direction: str) -> DataFrame:
     """Edge list as traversal steps ``(u, v)`` carrying the underlying
@@ -188,7 +222,10 @@ def var_length_paths(
     """
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
-    e = checkpoint(_typed_view(edges, direction), eager=False)
+    unroll = max_hops <= _UNROLL_MAX
+    e = _typed_view(edges, direction)
+    if not unroll:
+        e = checkpoint(e, eager=False)
     base = (
         starts.select(F.col(id_col).cast("long").alias("start"))
         .distinct()
@@ -200,7 +237,7 @@ def var_length_paths(
             F.lit(0).alias("hops"),
         )
     )
-    frontier = checkpoint(base, eager=False)
+    frontier = base if unroll else checkpoint(base, eager=False)
     visited = frontier.select("start", "node")
     out_frames = [frontier]
 
@@ -237,9 +274,14 @@ def var_length_paths(
                     F.col("pp.path_rels").alias("path_rels"),
                 )
             )
-        nxt = checkpoint(step.withColumn("hops", F.lit(depth)), eager=False)
-        if nxt.count() == 0:
-            break
+        nxt = step.withColumn("hops", F.lit(depth))
+        if not unroll:
+            # unbounded/deep traversal: checkpoint + count per depth
+            # (early exit once the frontier drains); bounded patterns
+            # skip both and stay one lazy plan
+            nxt = checkpoint(nxt, eager=False)
+            if nxt.count() == 0:
+                break
         out_frames.append(nxt)
         visited = visited.unionByName(
             nxt.select("start", "node").distinct()

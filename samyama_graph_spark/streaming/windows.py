@@ -166,27 +166,61 @@ def stateful_running_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame
     )
 
 
+class _scoped_shuffle_partitions:
+    """Temporarily pin ``spark.sql.shuffle.partitions`` while streaming
+    queries are PLANNED (the stateful-operator partition count is fixed
+    at plan time).  Stateful streaming cost scales with the state-store
+    partition count — every micro-batch touches (snapshot + delta +
+    commit) files per partition — so partitions should be sized to the
+    STATE volume, not to the session's batch-join parallelism.  On a
+    real cluster the same knob is sized to keep per-partition state in
+    the low-GB range; the scope restores the batch setting on exit."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Drive a streaming frame to completion with availableNow and
     return the in-memory sink contents as a batch DataFrame."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()  # release state-store/source resources promptly
-    return stream_df.sparkSession.table(query_name)
+    spark = stream_df.sparkSession
+    # hold the scope through awaitTermination: micro-batches plan
+    # asynchronously after start(), so the conf must stay pinned until
+    # the availableNow run has fully drained
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()  # release state-store/source resources promptly
+    return spark.table(query_name)
 
 
 def run_streams_to_memory(
     jobs: "list[tuple[DataFrame, str, str]]",
+    shuffle_partitions: int | None = 8,
 ) -> "list[DataFrame]":
     """Drive several independent streaming frames CONCURRENTLY to
     completion (each ``(stream_df, query_name, output_mode)`` gets its
@@ -197,21 +231,24 @@ def run_streams_to_memory(
     if not jobs:
         return []
     qs = []
-    try:
-        for df, name, mode in jobs:
-            qs.append(
-                df.writeStream.format("memory")
-                .queryName(name)
-                .outputMode(mode)
-                .trigger(availableNow=True)
-                .start()
-            )
-        for q in qs:
-            q.awaitTermination()
-    finally:
-        for q in qs:
-            q.stop()  # release state-store/source resources promptly
     spark = jobs[0][0].sparkSession
+    # conf stays pinned until every availableNow run has drained (the
+    # micro-batches plan asynchronously after start())
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        try:
+            for df, name, mode in jobs:
+                qs.append(
+                    df.writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode(mode)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+            for q in qs:
+                q.awaitTermination()
+        finally:
+            for q in qs:
+                q.stop()  # release state-store/source resources promptly
     return [spark.table(name) for _, name, _ in jobs]
 
 
