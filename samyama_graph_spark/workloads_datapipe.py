@@ -832,7 +832,7 @@ def _split_sample_oracle() -> str:
     split_case = split_case_sql("doc_id", _SPLIT_WEIGHTS, 0)
     return f"""
     SELECT lang, {split_case} AS split,
-           count(*) AS n, sum(n_chars) AS chars
+           count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
     FROM documents
     WHERE {b1} < {rate_case}
     GROUP BY lang, split
@@ -876,12 +876,14 @@ _PACK_BUDGET = 512
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                      0) AS start
           FROM t)
-    SELECT lang AS shard, count(*) AS n_docs, sum(toks) AS n_tokens,
+    SELECT lang AS shard, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
            CAST(ceil(sum(toks) * 1.0 / {_PACK_BUDGET}) AS BIGINT) AS n_packs,
-           sum(CASE WHEN CAST(floor(start * 1.0 / {_PACK_BUDGET}) AS BIGINT)
+           CAST(sum(CASE
+                    WHEN CAST(floor(start * 1.0 / {_PACK_BUDGET}) AS BIGINT)
                     <> CAST(floor((start + greatest(toks - 1, 0)) * 1.0
                                   / {_PACK_BUDGET}) AS BIGINT)
-               THEN 1 ELSE 0 END) AS n_split_docs,
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
            round((sum(toks) % {_PACK_BUDGET}) * 1.0 / {_PACK_BUDGET}, 6)
                AS tail_fill
     FROM p GROUP BY lang

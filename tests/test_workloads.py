@@ -25,3 +25,27 @@ def test_rows_only_queries_run(spark, sf_dir):
         if spec.oracle is None:
             n = spec.fn(spark, sf_dir).count()
             assert n >= 0, name
+
+
+def test_dtype_parity_catches_uncast_sum(spark, sf_dir):
+    """Harness regression guard for the round-3 gate escapes: an oracle
+    whose sum() is left as DuckDB HUGEINT must fail dtype parity even
+    when every value matches."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .groupBy("n_regionkey")
+        .agg(F.sum("n_nationkey").alias("s"))
+    )
+    good = (
+        "SELECT n_regionkey, CAST(sum(n_nationkey) AS BIGINT) AS s "
+        "FROM nation GROUP BY n_regionkey"
+    )
+    bad = (
+        "SELECT n_regionkey, sum(n_nationkey) AS s "
+        "FROM nation GROUP BY n_regionkey"
+    )
+    assert_matches_oracle(df, good, sf_dir)
+    with pytest.raises(AssertionError, match="dtype mismatch"):
+        assert_matches_oracle(df, bad, sf_dir)
