@@ -13,13 +13,21 @@ from pyspark.sql import functions as F
 
 from samyama_graph_spark.algorithms.util import (
     checkpoint,
+    collect_if_small,
+    driver_union_find,
+    iteration_scope,
+    loop_partitions,
+    partitioned,
     symmetrize,
     vertices_from_edges,
 )
 
 
 def wcc(
-    edges: DataFrame, max_iterations: int = 50, check_interval: int = 2
+    edges: DataFrame,
+    max_iterations: int = 50,
+    check_interval: int = 2,
+    driver_guard: int = 0,
 ) -> DataFrame:
     """Weakly connected components: ``(id, component)`` where component
     is the minimum vertex id in the component.
@@ -36,45 +44,73 @@ def wcc(
     scheduler-bound local run (and on a busy cluster) the per-job floor
     dominates the tiny per-round work, and batching checks cuts the
     scheduled-job count by the interval factor.
-    """
-    und = checkpoint(symmetrize(edges), eager=False)
-    comp = vertices_from_edges(edges).select(
-        "id", F.col("id").alias("component")
-    )
-    comp = checkpoint(comp, eager=False)
 
-    it = 0
-    while it < max_iterations:
-        steps = min(max(check_interval, 1), max_iterations - it)
-        for _ in range(steps):
-            # candidate = min component among in-neighbors (undirected)
-            cand = (
-                und.join(comp, und["src"] == comp["id"])
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("component").alias("nbr_min"))
+    ``driver_guard > 0`` enables a guarded driver fast path: if the
+    edge list fits under the guard (one early-out CollectLimit probe),
+    components are settled by union-find on the driver — the right
+    call for post-filter graphs like dup-pair clusters or Borůvka
+    contraction, whose size is bounded by construction.  Components
+    are unique, so both paths return identical output.
+    """
+    if driver_guard > 0:
+        rows = collect_if_small(edges, driver_guard, "src", "dst")
+        if rows is not None:
+            comp_map = driver_union_find((r[0], r[1]) for r in rows)
+            spark = edges.sparkSession
+            if not comp_map:
+                return spark.createDataFrame([], "id long, component long")
+            return spark.createDataFrame(
+                sorted(comp_map.items()), "id long, component long"
             )
-            # carry the changed flag INSIDE the checkpointed frame so
-            # the convergence check is a count() on it — materializing
-            # the lazy checkpoints and testing the fixpoint in ONE job
-            new_comp = (
-                comp.join(cand, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nbr_min"), F.col("component")),
-                    ).alias("component"),
-                    F.coalesce(
-                        F.col("nbr_min") < F.col("component"), F.lit(False)
-                    ).alias("chg"),
+    with iteration_scope(edges.sparkSession, loop_partitions(edges)):
+        und = partitioned(symmetrize(edges), "src")
+        comp = vertices_from_edges(und).select(
+            "id", F.col("id").alias("component")
+        )
+        comp = checkpoint(comp, eager=False)
+
+        it = 0
+        while it < max_iterations:
+            steps = min(max(check_interval, 1), max_iterations - it)
+            for _ in range(steps):
+                # candidate = min component among in-neighbors
+                # (undirected); und side is exchange-free (partitioned
+                # on src), comp reshuffles hash(id) each round — only
+                # the vertex frame moves
+                cand = (
+                    und.join(
+                        comp.hint("shuffle_hash"), und["src"] == comp["id"]
+                    )
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("component").alias("nbr_min"))
                 )
-            )
-            new_comp = checkpoint(new_comp, eager=False)
-            comp = new_comp.select("id", "component")
-            it += 1
-        changed = new_comp.filter("chg").count()
-        if changed == 0:
-            break
+                # carry the changed flag INSIDE the checkpointed frame
+                # so the convergence check is a count() on it —
+                # materializing the lazy checkpoints and testing the
+                # fixpoint in ONE job per batch
+                new_comp = (
+                    comp.join(cand, "id", "left")
+                    .select(
+                        "id",
+                        F.least(
+                            F.col("component"),
+                            F.coalesce(F.col("nbr_min"), F.col("component")),
+                        ).alias("component"),
+                        F.coalesce(
+                            F.col("nbr_min") < F.col("component"),
+                            F.lit(False),
+                        ).alias("chg"),
+                    )
+                )
+                new_comp = checkpoint(new_comp, eager=False)
+                comp = new_comp.select("id", "component")
+                it += 1
+            changed = new_comp.filter("chg").count()
+            if changed == 0:
+                break
+        # the count above materialized the final round's checkpoint, so
+        # the persisted edge frame is no longer needed
+        und.unpersist()
     return comp
 
 
@@ -88,59 +124,55 @@ def cdlp(edges: DataFrame, iterations: int = 10) -> DataFrame:
     label twice, exactly like the reference's successors()/
     predecessors() double loop.  Returns ``(id, label)``.
     """
-    fwd = edges.select("src", "dst")
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    nbrs = checkpoint(fwd.unionAll(rev), eager=False)
-    labels = vertices_from_edges(edges).select("id", F.col("id").alias("label"))
-    labels = checkpoint(labels, eager=False)
+    with iteration_scope(edges.sparkSession, loop_partitions(edges)):
+        fwd = edges.select("src", "dst")
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        nbrs = partitioned(fwd.unionAll(rev), "src")
+        labels = vertices_from_edges(nbrs).select(
+            "id", F.col("id").alias("label")
+        )
+        labels = checkpoint(labels)
 
-    cached_rounds: list[DataFrame] = []
-    for it in range(iterations):
-        counts = (
-            nbrs.join(labels, nbrs["src"] == labels["id"])
-            .groupBy(F.col("dst").alias("vid"), F.col("label"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        # smallest among the most-frequent labels == min of (-cnt,
-        # label): a partial-aggregating hash agg instead of a
-        # partition-sort window (same shuffle key, no sort, and
-        # map-side combine shrinks what's shuffled)
-        best = (
-            counts.groupBy(F.col("vid").alias("id"))
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("nc"),
-                        F.col("label").alias("l"),
-                    )
-                ).alias("m")
+        for _ in range(iterations):
+            counts = (
+                nbrs.join(
+                    labels.hint("shuffle_hash"), nbrs["src"] == labels["id"]
+                )
+                .groupBy(F.col("dst").alias("vid"), F.col("label"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            .select("id", F.col("m.l").alias("new_label"))
-        )
-        labels = (
-            labels.join(best, "id", "left")
-            .select(
-                "id", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
+            # smallest among the most-frequent labels == min of (-cnt,
+            # label): a partial-aggregating hash agg instead of a
+            # partition-sort window (same shuffle key, no sort, and
+            # map-side combine shrinks what's shuffled)
+            best = (
+                counts.groupBy(F.col("vid").alias("id"))
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("cnt")).alias("nc"),
+                            F.col("label").alias("l"),
+                        )
+                    ).alias("m")
+                )
+                .select("id", F.col("m.l").alias("new_label"))
             )
-        )
-        # fixed iteration count (no convergence action needed): cache
-        # intermediate rounds with no action, eager-checkpoint every 3rd
-        # to truncate lineage — one scheduled job per interval.  Within
-        # that one checkpoint job each cached round is computed once and
-        # reused by its two consumers (the next round's counts join and
-        # the label carry-over join); the superseded round caches are
-        # unpersisted as soon as the checkpoint holds the data.
-        if (it + 1) % 3 == 0:
+            labels = (
+                labels.join(best.hint("shuffle_hash"), "id", "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("new_label"), F.col("label")).alias(
+                        "label"
+                    ),
+                )
+            )
+            # eager checkpoint EVERY round: exactly one scheduled job
+            # per round, each round computed exactly once.  (The prior
+            # cache-with-no-action scheme let the two consumers of a
+            # round race to compute it lazily — measured 6× slower at
+            # 10 iterations than this, the round-3 wall-time fragility.)
             labels = checkpoint(labels)
-            for c in cached_rounds:
-                c.unpersist()
-            cached_rounds = []
-        else:
-            labels = labels.cache()
-            cached_rounds.append(labels)
-    # rounds cached after the last eager checkpoint stay persisted: the
-    # caller's first action still needs them (unpersisting here would
-    # force a recompute).  They are reclaimed by the ContextCleaner once
-    # the returned frame drops out of scope — a bounded tail of at most
-    # two round frames, not an unbounded leak.
-    return checkpoint(labels, eager=False)
+        nbrs.unpersist()
+    return labels

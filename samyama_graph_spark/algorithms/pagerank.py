@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from samyama_graph_spark.algorithms.util import checkpoint, vertices_from_edges
+from samyama_graph_spark.algorithms.util import (
+    iteration_scope,
+    loop_partitions,
+    partitioned,
+    trace_plan,
+    vertices_from_edges,
+)
 
 
 def pagerank(
@@ -38,65 +44,83 @@ def pagerank(
     a superset of the edge endpoints (the rank-sum bookkeeping assumes
     every edge source holds a rank).
     """
-    # materialize the edge list once (executor storage): every
-    # iteration re-reads these blocks instead of re-running the source
-    # scan/union — the GraphX-style iterative-workload pattern
-    e = checkpoint(edges.select("src", "dst"))
-    if vertices is None:
-        vertices = vertices_from_edges(e)
-    v = vertices.select("id")
-    out_deg = e.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
-    # (id, out_deg) with 0 for sinks; reused every iteration.  n comes
-    # from counting the checkpointed blocks — no separate distinct job.
-    deg = checkpoint(v.join(out_deg, "id", "left").fillna(0, subset=["out_deg"]))
-    n = deg.count()
-    if n == 0:
-        return v.withColumn("rank", F.lit(0.0))
+    with iteration_scope(edges.sparkSession, loop_partitions(edges)):
+        # persist the edge list hash-partitioned on src: every
+        # iteration's rank join is then exchange-free on the edge side
+        # (only the small vertex frame moves) and the blocks are read
+        # from executor storage instead of re-running the source scan —
+        # the GraphX-style iterative-workload pattern.  A localCheckpoint
+        # would lose the partitioning (Scan ExistingRDD), forcing a
+        # re-shuffle of the edges EVERY iteration.
+        e = partitioned(edges.select("src", "dst"), "src")
+        if vertices is None:
+            vertices = vertices_from_edges(e)
+        v = vertices.select("id")
+        out_deg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+        # (id, out_deg) with 0 for sinks; reused every iteration.  n
+        # comes from counting the persisted blocks — no separate
+        # distinct job.
+        deg = partitioned(
+            v.join(out_deg, "id", "left").fillna(0, subset=["out_deg"]), "id"
+        )
+        n = deg.count()
+        if n == 0:
+            e.unpersist()
+            deg.unpersist()
+            return v.withColumn("rank", F.lit(0.0))
 
-    ranks = deg.withColumn("rank", F.lit(1.0 / n))
-    s_total = 1.0  # exact rank sum, tracked on the driver
+        ranks = deg.withColumn("rank", F.lit(1.0 / n))
+        s_total = 1.0  # exact rank sum, tracked on the driver
 
-    for _ in range(iterations):
-        # shuffle-hash joins: both sides are hash-shuffled on the join
-        # key (vertex-frame sizes make per-partition hash maps safe at
-        # any scale) instead of re-collecting + re-broadcasting the
-        # vertex frame to the driver on every iteration
-        contrib = (
-            e.join(ranks.hint("shuffle_hash"), e["src"] == ranks["id"])
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
+        for _ in range(iterations):
+            # shuffle-hash joins: the persisted sides are already laid
+            # out on the join key, so with AQE's re-planning disabled
+            # the whole iteration is ONE scheduled job — join, message
+            # aggregation, checkpoint materialization, and the global
+            # sum readout below
+            contrib = (
+                e.join(ranks.hint("shuffle_hash"), e["src"] == ranks["id"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("msg"))
+                .localCheckpoint(eager=False)
             )
-            .groupBy("id")
-            .agg(F.sum("c").alias("msg"))
-            .localCheckpoint(eager=False)
-        )
-        # ONE job: runs the heavy join+agg, materializes the lazy
-        # checkpoint blocks, and returns the global message sum.  Each
-        # source's rank splits across its out-edges and sums back, so
-        # sum(msg) = S - dangling_mass — the reference's explicit
-        # dangling pass (pagerank.rs:35) folded into the aggregate
-        # that's already being computed.
-        total_msg = float(
-            contrib.agg(F.coalesce(F.sum("msg"), F.lit(0.0))).first()[0]
-        )
-        # superseded contribution checkpoints: iteration i's blocks are
-        # last read by iteration i+1's join; once the Python reference
-        # is dropped the ContextCleaner unpersists them, so live storage
-        # is bounded at ~2 message frames + deg + e regardless of
-        # iteration count.
-        dang = s_total - total_msg
-        base = (1.0 - damping) / n + damping * dang / n
-        ranks = deg.join(contrib.hint("shuffle_hash"), "id", "left").select(
-            "id",
-            "out_deg",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        s_total = (1.0 - damping) + damping * dang + damping * total_msg
+            # Each source's rank splits across its out-edges and sums
+            # back, so sum(msg) = S - dangling_mass — the reference's
+            # explicit dangling pass (pagerank.rs:35) folded into the
+            # aggregate that's already being computed.
+            total_msg = float(
+                contrib.agg(F.coalesce(F.sum("msg"), F.lit(0.0))).first()[0]
+            )
+            # superseded contribution checkpoints: iteration i's blocks
+            # are last read by iteration i+1's join; once the Python
+            # reference is dropped the ContextCleaner unpersists them,
+            # so live storage is bounded at ~2 message frames + deg + e
+            # regardless of iteration count.
+            dang = s_total - total_msg
+            base = (1.0 - damping) / n + damping * dang / n
+            ranks = deg.join(
+                contrib.hint("shuffle_hash"), "id", "left"
+            ).select(
+                "id",
+                "out_deg",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("msg"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            s_total = (1.0 - damping) + damping * dang + damping * total_msg
 
-    return ranks.select("id", "rank")
+        # materialize the final ranks inside the loop scope (one job),
+        # then drop the loop-state persists — nothing leaks into a
+        # long-lived session
+        trace_plan("pagerank", ranks)
+        ranks = ranks.select("id", "rank").localCheckpoint()
+        e.unpersist()
+        deg.unpersist()
+    return ranks

@@ -12,7 +12,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from samyama_graph_spark.algorithms.util import checkpoint, symmetrize
+from samyama_graph_spark.algorithms.util import (
+    checkpoint,
+    iteration_scope,
+    loop_partitions,
+    partitioned,
+    symmetrize,
+)
 
 
 def bfs(
@@ -30,11 +36,12 @@ def bfs(
     BFS (operator.rs:3003) in shuffle form.
     """
     spark = edges.sparkSession
-    if max_depth <= 4:
+    if max_depth <= 2:
         # bounded shallow BFS: one lazy unrolled plan, zero per-depth
         # count/checkpoint jobs (AQE skips empty frontiers and picks
-        # broadcast sides at runtime; identical frontier subplans are
-        # shared via ReuseExchange)
+        # broadcast sides at runtime).  Threshold is 2: beyond that the
+        # unrolled plan re-derives the edge union per depth and loses to
+        # the persisted-edge loop (measured 3.9s vs 3.1s at depth 3).
         e = edges.select("src", "dst") if directed else symmetrize(edges)
         visited = spark.createDataFrame(
             [(source, 0, None)], "id long, depth int, parent long"
@@ -53,41 +60,46 @@ def bfs(
             visited = visited.unionByName(nxt)
             frontier = nxt
         return visited if parents else visited.select("id", "depth")
-    e = checkpoint(
-        edges.select("src", "dst") if directed else symmetrize(edges),
-        eager=False,
-    )
-    visited = spark.createDataFrame(
-        [(source, 0, None)], "id long, depth int, parent long"
-    )
-    frontier = visited
-    frontier_n = visited_n = 1
-    # broadcast small frontier/visited sides: the (large) edge table
-    # then never shuffles — one map-side join per round
-    small = 1_000_000
-
-    for d in range(1, max_depth + 1):
-        f = F.broadcast(frontier) if frontier_n < small else frontier
-        v = visited.select("id")
-        if visited_n < small:
-            v = F.broadcast(v)
-        nxt = (
-            e.join(f, e["src"] == f["id"])
-            .select(F.col("dst").alias("id"), F.col("src").alias("parent"))
-            .groupBy("id")
-            .agg(F.min("parent").alias("parent"))
-            .join(v, "id", "left_anti")
-            .withColumn("depth", F.lit(d))
-            .select("id", "depth", "parent")
+    with iteration_scope(spark, loop_partitions(edges)):
+        # edges persisted hash(src): the frontier join is exchange-free
+        # on the (large) edge side every round — only the frontier and
+        # visited vertex frames shuffle, and with AQE re-planning off
+        # each round is exactly ONE scheduled job (the count below)
+        e = partitioned(
+            edges.select("src", "dst") if directed else symmetrize(edges),
+            "src",
         )
-        # lazy checkpoint: materialized by the count() below in one job
-        nxt = checkpoint(nxt, eager=False)
-        frontier_n = nxt.count()
-        if frontier_n == 0:
-            break
-        visited_n += frontier_n
-        visited = visited.unionByName(nxt)  # union of checkpointed frontiers
-        frontier = nxt
+        visited = spark.createDataFrame(
+            [(source, 0, None)], "id long, depth int, parent long"
+        )
+        frontier = visited
+
+        for d in range(1, max_depth + 1):
+            nxt = (
+                e.join(
+                    frontier.hint("shuffle_hash"), e["src"] == frontier["id"]
+                )
+                .select(
+                    F.col("dst").alias("id"), F.col("src").alias("parent")
+                )
+                .groupBy("id")
+                .agg(F.min("parent").alias("parent"))
+                .join(
+                    visited.select("id").hint("shuffle_hash"),
+                    "id",
+                    "left_anti",
+                )
+                .withColumn("depth", F.lit(d))
+                .select("id", "depth", "parent")
+            )
+            # lazy checkpoint: materialized by the count() in one job
+            nxt = checkpoint(nxt, eager=False)
+            frontier_n = nxt.count()
+            if frontier_n == 0:
+                break
+            visited = visited.unionByName(nxt)  # union of checkpoints
+            frontier = nxt
+        e.unpersist()
     return visited if parents else visited.select("id", "depth")
 
 
@@ -116,53 +128,62 @@ def sssp(
                 F.col(weight_col).cast("double").alias("w"),
             )
         )
-    e = checkpoint(e, eager=False)
     spark = edges.sparkSession
-    dist = spark.createDataFrame(
-        [(source, 0.0, None)], "id long, dist double, parent long"
-    )
-    frontier = dist
-    frontier_n = dist_n = 1
-    small = 1_000_000
+    with iteration_scope(spark, loop_partitions(edges)):
+        # edges persisted hash(src): only the (small) frontier and dist
+        # vertex frames shuffle per round; each round is ONE scheduled
+        # job (the improved-count, which also materializes the lazy
+        # checkpoints of this round's improved frame and the previous
+        # round's dist merge)
+        e = partitioned(e, "src")
+        dist = spark.createDataFrame(
+            [(source, 0.0, None)], "id long, dist double, parent long"
+        )
+        frontier = dist
 
-    for _ in range(max_rounds):
-        f = F.broadcast(frontier) if frontier_n < small else frontier
-        cand = (
-            e.join(f, e["src"] == f["id"])
-            .select(
-                F.col("dst").alias("id"),
-                # min over (cost, parent) pairs: least cost, parent as
-                # the deterministic tie-break
-                F.struct(
-                    (F.col("dist") + F.col("w")).alias("d"),
-                    F.col("src").alias("p"),
-                ).alias("dp"),
+        for _ in range(max_rounds):
+            cand = (
+                e.join(
+                    frontier.hint("shuffle_hash"), e["src"] == frontier["id"]
+                )
+                .select(
+                    F.col("dst").alias("id"),
+                    # min over (cost, parent) pairs: least cost, parent
+                    # as the deterministic tie-break
+                    F.struct(
+                        (F.col("dist") + F.col("w")).alias("d"),
+                        F.col("src").alias("p"),
+                    ).alias("dp"),
+                )
+                .groupBy("id")
+                .agg(F.min("dp").alias("dp"))
+                .select(
+                    "id", F.col("dp.d").alias("d"), F.col("dp.p").alias("p")
+                )
             )
-            .groupBy("id")
-            .agg(F.min("dp").alias("dp"))
-            .select("id", F.col("dp.d").alias("d"), F.col("dp.p").alias("p"))
-        )
-        old = dist.select("id", F.col("dist").alias("old"))
-        joined = cand.join(
-            F.broadcast(old) if dist_n < small else old, "id", "left"
-        )
-        improved = checkpoint(
-            joined.filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
-            .select("id", F.col("d").alias("dist"), F.col("p").alias("parent")),
-            eager=False,  # materialized by the count() below in one job
-        )
-        frontier_n = improved.count()
-        if frontier_n == 0:
-            break
-        imp_ids = improved.select("id")
-        dist = checkpoint(
-            dist.join(
-                F.broadcast(imp_ids) if frontier_n < small else imp_ids,
-                "id", "left_anti",
-            ).unionByName(improved)
-        )
-        dist_n += frontier_n  # upper bound (improved may overlap)
-        frontier = improved
+            old = dist.select("id", F.col("dist").alias("old"))
+            joined = cand.join(old.hint("shuffle_hash"), "id", "left")
+            improved = checkpoint(
+                joined.filter(
+                    F.col("old").isNull() | (F.col("d") < F.col("old"))
+                ).select(
+                    "id", F.col("d").alias("dist"), F.col("p").alias("parent")
+                ),
+                eager=False,  # materialized by the count() in one job
+            )
+            frontier_n = improved.count()
+            if frontier_n == 0:
+                break
+            dist = checkpoint(
+                dist.join(
+                    improved.select("id").hint("shuffle_hash"),
+                    "id",
+                    "left_anti",
+                ).unionByName(improved),
+                eager=False,  # materialized by the NEXT round's count
+            )
+            frontier = improved
+        e.unpersist()
     return dist if parents else dist.select("id", "dist")
 
 

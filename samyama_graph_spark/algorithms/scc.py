@@ -19,7 +19,74 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from samyama_graph_spark.algorithms.util import checkpoint, vertices_from_edges
+from samyama_graph_spark.algorithms.util import (
+    DRIVER_EDGE_GUARD,
+    checkpoint,
+    collect_if_small,
+    iteration_scope,
+    loop_partitions,
+    partitioned,
+    vertices_from_edges,
+)
+
+
+def _tarjan_components(edge_rows) -> dict:
+    """Iterative Tarjan over a collected edge list: {vertex: min id of
+    its SCC}.  Runs driver-side under the size guard — the reference's
+    own execution model (community.rs:96 is sequential Tarjan).  SCC
+    membership is unique, so this is exactly the distributed result."""
+    adj: dict = {}
+    verts: set = set()
+    for s, d in edge_rows:
+        adj.setdefault(s, []).append(d)
+        verts.add(s)
+        verts.add(d)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comp: dict = {}
+    counter = 0
+    for root in verts:
+        if root in index:
+            continue
+        # explicit DFS stack of (vertex, iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            nbrs = adj.get(v, ())
+            recursed = False
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recursed = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recursed:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return comp
 
 
 def _min_propagate_bidir(
@@ -90,43 +157,67 @@ def _min_propagate_bidir(
 
 
 def scc(
-    edges: DataFrame, max_outer: int = 20, max_inner: int = 50
+    edges: DataFrame,
+    max_outer: int = 20,
+    max_inner: int = 50,
+    driver_guard: int = DRIVER_EDGE_GUARD,
 ) -> DataFrame:
     """``(id, component)`` where component is the minimum vertex id of
-    the strongly connected component."""
-    e_all = checkpoint(edges.select("src", "dst").distinct(), eager=False)
-    remaining = checkpoint(vertices_from_edges(edges), eager=False)
-    spark = edges.sparkSession
-    result: DataFrame | None = None
+    the strongly connected component.
 
-    for _ in range(max_outer):
-        ids = remaining.select("id")
-        e = (
-            e_all.join(ids, e_all["src"] == ids["id"], "left_semi")
-            .join(ids, F.col("dst") == ids["id"], "left_semi")
+    Under ``driver_guard`` edges (one early-out CollectLimit probe) the
+    fixpoint runs as sequential Tarjan on the driver — exactly the
+    reference's execution model (community.rs:96) and orders of
+    magnitude fewer scheduled jobs than the settle loop on a small
+    graph.  Above the guard, distributed forward-backward coloring.
+    """
+    spark = edges.sparkSession
+    if driver_guard > 0:
+        rows = collect_if_small(
+            edges.select("src", "dst"), driver_guard, "src", "dst"
         )
-        # ONE probe job doubles as the termination test AND the
-        # singleton fast path: remaining empty => e empty => done; e
-        # empty with vertices left => every leftover is its own SCC
-        # (the common tail after the big components peel), settled in
-        # bulk without another propagation loop.
-        if e.limit(1).count() == 0:
-            singles = remaining.select("id", F.col("id").alias("component"))
-            result = (
-                singles if result is None else result.unionByName(singles)
+        if rows is not None:
+            comp = _tarjan_components([(r[0], r[1]) for r in rows])
+            if not comp:
+                return spark.createDataFrame([], "id long, component long")
+            return spark.createDataFrame(
+                sorted(comp.items()), "id long, component long"
             )
-            break
-        fb = _min_propagate_bidir(e, remaining, max_inner)
-        settled = (
-            fb.filter(F.col("f") == F.col("b"))
-            .select("id", F.col("f").alias("component"))
-        )
-        settled = checkpoint(settled, eager=False)
-        result = settled if result is None else result.unionByName(settled)
-        remaining = checkpoint(
-            remaining.join(settled.select("id"), "id", "left_anti"),
-            eager=False,
-        )
+    with iteration_scope(spark, loop_partitions(edges)):
+        e_all = checkpoint(edges.select("src", "dst").distinct(), eager=False)
+        remaining = checkpoint(vertices_from_edges(edges), eager=False)
+        result: DataFrame | None = None
+
+        for _ in range(max_outer):
+            ids = remaining.select("id")
+            e = (
+                e_all.join(ids, e_all["src"] == ids["id"], "left_semi")
+                .join(ids, F.col("dst") == ids["id"], "left_semi")
+            )
+            # ONE probe job doubles as the termination test AND the
+            # singleton fast path: remaining empty => e empty => done; e
+            # empty with vertices left => every leftover is its own SCC
+            # (the common tail after the big components peel), settled
+            # in bulk without another propagation loop.
+            if e.limit(1).count() == 0:
+                singles = remaining.select(
+                    "id", F.col("id").alias("component")
+                )
+                result = (
+                    singles if result is None else result.unionByName(singles)
+                )
+                break
+            fb = _min_propagate_bidir(e, remaining, max_inner)
+            settled = (
+                fb.filter(F.col("f") == F.col("b"))
+                .select("id", F.col("f").alias("component"))
+            )
+            settled = checkpoint(settled, eager=False)
+            result = settled if result is None else result.unionByName(settled)
+            remaining = checkpoint(
+                remaining.join(settled.select("id"), "id", "left_anti"),
+                eager=False,
+            )
     if result is None:
         result = spark.createDataFrame([], "id long, component long")
     return result

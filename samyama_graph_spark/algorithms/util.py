@@ -2,8 +2,137 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import contextlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Physical-plan strings of the last iteration of each algorithm's loop,
+# keyed by algorithm name.  The loops materialize their results
+# internally (the returned frame is a checkpoint scan), so plan-shape
+# regression tests read the per-iteration plan from here instead.
+PLAN_TRACE: dict[str, str] = {}
+
+
+def trace_plan(name: str, df: DataFrame) -> None:
+    """Record ``df``'s physical plan under ``name`` (planning only — no
+    execution is triggered)."""
+    PLAN_TRACE[name] = df._jdf.queryExecution().executedPlan().toString()
+
+
+# Driver-side fast-path guard (edges).  Mirrors flow.MAX_COLLECT_EDGES:
+# the reference runs Tarjan/Prim sequentially anyway (community.rs:96,
+# mst.rs:41), so below this size we collect the edge list and settle the
+# fixpoint on the driver in microseconds instead of scheduling dozens of
+# convergence-round jobs.  Above it, the distributed loops run.
+DRIVER_EDGE_GUARD = 500_000
+
+
+def loop_partitions(df: DataFrame, floor: int = 8) -> int:
+    """Shuffle-partition count for a fixed-point loop over ``df``.
+
+    AQE normally right-sizes post-shuffle partitions at runtime, but it
+    is disabled inside ``iteration_scope`` (see below) — so size the
+    loop's shuffles up front from the source layout: the scan partition
+    count tracks input bytes (one split per ~128 MB), clamped to
+    [floor, spark.sql.shuffle.partitions].  On a 100 TB input the scan
+    has thousands of splits so this returns the configured ceiling; on
+    a small graph it stops every per-round stage from launching 10× more
+    tasks than there are rows to justify (task launch ~5-10 ms is the
+    binding floor of an iterative round, measured).
+    """
+    conf_n = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    src_n = df.rdd.getNumPartitions()
+    return max(min(floor, conf_n), min(src_n, conf_n))
+
+
+@contextlib.contextmanager
+def iteration_scope(
+    spark: SparkSession, partitions: int | None = None
+) -> Iterator[None]:
+    """Disable AQE (and optionally pin shuffle partitions) for the
+    duration of a fixed-point loop.
+
+    Inside an iterative algorithm the physical layout is pinned by hand
+    (partitioned persisted frames + shuffle_hash hints), so adaptive
+    re-planning has nothing left to decide — but its stage-by-stage
+    materialization submits every shuffle stage as a separate scheduled
+    job, tripling the per-iteration job floor (measured 6 jobs/iter vs 1
+    on PageRank).  ``partitions`` (from :func:`loop_partitions`) keeps
+    EVERY shuffle in the loop on the same modulus, so persisted-frame
+    co-partitioning is never broken by a mismatched groupBy.  Scope is
+    the session: callers run loops serially.
+    """
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def partitioned(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition on the loop join key and persist.
+
+    Every per-iteration join against the returned frame is then
+    exchange-free on this side (hash(key, shuffle.partitions) satisfies
+    the join's distribution requirement), and the blocks are read from
+    executor storage instead of re-running the source scan.  Callers
+    must unpersist after the loop's result is materialized.
+
+    NOTE: ``localCheckpoint`` would NOT work here — it rewraps the data
+    as a ``Scan ExistingRDD`` whose partitioning Catalyst forgets, so
+    the co-location is silently lost and every iteration re-shuffles.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartition(n, *keys).persist()
+
+
+def collect_if_small(
+    df: DataFrame, guard: int, *cols: str
+) -> list | None:
+    """Collect up to ``guard`` rows, or None if the frame is larger.
+
+    One early-terminating CollectLimit job: on a 100 TB input it scans
+    a handful of partitions, ships at most ``guard + 1`` rows, and
+    reports "too big" — the cheap probe in front of a driver-side
+    fast path.
+    """
+    sel = df.select(*cols) if cols else df
+    rows = sel.limit(guard + 1).collect()
+    return None if len(rows) > guard else rows
+
+
+def driver_union_find(pairs) -> dict:
+    """Min-id union-find over an iterable of (a, b) pairs: returns
+    {vertex: min id of its component} for every vertex seen.  Union by
+    min root keeps the invariant root == min(component)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
 
 
 def vertices_from_edges(edges: DataFrame) -> DataFrame:

@@ -422,7 +422,7 @@ def embedding_near_dups(
 def dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
-    max_iterations: int = 20,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Group near-dup pairs ``(x, y, ...)`` into clusters and pick a
     canonical representative per cluster.
@@ -444,11 +444,18 @@ def dup_clusters(
     collect_list is bounded by the largest dup cluster, not the corpus.
     """
     from samyama_graph_spark.algorithms.components import wcc
+    from samyama_graph_spark.algorithms.util import DRIVER_EDGE_GUARD
 
     edges = pairs.select(
         F.col("x").cast("long").alias("src"), F.col("y").cast("long").alias("dst")
     )
-    comp = wcc(edges, max_iterations=max_iterations)
+    # the verified pair graph is bounded by dup volume, not the corpus:
+    # under the guard the transitive closure is settled by driver
+    # union-find in one CollectLimit job (exact, no iteration cap);
+    # above it, distributed min-id propagation with convergence checks
+    comp = wcc(
+        edges, max_iterations=max_iterations, driver_guard=DRIVER_EDGE_GUARD
+    )
     if nodes is not None:
         ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
         comp = comp.unionByName(

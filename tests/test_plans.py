@@ -89,8 +89,12 @@ def test_pagerank_iteration_has_no_broadcast_exchange(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
     )
+    from samyama_graph_spark.algorithms.util import PLAN_TRACE
+
     ranks = pagerank(edges, iterations=2)
-    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    # the loop materializes its result internally, so the per-iteration
+    # plan is read from the loop's plan trace, not the returned frame
+    plan = PLAN_TRACE["pagerank"]
     assert "BroadcastExchange" not in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     total = ranks.agg(F.sum("rank")).first()[0]
