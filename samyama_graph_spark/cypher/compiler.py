@@ -360,7 +360,12 @@ class Compiler:
         if path.shortest is not None:
             self._shortest_path(st, path)
             return
-        path = self._orient_path(st, path)
+        # anchor selection may split the chain at an interior node (two
+        # segments sharing the anchor variable) — compile each in turn
+        for seg in self._orient_path(st, path):
+            self._compile_chain(st, seg)
+
+    def _compile_chain(self, st: State, path: A.PatternPath) -> None:
         node_vars: list[str] = []
         edge_vars: list[str] = []
         want_path = path.path_var is not None
@@ -530,37 +535,50 @@ class Compiler:
             )
         return ordered
 
-    def _orient_path(self, st: State, path: A.PatternPath) -> A.PatternPath:
-        """Cardinality-based start-node (anchor) selection.
+    def _orient_path(
+        self, st: State, path: A.PatternPath
+    ) -> list[A.PatternPath]:
+        """Cardinality-based start-node (anchor) selection over EVERY
+        pattern node.
 
         The compiler expands a pattern chain left-to-right, so the
-        leftmost node's scan bounds every intermediate result.  Pick
-        the cheaper endpoint and reverse the path when the right one
-        wins — the two-candidate version of the reference's plan
-        enumeration (plan_enumerator.rs:17-64 ranks every start node
-        with the multiplicative cost model of cost_model.rs:20-60 over
-        catalog stats, catalog.rs:63-140).  Catalyst/AQE handle the
-        relational re-ordering below this; anchor choice is the part
-        that is OUR job (SURVEY §4).
+        anchor node's scan bounds every intermediate result.  Each
+        pattern node is costed as a start candidate, mirroring the
+        reference's plan enumeration (plan_enumerator.rs:17-64 ranks up
+        to 64 candidates starting from ANY pattern node with the
+        multiplicative cost model of cost_model.rs:20-60 over catalog
+        stats, catalog.rs:63-140).  Outcomes:
+
+        - leftmost endpoint wins -> keep the chain as written;
+        - rightmost endpoint wins (2x hysteresis) -> reverse the chain;
+        - an INTERIOR node wins (2x hysteresis over both endpoints) ->
+          split the chain at it into two segments that share the anchor
+          variable: ``m <-...- a`` (reversed prefix) then ``m -...-> b``
+          — e.g. ``(a:Big)-[:R1]->(m {k:v})-[:R2]->(b:Big)`` anchors at
+          ``m``.  Conjunctive segments joined on the shared variable
+          are exactly the original chain's semantics.
+
+        Catalyst/AQE handle the relational re-ordering below this;
+        anchor choice is the part that is OUR job (SURVEY §4).
 
         Bound endpoints win outright (expanding from an already-bound
-        variable is free).  Reversal re-orients edge traversal, which
-        swaps the src/dst fields inside edge structs — safe only when
-        no edge variable is user-visible and no named path is being
-        materialized, so those paths keep their syntactic order.
+        variable is free).  Re-orienting swaps the src/dst fields
+        inside edge structs — safe only when no edge variable is
+        user-visible and no named path is being materialized, so those
+        paths keep their syntactic order.
         """
         def _pname(np: A.NodePattern) -> str:
             return np.var or (f":{np.labels[0]}" if np.labels else "()")
 
         desc = "-".join(_pname(n) for n in path.nodes)
         if not path.edges or path.path_var is not None:
-            return path
+            return [path]
         if any(ep.var is not None for ep in path.edges):
             self.plan_trace.append(
                 f"path {desc}: syntactic order (edge variable pins "
                 f"traversal orientation)"
             )
-            return path
+            return [path]
         # inline property VALUES that reference other variables pin the
         # binding order (e.g. (a)-[:R]->(b {k: a.q})) — keep it
         for pat in [*path.nodes, *path.edges]:
@@ -570,7 +588,7 @@ class Compiler:
                         f"path {desc}: syntactic order (inline property "
                         f"references another variable)"
                     )
-                    return path
+                    return [path]
         first, last = path.nodes[0], path.nodes[-1]
         first_bound = first.var is not None and first.var in st.scope.vars
         last_bound = last.var is not None and last.var in st.scope.vars
@@ -578,27 +596,71 @@ class Compiler:
             self.plan_trace.append(
                 f"path {desc}: anchor {_pname(first)} (already bound)"
             )
-            return path
+            return [path]
         if last_bound:
             self.plan_trace.append(
                 f"path {desc}: anchor {_pname(last)} (already bound) "
                 f"-> reversed"
             )
-            return self._reversed_path(path)
-        cost_f = self._anchor_cost(st, first)
-        cost_l = self._anchor_cost(st, last)
-        # 2x hysteresis: only reverse on a clear win so near-ties keep
-        # the user's syntactic order (stable plans, stable tests)
+            return [self._reversed_path(path)]
+        # an interior node already bound by an earlier path/clause:
+        # splitting there expands outward from bound rows for free
+        for i in range(1, len(path.nodes) - 1):
+            np_i = path.nodes[i]
+            if np_i.var is not None and np_i.var in st.scope.vars:
+                self.plan_trace.append(
+                    f"path {desc}: anchor {_pname(np_i)} (already bound, "
+                    f"interior) -> split"
+                )
+                return self._split_at(st, path, i)
+        costs = [self._anchor_cost(st, np) for np in path.nodes]
+        cost_f, cost_l = costs[0], costs[-1]
+        interior = range(1, len(path.nodes) - 1)
+        best_i = min(interior, key=lambda i: costs[i], default=None)
+        cand_desc = " ".join(
+            f"{_pname(n)}={c:.1f}" for n, c in zip(path.nodes, costs)
+        )
+        # 2x hysteresis everywhere: only move the anchor on a clear win
+        # so near-ties keep the user's syntactic order (stable plans,
+        # stable tests)
+        if best_i is not None and costs[best_i] < 0.5 * min(cost_f, cost_l):
+            self.plan_trace.append(
+                f"path {desc}: candidates {cand_desc} -> anchor "
+                f"{_pname(path.nodes[best_i])} (interior split)"
+            )
+            return self._split_at(st, path, best_i)
         reverse = cost_l < cost_f * 0.5
         self.plan_trace.append(
-            f"path {desc}: candidates {_pname(first)}={cost_f:.1f} "
-            f"{_pname(last)}={cost_l:.1f} -> anchor "
-            f"{_pname(last) if reverse else _pname(first)}"
+            f"path {desc}: candidates {cand_desc} -> anchor "
+            f"{_pname(path.nodes[-1]) if reverse else _pname(path.nodes[0])}"
             + (" (reversed)" if reverse else "")
         )
         if reverse:
-            return self._reversed_path(path)
-        return path
+            return [self._reversed_path(path)]
+        return [path]
+
+    def _split_at(
+        self, st: State, path: A.PatternPath, i: int
+    ) -> list[A.PatternPath]:
+        """Split the chain at interior node ``i`` into two segments
+        anchored there.  An anonymous anchor gets a fresh internal
+        variable so the segments join on it."""
+        anchor = path.nodes[i]
+        if anchor.var is None:
+            anchor = A.NodePattern(
+                st.fresh("n"), list(anchor.labels), dict(anchor.properties)
+            )
+        # m <-...- a: reversed prefix (anchor scan bounds it)
+        prefix = self._reversed_path(
+            A.PatternPath(
+                [*path.nodes[:i], anchor], list(path.edges[:i]), None, None
+            )
+        )
+        # m -...-> b: suffix re-binds the (now bound) anchor for free
+        suffix = A.PatternPath(
+            [anchor, *path.nodes[i + 1 :]], list(path.edges[i:]), None, None
+        )
+        return [prefix, suffix]
 
     def _anchor_cost(self, st: State, np: A.NodePattern) -> float:
         """Estimated post-filter cardinality of scanning this node

@@ -122,15 +122,25 @@ def sample_exact_k(
     it is a global top-k (rank via a single-partition window is avoided
     by letting Catalyst turn the global sort+limit into
     TakeOrderedAndProject when strata_col is None).
+
+    Determinism at scale: the sort key is the FULL 60-bit hash with the
+    id as final tie-break — a truncated key (e.g. two 10^4 buckets)
+    collides routinely on large corpora, and ties broken by partition
+    order would make the selected k rows change between runs.
     """
-    h = hash_bucket(F.col(id_col), seed) * BUCKETS + hash_bucket(
-        F.col(id_col), seed + 1
+    h = hash60(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
     )
     if strata_col is None:
-        return df.withColumn("__h", h).orderBy("__h").limit(k).drop("__h")
+        return (
+            df.withColumn("__h", h)
+            .orderBy("__h", F.asc(id_col))
+            .limit(k)
+            .drop("__h")
+        )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(strata_col).orderBy("__h")
+    w = Window.partitionBy(strata_col).orderBy("__h", F.asc(id_col))
     return (
         df.withColumn("__h", h)
         .withColumn("__rn", F.row_number().over(w))

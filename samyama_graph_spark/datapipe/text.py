@@ -137,9 +137,9 @@ def text_fingerprint(
 # syntax (no lookaround, no shorthand differences).  Order matters —
 # URLs are masked before emails so `user@host` inside a URL query
 # string is not double-masked.
-URL_RE = "https?://[^ \\t\\n]+"
+URL_RE = "https?://[^ \\t\\n\\r]+"
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
-WS_RE = "[ \\t\\n]+"
+WS_RE = "[ \\t\\n\\r]+"
 
 
 def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
