@@ -32,6 +32,36 @@ def seeded_sql(seed: int, expr: str) -> str:
     return hash60_sql(f"'{seed}' || '|' || {expr}")
 
 
+# Universal-hash mixing family over ONE base hash: h_i = (a_i*h + b_i)
+# mod p with p = 2^31 - 1 (prime), h reduced to 30 bits so a_i*h stays
+# far under 2^63 in BOTH engines' BIGINT arithmetic.  One md5 per input
+# replaces num_hashes md5s — the md5 is the dominant cost of a MinHash
+# signature pass at corpus scale.
+HASH_FAMILY_P = 2_147_483_647
+HASH_FAMILY_M = 1 << 30
+_HF_B = 2_654_435_761  # Knuth multiplicative constant
+
+
+def hash_family_member(base: Column, i: int) -> Column:
+    """i-th family hash of an already-hash60'd base column."""
+    a = 2 * i + 1
+    b = (i * _HF_B) % HASH_FAMILY_P
+    return (
+        (F.lit(a) * (base % F.lit(HASH_FAMILY_M)) + F.lit(b))
+        % F.lit(HASH_FAMILY_P)
+    ).cast("long")
+
+
+def hash_family_member_sql(base_expr: str, i: int) -> str:
+    """DuckDB twin of :func:`hash_family_member` (keep in lockstep!)."""
+    a = 2 * i + 1
+    b = (i * _HF_B) % HASH_FAMILY_P
+    return (
+        f"(({a} * (({base_expr}) % {HASH_FAMILY_M}) + {b})"
+        f" % {HASH_FAMILY_P})"
+    )
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization (single-space split for cross-engine
     parity with DuckDB string_split)."""

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from samyama_graph_spark.datapipe.common import (
     hash60,
-    seeded,
+    hash_family_member,
     tokens,
     word_shingles,
 )
@@ -58,19 +58,30 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     )
 
 
-def _pair_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+def _pair_jaccard(
+    shingles: DataFrame, pairs: DataFrame, on_hash: bool = False
+) -> DataFrame:
     """True Jaccard for candidate pairs: ``(x, y, jacc)``.
 
     |A∩B| via a shingle-equality join restricted to candidate pairs,
     |A∪B| = |A|+|B|-|A∩B|.  The semi-join onto candidates keeps the
     shingle join linear in candidate count, not quadratic in docs.
+
+    ``on_hash=True`` joins on the 60-bit shingle hash instead of the
+    shingle string — 8-byte shuffle keys instead of full n-grams.
+    Use when the caller already pays for the md5 pass (MinHash);
+    equality is exact up to 2^-60 collisions, replayed identically by
+    the oracle.
     """
+    key = hash60(F.col("shingle")).alias("sk") if on_hash else F.col(
+        "shingle"
+    ).alias("sk")
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.select(F.col("id").alias("x"), "shingle")
-    b = shingles.select(F.col("id").alias("y"), "shingle")
+    a = shingles.select(F.col("id").alias("x"), key)
+    b = shingles.select(F.col("id").alias("y"), key)
     inter = (
         a.join(pairs, "x")
-        .join(b, ["y", "shingle"])
+        .join(b, ["y", "sk"])
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -93,12 +104,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: ``(id, mh0..mh{n-1})``.
 
-    One explode of the shingle set, num_hashes seeded hash columns,
-    one grouped min-aggregation — a single shuffle on doc id.
+    ONE md5 per shingle (the dominant cost) + a universal-hash mixing
+    family (common.hash_family_member) for the num_hashes independent
+    permutation surrogates, then one grouped min-aggregation — a
+    single shuffle on doc id with map-side combine.
     """
+    base = hash60(F.col("shingle"))
     hashed = shingles.select(
         "id",
-        *[seeded(i, F.col("shingle")).alias(f"h{i}") for i in range(num_hashes)],
+        *[
+            hash_family_member(base, i).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
@@ -150,7 +167,9 @@ def minhash_lsh_pairs(
     sh = shingle_sets(df, text_col, id_col, k)
     sigs = minhash_signatures(sh, num_hashes)
     cand = lsh_candidates(sigs, num_hashes, bands)
-    return _pair_jaccard(sh, cand).filter(F.col("jacc") >= threshold)
+    return _pair_jaccard(sh, cand, on_hash=True).filter(
+        F.col("jacc") >= threshold
+    )
 
 
 def ngram_jaccard_pairs(

@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from samyama_graph_spark.algorithms.util import checkpoint, symmetrize
+from samyama_graph_spark.algorithms.util import (
+    checkpoint,
+    iteration_scope,
+    loop_partitions,
+    partitioned,
+    symmetrize,
+)
 
 
 def _directed_view(edges: DataFrame, direction: str) -> DataFrame:
@@ -95,40 +101,43 @@ def var_length_expand(
             visited = visited.unionByName(nxt)
             frontier = nxt.select("start", "node")
         return visited.filter(F.col("hops") >= min_hops)
-    e = checkpoint(_directed_view(edges, direction), eager=False)
-    frontier = checkpoint(
-        starts.select(
-            F.col(id_col).alias("start"), F.col(id_col).alias("node")
-        ).distinct(),
-        eager=False,  # materialized by the count() below
-    )
-    visited = frontier.withColumn("hops", F.lit(0))
-    frontier_n = visited_n = frontier.count()
-    small = 1_000_000  # broadcast threshold: frontier/visited sides
-
-    for depth in range(1, max_hops + 1):
-        f = F.broadcast(frontier) if frontier_n < small else frontier
-        v = visited.select("start", "node")
-        if visited_n < small:
-            v = F.broadcast(v)
-        nxt = (
-            e.join(f, e["src"] == f["node"])
-            .select("start", F.col("dst").alias("node"))
-            .distinct()
-            .join(v, ["start", "node"], "left_anti")
-            .withColumn("hops", F.lit(depth))
+    with iteration_scope(starts.sparkSession, loop_partitions(edges)):
+        # edges persisted hash(src): the frontier join is exchange-free
+        # on the edge side every hop; only the (start, node) frontier
+        # and visited frames shuffle, and with AQE re-planning off each
+        # hop is ONE scheduled job (the count below)
+        e = partitioned(_directed_view(edges, direction), "src")
+        frontier = checkpoint(
+            starts.select(
+                F.col(id_col).alias("start"), F.col(id_col).alias("node")
+            ).distinct(),
+            eager=False,  # materialized by the first hop's count
         )
-        # lazy checkpoint + count: the count action materializes the
-        # checkpoint in the SAME job (count scans every partition), so
-        # each hop costs one scheduled job instead of two
-        nxt = checkpoint(nxt, eager=False)
-        frontier_n = nxt.count()
-        if frontier_n == 0:
-            break
-        visited_n += frontier_n
-        visited = visited.unionByName(nxt)  # union of checkpointed frontiers
-        frontier = nxt.select("start", "node")
+        visited = frontier.withColumn("hops", F.lit(0))
 
+        for depth in range(1, max_hops + 1):
+            nxt = (
+                e.join(
+                    frontier.hint("shuffle_hash"), e["src"] == frontier["node"]
+                )
+                .select("start", F.col("dst").alias("node"))
+                .distinct()
+                .join(
+                    visited.select("start", "node").hint("shuffle_hash"),
+                    ["start", "node"],
+                    "left_anti",
+                )
+                .withColumn("hops", F.lit(depth))
+            )
+            # lazy checkpoint + count: the count action materializes
+            # the checkpoint in the SAME job, so each hop costs one
+            # scheduled job instead of two
+            nxt = checkpoint(nxt, eager=False)
+            if nxt.count() == 0:
+                break
+            visited = visited.unionByName(nxt)  # union of checkpoints
+            frontier = nxt.select("start", "node")
+        e.unpersist()
     return visited.filter(F.col("hops") >= min_hops)
 
 
@@ -223,9 +232,15 @@ def var_length_paths(
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
     unroll = max_hops <= _UNROLL_MAX
-    e = _typed_view(edges, direction)
     if not unroll:
-        e = checkpoint(e, eager=False)
+        return _var_length_paths_loop(
+            starts, edges, min_hops, max_hops, id_col, direction, all_shortest
+        )
+    # materialize the typed edge view once: the unrolled plan references
+    # it per depth, and when AQE broadcasts the frontier side the edge
+    # union would otherwise be re-scanned per hop (measured −20% on the
+    # 2-3 hop shortest-path shapes)
+    e = checkpoint(_typed_view(edges, direction))
     base = (
         starts.select(F.col(id_col).cast("long").alias("start"))
         .distinct()
@@ -237,51 +252,12 @@ def var_length_paths(
             F.lit(0).alias("hops"),
         )
     )
-    frontier = base if unroll else checkpoint(base, eager=False)
+    frontier = base
     visited = frontier.select("start", "node")
     out_frames = [frontier]
 
     for depth in range(1, max_hops + 1):
-        f = frontier.select("start", "node", "path_nodes", "path_rels")
-        step = e.join(f, e["u"] == f["node"]).select(
-            "start",
-            F.col("v").alias("node"),
-            F.concat("path_nodes", F.array(F.col("v"))).alias("path_nodes"),
-            F.concat(
-                "path_rels",
-                F.array(
-                    F.struct(
-                        F.col("esrc").alias("src"),
-                        F.col("edst").alias("dst"),
-                        F.col("etype").alias("type"),
-                    )
-                ),
-            ).alias("path_rels"),
-        )
-        step = step.join(visited, ["start", "node"], "left_anti")
-        if not all_shortest:
-            step = (
-                step.groupBy("start", "node")
-                .agg(
-                    F.min_by(
-                        F.struct("path_nodes", "path_rels"),
-                        F.col("path_nodes"),
-                    ).alias("pp")
-                )
-                .select(
-                    "start", "node",
-                    F.col("pp.path_nodes").alias("path_nodes"),
-                    F.col("pp.path_rels").alias("path_rels"),
-                )
-            )
-        nxt = step.withColumn("hops", F.lit(depth))
-        if not unroll:
-            # unbounded/deep traversal: checkpoint + count per depth
-            # (early exit once the frontier drains); bounded patterns
-            # skip both and stay one lazy plan
-            nxt = checkpoint(nxt, eager=False)
-            if nxt.count() == 0:
-                break
+        nxt = _paths_step(e, frontier, visited, all_shortest, depth)
         out_frames.append(nxt)
         visited = visited.unionByName(
             nxt.select("start", "node").distinct()
@@ -289,6 +265,98 @@ def var_length_paths(
             else nxt.select("start", "node")
         )
         frontier = nxt
+
+    out = out_frames[0]
+    for fr in out_frames[1:]:
+        out = out.unionByName(fr)
+    return out.filter(F.col("hops") >= min_hops)
+
+
+def _paths_step(e, frontier, visited, all_shortest: bool, depth: int):
+    """One BFS hop of the path-materializing traversal."""
+    f = frontier.select("start", "node", "path_nodes", "path_rels")
+    step = e.join(f, e["u"] == f["node"]).select(
+        "start",
+        F.col("v").alias("node"),
+        F.concat("path_nodes", F.array(F.col("v"))).alias("path_nodes"),
+        F.concat(
+            "path_rels",
+            F.array(
+                F.struct(
+                    F.col("esrc").alias("src"),
+                    F.col("edst").alias("dst"),
+                    F.col("etype").alias("type"),
+                )
+            ),
+        ).alias("path_rels"),
+    )
+    step = step.join(visited, ["start", "node"], "left_anti")
+    if not all_shortest:
+        step = (
+            step.groupBy("start", "node")
+            .agg(
+                F.min_by(
+                    F.struct("path_nodes", "path_rels"),
+                    F.col("path_nodes"),
+                ).alias("pp")
+            )
+            .select(
+                "start", "node",
+                F.col("pp.path_nodes").alias("path_nodes"),
+                F.col("pp.path_rels").alias("path_rels"),
+            )
+        )
+    return step.withColumn("hops", F.lit(depth))
+
+
+def _var_length_paths_loop(
+    starts: DataFrame,
+    edges: DataFrame,
+    min_hops: int,
+    max_hops: int,
+    id_col: str,
+    direction: str,
+    all_shortest: bool,
+) -> DataFrame:
+    """Deep/unbounded path traversal: per-hop checkpoint + early-exit
+    count inside an AQE-off iteration scope — edges persisted hash(u)
+    so every hop's expansion is exchange-free on the edge side and
+    costs ONE scheduled job (the drain check)."""
+    with iteration_scope(starts.sparkSession, loop_partitions(edges)):
+        e = partitioned(_typed_view(edges, direction), "u")
+        base = (
+            starts.select(F.col(id_col).cast("long").alias("start"))
+            .distinct()
+            .select(
+                "start",
+                F.col("start").alias("node"),
+                F.array(F.col("start")).alias("path_nodes"),
+                F.array().cast(_REL_ARRAY_T).alias("path_rels"),
+                F.lit(0).alias("hops"),
+            )
+        )
+        frontier = checkpoint(base, eager=False)
+        visited = frontier.select("start", "node")
+        out_frames = [frontier]
+
+        for depth in range(1, max_hops + 1):
+            nxt = checkpoint(
+                _paths_step(
+                    e, frontier.hint("shuffle_hash"), visited, all_shortest,
+                    depth,
+                ),
+                eager=False,
+            )
+            if nxt.count() == 0:
+                break
+            out_frames.append(nxt)
+            visited = visited.unionByName(
+                nxt.select("start", "node").distinct()
+                if all_shortest
+                else nxt.select("start", "node")
+            )
+            frontier = nxt
+        e.unpersist()
 
     out = out_frames[0]
     for fr in out_frames[1:]:

@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from samyama_graph_spark.datapipe.common import hash60_sql, seeded_sql
+from samyama_graph_spark.datapipe.common import (
+    hash60_sql,
+    hash_family_member_sql,
+)
 from samyama_graph_spark.datapipe.dedup import (
     embedding_near_dups,
     exact_dedup,
@@ -85,7 +88,8 @@ def _minhash_pair_ctes() -> str:
     the transitive-closure cluster oracle."""
     rows = _MH_HASHES // _MH_BANDS
     mh_cols = ",\n        ".join(
-        f"min({seeded_sql(i, 's')}) AS mh{i}" for i in range(_MH_HASHES)
+        f"min({hash_family_member_sql('s60', i)}) AS mh{i}"
+        for i in range(_MH_HASHES)
     )
     band_selects = " UNION ALL ".join(
         "SELECT id, {b} AS band, {vs} FROM sig".format(
@@ -99,15 +103,16 @@ def _minhash_pair_ctes() -> str:
     band_eq = " AND ".join(f"a.v{r} = b.v{r}" for r in range(rows))
     return f"""
     {_SHINGLES_CTE},
-    sig AS (SELECT id, {mh_cols} FROM sh GROUP BY id),
+    sh60 AS (SELECT id, {hash60_sql('s')} AS s60 FROM sh),
+    sig AS (SELECT id, {mh_cols} FROM sh60 GROUP BY id),
     bkt AS ({band_selects}),
     cand AS (SELECT DISTINCT a.id AS x, b.id AS y
              FROM bkt a JOIN bkt b ON a.band = b.band AND {band_eq}
              WHERE a.id < b.id),
-    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    sz AS (SELECT id, count(*) AS n FROM sh60 GROUP BY id),
     inter AS (SELECT c.x, c.y, count(*) AS i
-              FROM cand c JOIN sh a ON a.id = c.x
-              JOIN sh b ON b.id = c.y AND b.s = a.s
+              FROM cand c JOIN sh60 a ON a.id = c.x
+              JOIN sh60 b ON b.id = c.y AND b.s60 = a.s60
               GROUP BY c.x, c.y),
     pairs AS (
         SELECT x, y, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jacc
