@@ -191,15 +191,30 @@ class Compiler:
 
     def _edge_source(self, types: list[str], var: str, direction: str) -> DataFrame:
         """One-struct-column edge DataFrame, pre-oriented src->dst in
-        traversal direction ('both' = union of both orientations)."""
+        traversal direction ('both' = union of both orientations).
+
+        Reverse hops prefer the by-dst physical copy when the graph
+        carries one (``edges_rev``, layout.py): same rows, clustered on
+        the key the join probes — exchange-free expansion both ways,
+        like the reference's paired out/in adjacency (store.rs:504-536).
+        """
         if types:
             parts = []
             for t in types:
-                try:
-                    df = self.g.edge_df(t)
-                except KeyError:
-                    # unknown edge type matches nothing (empty scan)
-                    df = self.g.spark.createDataFrame([], "src long, dst long")
+                rev = self.g.edges_rev.get(t) if direction == "in" else None
+                if rev is not None:
+                    self.plan_trace.append(
+                        f"edge {t}: reverse adjacency (by-dst copy)"
+                    )
+                    df = rev
+                else:
+                    try:
+                        df = self.g.edge_df(t)
+                    except KeyError:
+                        # unknown edge type matches nothing (empty scan)
+                        df = self.g.spark.createDataFrame(
+                            [], "src long, dst long"
+                        )
                 parts.append(df.withColumn("_type", F.lit(t)))
             df = parts[0]
             for p in parts[1:]:
@@ -613,23 +628,43 @@ class Compiler:
                     f"interior) -> split"
                 )
                 return self._split_at(st, path, i)
-        costs = [self._anchor_cost(st, np) for np in path.nodes]
+        node_costs = [self._anchor_cost(st, np) for np in path.nodes]
+        if len(path.nodes) == 2:
+            # single hop: endpoint scan cost decides (degree stats add
+            # nothing — both orders do the same one join)
+            costs = node_costs
+        else:
+            # multi-hop: expected cumulative frontier cardinality
+            # expanding outward from each candidate anchor — scan cost
+            # times the per-hop avg-degree product, the reference's
+            # multiplicative cost model over catalog degree stats
+            # (cost_model.rs:20-60, catalog.rs:63-140)
+            costs = [
+                self._chain_work(st, path, i, node_costs[i])
+                for i in range(len(path.nodes))
+            ]
         cost_f, cost_l = costs[0], costs[-1]
         interior = range(1, len(path.nodes) - 1)
         best_i = min(interior, key=lambda i: costs[i], default=None)
         cand_desc = " ".join(
             f"{_pname(n)}={c:.1f}" for n, c in zip(path.nodes, costs)
         )
-        # 2x hysteresis everywhere: only move the anchor on a clear win
-        # so near-ties keep the user's syntactic order (stable plans,
-        # stable tests)
+        # Hysteresis: only move the anchor on a clear win so near-ties
+        # keep the user's syntactic order (stable plans, stable tests).
+        # Interior splits demand 2x.  Endpoint reversal on multi-hop
+        # chains uses 1.2x: the cumulative-work model's endpoint
+        # asymmetry is structurally bounded below 2x (the final joined
+        # frontier is identical from either end — only the intermediate
+        # frontiers differ), so a 2x bar could never act on the degree
+        # statistics at all.
         if best_i is not None and costs[best_i] < 0.5 * min(cost_f, cost_l):
             self.plan_trace.append(
                 f"path {desc}: candidates {cand_desc} -> anchor "
                 f"{_pname(path.nodes[best_i])} (interior split)"
             )
             return self._split_at(st, path, best_i)
-        reverse = cost_l < cost_f * 0.5
+        rev_bar = 0.5 if len(path.nodes) == 2 else 1.0 / 1.2
+        reverse = cost_l < cost_f * rev_bar
         self.plan_trace.append(
             f"path {desc}: candidates {cand_desc} -> anchor "
             f"{_pname(path.nodes[-1]) if reverse else _pname(path.nodes[0])}"
@@ -638,6 +673,41 @@ class Compiler:
         if reverse:
             return [self._reversed_path(path)]
         return [path]
+
+    def _edge_deg(self, ep: A.EdgePattern, forward: bool) -> float:
+        """Average fan-out of traversing this edge pattern in pattern
+        order (``forward=True``) or against it, from the graph's
+        per-type degree stats (catalog.rs:63-140 analogue).  Var-length
+        segments are costed as one hop (optimistic lower bound —
+        enough to rank anchors).  'both' sums both orientations."""
+        def one(direction: str) -> float:
+            types = ep.types or [None]
+            return sum(
+                self.g.edge_degree_est(t, direction) for t in types
+            ) / len(types)
+
+        if ep.direction == "both":
+            return one("out") + one("in")
+        stored_fwd = ep.direction == "out"
+        if not forward:
+            stored_fwd = not stored_fwd
+        return one("out" if stored_fwd else "in")
+
+    def _chain_work(
+        self, st: State, path: A.PatternPath, i: int, anchor_cost: float
+    ) -> float:
+        """Cumulative expected frontier size expanding the chain both
+        ways from anchor node ``i`` (each side independently from the
+        anchor's scan cardinality)."""
+        work = running = anchor_cost
+        for j in range(i - 1, -1, -1):  # prefix traversed in reverse
+            running *= max(self._edge_deg(path.edges[j], forward=False), 0.1)
+            work += running
+        running = anchor_cost
+        for j in range(i, len(path.edges)):  # suffix in pattern order
+            running *= max(self._edge_deg(path.edges[j], forward=True), 0.1)
+            work += running
+        return work
 
     def _split_at(
         self, st: State, path: A.PatternPath, i: int

@@ -221,9 +221,12 @@ class CypherEngine:
                 # valid (the setter cleared it for the general case)
                 self._id_hint = wx.id_hint
             return summary
-        return Compiler(self.graph, params, catalog=self.catalog).compile_query(
-            ast
-        )
+        comp = Compiler(self.graph, params, catalog=self.catalog)
+        out = comp.compile_query(ast)
+        # expose planner decisions for tests/diagnostics (EXPLAIN
+        # surfaces the same trace inline)
+        self.last_plan_trace = comp.plan_trace
+        return out
 
     def explain(self, text: str, params: dict[str, Any] | None = None) -> str:
         """EXPLAIN: planner candidate/cost diagnostics + the Catalyst

@@ -59,6 +59,14 @@ class PropertyGraph:
     nodes: dict[str, DataFrame]
     edges: dict[str, DataFrame]
     edge_meta: dict[str, EdgeMeta] = field(default_factory=dict)
+    # Optional second physical copy of an edge type laid out for
+    # REVERSE traversal (bucketed/sorted by dst — layout.py's
+    # ``edges_by_dst`` table): same rows and schema as ``edges[t]``,
+    # different clustering.  The planner picks it for <-[:T]- hops so
+    # the expansion join is exchange-free on the edge side in both
+    # directions — the Spark analogue of the reference's paired
+    # out/in CSR adjacency (store.rs:504-536).
+    edges_rev: dict[str, DataFrame] = field(default_factory=dict)
 
     # ---------------------------------------------------------------- labels
     def labels(self) -> list[str]:
@@ -265,12 +273,47 @@ class PropertyGraph:
                 cache[key] = 0
         return cache[key]
 
+    def edge_degree_est(
+        self, edge_type: str | None, direction: str = "out"
+    ) -> float:
+        """Memoized average out-/in-degree ESTIMATE per edge type for
+        the pattern planner — the reference's catalog keeps the same
+        per-predicate degree statistics (src/graph/catalog.rs:63-140)
+        and its cost model multiplies them along the candidate plan
+        (cost_model.rs:20-60).  One job per (type): count +
+        approx_count_distinct on both endpoints (HLL, no exact
+        distinct shuffle).  ``direction='out'`` returns edges per
+        distinct src; ``'in'`` edges per distinct dst."""
+        cache = self.__dict__.setdefault("_deg_cache", {})
+        key = edge_type if edge_type is not None else "\x00ALL"
+        if key not in cache:
+            try:
+                e = self.edge_df(edge_type)
+            except KeyError:
+                e = None
+            if e is None:
+                cache[key] = (1.0, 1.0)
+            else:
+                row = e.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct(SRC).alias("ns"),
+                    F.approx_count_distinct(DST).alias("nd"),
+                ).first()
+                n, ns, nd = row["n"], row["ns"], row["nd"]
+                cache[key] = (
+                    n / max(ns, 1) if n else 1.0,
+                    n / max(nd, 1) if n else 1.0,
+                )
+        out_deg, in_deg = cache[key]
+        return out_deg if direction == "out" else in_deg
+
     def _carry_stats_from(self, other: "PropertyGraph") -> "PropertyGraph":
         """Copy another graph's stats cache (id-preserving derivations:
         compaction, write deltas)."""
-        prior = other.__dict__.get("_count_cache")
-        if prior:
-            self.__dict__["_count_cache"] = dict(prior)
+        for attr in ("_count_cache", "_deg_cache"):
+            prior = other.__dict__.get(attr)
+            if prior:
+                self.__dict__[attr] = dict(prior)
         return self
 
     # ------------------------------------------------------------ register

@@ -238,3 +238,64 @@ def test_interior_anchor_split(spark):
         "RETURN count(*) AS n"
     ).collect()
     assert out2[0]["n"] == 10000
+
+
+def test_degree_direction_expansion_cost(spark):
+    """Direction-aware expansion costing (reference catalog degree
+    stats, catalog.rs:63-140 + cost_model.rs:20-60): on a chain whose
+    endpoints have EQUAL scan cost but asymmetric fan-out, the anchor
+    must be the end whose traversal direction has the small per-hop
+    degree — visible in the plan trace."""
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    # A and C both 500 rows, M 500 rows — every scan costs the same,
+    # so only DEGREE statistics can pick the anchor.  R1 is dense both
+    # ways (10000 edges between A and M: deg 20/20); R2 is 1:1.
+    # From a: frontier 500 -> 10000 (R1 fwd) -> 10000: work ~20500.
+    # From c: 500 -> 500 (R2 rev, deg 1) -> 10000: work ~11000.
+    # The cheap intermediate frontier is on the c side -> reversed.
+    a = spark.range(0, 500)
+    m = spark.range(1000, 1500)
+    c = spark.range(2000, 2500)
+    r1 = spark.range(0, 10000).select(
+        (F.col("id") % 500).alias("src"),
+        (F.lit(1000) + (F.col("id") * 7) % 500).alias("dst"),
+    )
+    r2 = spark.range(0, 500).select(
+        (F.lit(1000) + F.col("id")).alias("src"),
+        (F.lit(2000) + F.col("id")).alias("dst"),
+    )
+    g = PropertyGraph(spark, {"A": a, "M": m, "C": c}, {"R1": r1, "R2": r2})
+    engine = CypherEngine(g)
+    out = engine.query(
+        "MATCH (a:A)-[:R1]->(m:M)-[:R2]->(c:C) RETURN count(*) AS n"
+    )
+    trace = "\n".join(engine.last_plan_trace)
+    assert "anchor c (reversed)" in trace, trace
+    assert out.collect()[0]["n"] == r1.count()
+
+
+def test_reverse_adjacency_copy_is_used(spark):
+    """A graph carrying a by-dst physical copy must route <-[:T]- hops
+    through it (the paired out/in adjacency of store.rs:504-536) and
+    return identical rows."""
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    n = spark.range(0, 100)
+    e = spark.range(0, 300).select(
+        (F.col("id") % 100).alias("src"), ((F.col("id") * 7) % 100).alias("dst")
+    )
+    e_by_dst = e.repartition(4, "dst")
+    g = PropertyGraph(
+        spark, {"N": n}, {"T": e}, edges_rev={"T": e_by_dst}
+    )
+    engine = CypherEngine(g)
+    out = engine.query(
+        "MATCH (x:N)<-[:T]-(y:N) WHERE id(x) = 3 RETURN count(*) AS n"
+    )
+    trace = "\n".join(engine.last_plan_trace)
+    assert "reverse adjacency (by-dst copy)" in trace, trace
+    expected = e.filter(F.col("dst") == 3).count()
+    assert out.collect()[0]["n"] == expected
