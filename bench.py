@@ -66,7 +66,13 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
         total += timings[name]
         # drop cached/checkpointed blocks a query pinned, so storage
-        # doesn't accumulate across the suite and skew later timings
+        # doesn't accumulate across the suite and skew later timings.
+        # Python gc first: py4j proxies on the driver are what keep the
+        # superseded checkpoint RDDs alive JVM-side — without it the
+        # ContextCleaner never sees them unreferenced.
+        import gc
+
+        gc.collect()
         for _rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
             rdd.unpersist()
         spark.sparkContext._jvm.System.gc()
