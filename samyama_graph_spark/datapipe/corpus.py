@@ -1,0 +1,261 @@
+"""Corpus-hygiene operators for LLM training-data pipelines:
+benchmark-contamination checks, PII scrubbing, repetition metrics,
+and token-length bucketing.
+
+New scope beyond the reference (which has no training-data surface),
+in the same style as dedup/sampling/text: every operator is a pure
+DataFrame pipeline — candidate generation by semi-join or projection,
+no Python in the row path — and every decision arithmetic has an
+exact DuckDB twin so the driver's oracle replays it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from samyama_graph_spark.datapipe.common import tokens, word_shingles
+
+
+# ---------------------------------------------------- contamination
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document benchmark-contamination score: the fraction of the
+    document's DISTINCT k-word shingles that also occur anywhere in the
+    benchmark set — the standard n-gram-overlap decontamination test
+    run before training (docs overlapping an eval set are dropped).
+
+    Returns ``(id, n_shingles, n_hit, overlap)``; docs shorter than k
+    words get n_shingles = 0 and overlap 0.0.
+
+    Scale: the benchmark shingle set is eval-sized (thousands of docs),
+    not corpus-sized — it is distinct-reduced and BROADCAST so the
+    corpus-side pass is map-only: explode shingles, hash-probe the
+    broadcast set, one groupBy on doc id.  100 TB of corpus never
+    shuffles on shingle.
+    """
+    c_sh = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.array_distinct(word_shingles(F.col(text_col), k))
+        ).alias("s"),
+    )
+    b_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), k))
+            ).alias("s")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = c_sh.join(F.broadcast(b_sh), "s", "left")
+    return joined.groupBy("id").agg(
+        F.count("s").alias("n_shingles"),
+        F.count("__hit").alias("n_hit"),
+        F.when(
+            F.count("s") > 0,
+            F.round(F.count("__hit") / F.count("s"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("overlap"),
+    )
+
+
+# ------------------------------------------------------- PII scrubbing
+
+# Shared with the DuckDB oracle — plain RE2/Java-common syntax, masking
+# order: emails, then phones, then IPs (emails first so digits inside a
+# local part are not phone-masked).
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+PII_IP_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Mask emails / phone-shaped numbers / IPv4s with placeholder
+    tokens: ``(id, clean_text, n_email, n_phone, n_ip)``.
+
+    One codegen projection (regexp_replace/regexp_count are JVM-side),
+    so scrubbing 100 TB is a map-only pass; the identical regexes run
+    in the DuckDB oracle.
+    """
+    t = F.col(text_col)
+    m1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    m2 = F.regexp_replace(m1, PII_PHONE_RE, "<PHONE>")
+    m3 = F.regexp_replace(m2, PII_IP_RE, "<IP>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        m3.alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(m1, F.lit(PII_PHONE_RE)).cast("long").alias("n_phone"),
+        F.regexp_count(m2, F.lit(PII_IP_RE)).cast("long").alias("n_ip"),
+    )
+
+
+# --------------------------------------------------- repetition metrics
+
+def repetition_metrics(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``distinct_ratio``: distinct tokens / total tokens;
+    - ``top_bigram_frac``: occurrences of the most frequent 2-gram /
+      total 2-grams (ties broken by the lexicographically smallest
+      bigram, so the metric is deterministic and oracle-hashable);
+    - ``n_tokens``.
+
+    Highly repetitive documents (boilerplate, keyword stuffing, broken
+    crawls) score low distinct_ratio / high top_bigram_frac and are
+    filtered before training.  One explode + two hash aggregations,
+    shuffled on doc id only.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ws")
+    )
+    base = toks.select(
+        "id",
+        F.size("ws").alias("n_tokens"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+        word_shingles_from_tokens("ws", 2).alias("bigrams"),
+    )
+    bg = base.select("id", F.explode_outer("bigrams").alias("bg"))
+    top = (
+        bg.groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.struct(F.col("c").alias("c"), F.col("bg").alias("neg"))
+            ).alias("m"),
+            F.sum("c").alias("total_bg"),
+        )
+        .select(
+            "id",
+            F.col("m.c").alias("top_bg_count"),
+            F.col("total_bg"),
+        )
+    )
+    return (
+        base.select("id", "n_tokens", "n_distinct")
+        .join(top, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("long"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_distinct") / F.col("n_tokens"), 6),
+            )
+            .otherwise(0.0)
+            .alias("distinct_ratio"),
+            F.when(
+                F.coalesce(F.col("total_bg"), F.lit(0)) > 0,
+                F.round(F.col("top_bg_count") / F.col("total_bg"), 6),
+            )
+            .otherwise(0.0)
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+def word_shingles_from_tokens(tokens_col: str, k: int):
+    """k-gram array from an existing token-array column (same slicing
+    construction as common.word_shingles, shared semantics)."""
+    ws = F.col(tokens_col)
+    cnt = F.greatest(F.size(ws) - (k - 1), F.lit(0))
+    parts = [F.slice(ws, j + 1, cnt) for j in range(k)]
+    zipped = F.arrays_zip(*parts)
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+
+
+# --------------------------------------------------- length bucketing
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Power-of-two token-length bucket per document — the standard
+    dynamic-batching shaper (batch together docs of similar length so
+    padding waste is bounded by 2x).  Returns per-(shard, bucket)
+    ``(shard, bucket, n_docs, n_tokens)`` where bucket = 2^ceil(log2
+    (len)) and empty docs land in bucket 1.
+
+    Pure projection + one aggregation; the bucket arithmetic
+    (int(ceil(log2 n)) via bit length) is exact in both engines.
+    """
+    n = F.size(tokens(F.col(text_col)))
+    bucket = F.when(n <= 1, F.lit(1)).otherwise(
+        F.pow(F.lit(2.0), F.ceil(F.log2(n))).cast("long")
+    )
+    shard = (
+        F.col(shard_col) if shard_col is not None else F.lit("all")
+    ).alias("shard")
+    return (
+        df.select(shard, bucket.alias("bucket"), n.alias("n"))
+        .groupBy("shard", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------- TF-IDF terms
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf:
+    ``(id, term, tf, df_count, score)`` with deterministic ordering
+    (score desc, term asc).
+
+    tf = term count in doc; idf = ln(N / df); score = tf * idf,
+    rounded to 6 decimals for cross-engine hash stability.  Two hash
+    aggregations (term counts per doc, document frequency) and one
+    per-doc top-k window — the document-frequency table is corpus-wide
+    but term-keyed (vocabulary-sized, partial-aggregated map-side).
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_count")
+    )
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = tf.join(dfreq, "term").select(
+        "id",
+        "term",
+        "tf",
+        "df_count",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_count")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )

@@ -948,3 +948,177 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "cluster_id", F.col("size").cast("long"), "keep_id", "member_ids"
     )
+
+
+# -------------------------------------------------- corpus hygiene (r4)
+# Benchmark decontamination, PII scrubbing, repetition filters, length
+# bucketing, tf-idf terms — REGISTRY/pytest-oracled (the 50-entry gate
+# window is full; these run in the sf0.001 oracle suite).
+
+
+@query(
+    "contamination_overlap",
+    f"""
+    WITH {_SHINGLES_CTE},
+    bsh AS (SELECT DISTINCT s FROM sh
+            JOIN documents d ON sh.id = d.doc_id
+            WHERE d.source = 'src0'),
+    per AS (SELECT sh.id, count(*) AS n_shingles, count(b.s) AS n_hit
+            FROM sh LEFT JOIN bsh b ON sh.s = b.s
+            GROUP BY sh.id)
+    SELECT d.doc_id AS id,
+           COALESCE(p.n_shingles, 0) AS n_shingles,
+           COALESCE(p.n_hit, 0) AS n_hit,
+           CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                THEN round(p.n_hit * 1.0 / p.n_shingles, 6)
+                ELSE 0.0 END AS overlap
+    FROM documents d LEFT JOIN per p ON p.id = d.doc_id
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination check: distinct-3-gram overlap of every
+    corpus doc against the 'src0' source slice standing in as the eval
+    benchmark.  Benchmark shingles broadcast; corpus side is map-only."""
+    from samyama_graph_spark.datapipe.corpus import contamination_overlap
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("source") == "src0")
+    return contamination_overlap(docs, bench, "text", "doc_id", k=3)
+
+
+_PII_CONTACT_SQL = (
+    "text || ' mail u' || doc_id || '@ex.org tel 555-123-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' ip 10.1.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)"
+)
+
+
+@query(
+    "pii_scrub",
+    f"""
+    WITH w AS (SELECT doc_id, {_PII_CONTACT_SQL} AS contact FROM documents),
+    m1 AS (SELECT doc_id, contact,
+                  regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+',
+                                 '<EMAIL>', 'g') AS c1
+           FROM w),
+    m2 AS (SELECT doc_id, contact, c1,
+                  regexp_replace(c1, '[0-9]{{3}}-[0-9]{{3,4}}-?[0-9]{{0,4}}',
+                                 '<PHONE>', 'g') AS c2
+           FROM m1)
+    SELECT doc_id AS id,
+           regexp_replace(c2, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}',
+                          '<IP>', 'g') AS clean_text,
+           len(regexp_extract_all(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_email,
+           len(regexp_extract_all(c1,
+               '[0-9]{{3}}-[0-9]{{3,4}}-?[0-9]{{0,4}}')) AS n_phone,
+           len(regexp_extract_all(c2,
+               '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS n_ip
+    FROM m2
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministic contact-bearing column
+    (synthetic corpus carries no real PII, so the fixture splices
+    email/phone/IP shapes derived from doc_id — the multimodal
+    synthetic-media precedent): mask + count, engine vs oracle."""
+    from samyama_graph_spark.datapipe.corpus import pii_scrub
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "contact",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org tel 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.1."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ),
+    )
+    return pii_scrub(docs, "contact", "doc_id")
+
+
+@query(
+    "repetition_metrics",
+    """
+    WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+                 FROM documents),
+    base AS (SELECT id, len(ws) AS n_tokens,
+                    len(list_distinct(ws)) AS n_distinct, ws
+             FROM tok),
+    bgi AS (SELECT id, ws, unnest(range(1, len(ws))) AS i
+            FROM base WHERE len(ws) >= 2),
+    cnt AS (SELECT id, ws[i] || ' ' || ws[i+1] AS bg, count(*) AS c
+            FROM bgi GROUP BY id, 2),
+    top AS (SELECT id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS total
+            FROM cnt GROUP BY id)
+    SELECT b.id, b.n_tokens::BIGINT AS n_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN round(b.n_distinct * 1.0 / b.n_tokens, 6)
+                ELSE 0.0 END AS distinct_ratio,
+           CASE WHEN COALESCE(t.total, 0) > 0
+                THEN round(t.top_c * 1.0 / t.total, 6)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM base b LEFT JOIN top t ON t.id = b.id
+    """,
+)
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: distinct-token ratio + top
+    bigram fraction per doc (boilerplate/stuffing detection)."""
+    from samyama_graph_spark.datapipe.corpus import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "length_buckets",
+    """
+    SELECT lang AS shard,
+           CASE WHEN n <= 1 THEN 1
+                ELSE CAST(power(2, ceil(log2(n))) AS BIGINT) END AS bucket,
+           count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+    FROM (SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length bucketing per language shard — the
+    dynamic-batching shaper (padding waste bounded by 2x)."""
+    from samyama_graph_spark.datapipe.corpus import length_buckets
+
+    return length_buckets(_docs(spark, sf_dir), "text", "doc_id", "lang")
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT id, term, count(*) AS tf FROM tok
+           WHERE term <> '' GROUP BY id, term),
+    dfq AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (SELECT id, term, tf, df_count,
+                      round(tf * ln((SELECT nd FROM n) * 1.0 / df_count), 6)
+                          AS score
+               FROM tf JOIN dfq USING (term)),
+    rk AS (SELECT *, row_number() OVER (
+               PARTITION BY id ORDER BY score DESC, term ASC) AS rn
+           FROM scored)
+    SELECT id, term, tf, df_count, score FROM rk
+    WHERE rn <= 3 AND id < 50
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 characteristic terms by tf-idf (corpus-wide
+    document frequency, deterministic score/term ordering); output
+    restricted to doc_id < 50 to keep the comparison frame small."""
+    from samyama_graph_spark.datapipe.corpus import tfidf_top_terms
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_top_terms(docs, "text", "doc_id", top_k=3).filter(
+        F.col("id") < 50
+    )

@@ -312,3 +312,87 @@ def test_normalize_text(spark):
     assert out[2]["norm_text"] == "no links here"
     assert out[2]["n_urls"] == 0 and out[2]["n_emails"] == 0
     assert out[2]["n_chars_norm"] == len("no links here")
+
+
+def test_contamination_overlap_bounds(spark):
+    from samyama_graph_spark.datapipe.corpus import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # fully inside the benchmark
+            (2, "x y z w q"),          # disjoint
+            (3, "a b c x y z"),        # half: {a b c, b c x, c x y, x y z}
+            (4, "aa"),                 # too short: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f")], "doc_id long, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in contamination_overlap(docs, bench, "text", "doc_id").collect()
+    }
+    assert out[1]["overlap"] == 1.0
+    assert out[2]["overlap"] == 0.0
+    assert out[3]["n_shingles"] == 4 and out[3]["n_hit"] == 1
+    assert out[4]["n_shingles"] == 0 and out[4]["overlap"] == 0.0
+
+
+def test_pii_scrub_masks(spark):
+    from samyama_graph_spark.datapipe.corpus import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "write bob@x.io or call 555-123-4567 from 10.0.0.1 ok")],
+        "doc_id long, text string",
+    )
+    row = pii_scrub(df, "text", "doc_id").collect()[0]
+    assert row["clean_text"] == "write <EMAIL> or call <PHONE> from <IP> ok"
+    assert (row["n_email"], row["n_phone"], row["n_ip"]) == (1, 1, 1)
+
+
+def test_repetition_metrics_flags_boilerplate(spark):
+    from samyama_graph_spark.datapipe.corpus import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ fully")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in repetition_metrics(df, "text", "doc_id").collect()}
+    assert out[1]["distinct_ratio"] == 0.25
+    assert out[1]["top_bigram_frac"] == 1.0  # "spam spam" x3 of 3
+    assert out[2]["distinct_ratio"] == 1.0
+    assert out[2]["top_bigram_frac"] == 0.25
+
+
+def test_length_buckets_powers_of_two(spark):
+    from samyama_graph_spark.datapipe.corpus import length_buckets
+
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "a b c", "en"), (3, " ".join(["w"] * 100), "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        (r["shard"], r["bucket"]): r["n_docs"]
+        for r in length_buckets(df, "text", "doc_id", "lang").collect()
+    }
+    assert out[("en", 1)] == 1
+    assert out[("en", 4)] == 1
+    assert out[("de", 128)] == 1
+
+
+def test_contamination_corpus_side_is_broadcast(spark):
+    """The benchmark side must broadcast: the corpus-side pass may not
+    shuffle on shingle (map-only at 100 TB)."""
+    from samyama_graph_spark.datapipe.corpus import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "b c d e f")], "doc_id long, text string"
+    )
+    out = contamination_overlap(docs, docs, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE shingle-key exchange: the benchmark-side distinct
+    # (eval-sized).  The corpus side probes the broadcast — a second
+    # hashpartitioning(s...) would mean the 100 TB side shuffles.
+    assert plan.count("hashpartitioning(s#") == 1, plan
