@@ -63,8 +63,12 @@ def wcc(
                 sorted(comp_map.items()), "id long, component long"
             )
     with iteration_scope(edges.sparkSession, loop_partitions(edges)):
-        und = partitioned(symmetrize(edges), "src")
-        comp = vertices_from_edges(und).select(
+        # distinct=False: min-aggregation is idempotent, so duplicate
+        # (src, dst) rows cannot change the fixpoint — skipping the
+        # dedup saves a full shuffle of the edge set.  The symmetric
+        # frame's src column alone covers every vertex.
+        und = partitioned(symmetrize(edges, distinct=False), "src")
+        comp = und.select(F.col("src").alias("id")).distinct().select(
             "id", F.col("id").alias("component")
         )
         comp = checkpoint(comp, eager=False)
