@@ -71,11 +71,27 @@ def iteration_scope(
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     if partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    frames: list[DataFrame] = []
+    _ACTIVE_SCOPES.append(frames)
     try:
         yield
     finally:
+        _ACTIVE_SCOPES.pop()
+        # unpersist every frame partitioned() registered in this scope:
+        # loops unpersist explicitly on the success path (idempotent),
+        # this guarantees an exception mid-loop cannot leak executor
+        # storage in a long-lived session
+        for df in frames:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
         spark.conf.set("spark.sql.adaptive.enabled", old)
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+# Stack of per-scope persisted-frame registries (innermost last).
+_ACTIVE_SCOPES: list[list[DataFrame]] = []
 
 
 def partitioned(df: DataFrame, *keys: str) -> DataFrame:
@@ -92,7 +108,10 @@ def partitioned(df: DataFrame, *keys: str) -> DataFrame:
     the co-location is silently lost and every iteration re-shuffles.
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    return df.repartition(n, *keys).persist()
+    out = df.repartition(n, *keys).persist()
+    if _ACTIVE_SCOPES:
+        _ACTIVE_SCOPES[-1].append(out)
+    return out
 
 
 def collect_if_small(

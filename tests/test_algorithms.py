@@ -280,3 +280,30 @@ def test_cdlp_reciprocal_multiset(spark):
     )
     got = {r["id"]: r["label"] for r in cdlp(e, 1).collect()}
     assert got == {1: 2, 2: 3, 3: 2}
+
+
+def test_iteration_scope_cleans_up_on_exception(spark):
+    """An exception inside a fixed-point loop must not leak the
+    persisted loop frames (resident-session hygiene)."""
+    from pyspark.sql import functions as F
+
+    from samyama_graph_spark.algorithms.util import (
+        iteration_scope,
+        partitioned,
+    )
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    e = spark.range(100).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    try:
+        with iteration_scope(spark, 4):
+            pe = partitioned(e, "src")
+            pe.count()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before
+    # and the session confs were restored
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
