@@ -1122,3 +1122,34 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "text", "doc_id", top_k=3).filter(
         F.col("id") < 50
     )
+
+
+@query(
+    "skew_salted_join",
+    """
+    WITH dim AS (SELECT lang, count(*) AS n_docs,
+                        CAST(sum(n_chars) AS BIGINT) AS chars
+                 FROM documents GROUP BY lang)
+    SELECT d.lang, dim.n_docs, dim.chars,
+           count(*) AS n, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d JOIN dim USING (lang)
+    GROUP BY 1, 2, 3
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join demonstrated end-to-end: the corpus's
+    dominant language is a classic skew key; the per-lang dimension is
+    replicated across 8 salts so no reducer owns a whole hot key.
+    Values must equal the plain join (oracle)."""
+    from samyama_graph_spark.datapipe.skew import salted_join
+
+    docs = _docs(spark, sf_dir)
+    dim = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    joined = salted_join(docs, dim, "lang", salts=8)
+    return joined.groupBy("lang", "n_docs", "chars").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(joined["n_chars"]).cast("long").alias("sum_chars"),
+    )

@@ -396,3 +396,46 @@ def test_contamination_corpus_side_is_broadcast(spark):
     # (eval-sized).  The corpus side probes the broadcast — a second
     # hashpartitioning(s...) would mean the 100 TB side shuffles.
     assert plan.count("hashpartitioning(s#") == 1, plan
+
+
+def test_salted_join_matches_plain(spark):
+    from samyama_graph_spark.datapipe.skew import salted_join
+
+    big = spark.range(0, 5000).select(
+        (F.when(F.col("id") % 10 < 8, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))
+        )).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = big.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    plain = big.join(small, "k").select("k", "v", "n")
+    salted = salted_join(big, small, "k", salts=8).select("k", "v", "n")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    # the physical join key really carries the salt (skew is spread)
+    pre = salted_join(big, small, "k", salts=8)
+    assert "__salt" in pre._jdf.queryExecution().executedPlan().toString()
+    # left join keeps unmatched big rows exactly once
+    small2 = small.filter(F.col("k") != "hot")
+    pl = big.join(small2, "k", "left").select("k", "v", "n")
+    sl = salted_join(big, small2, "k", salts=4, how="left").select("k", "v", "n")
+    assert sorted(map(tuple, pl.collect())) == sorted(map(tuple, sl.collect()))
+
+
+def test_salted_agg_matches_collect_list(spark):
+    from samyama_graph_spark.datapipe.skew import salted_agg
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 7 % 101).alias("x")
+    )
+    direct = {
+        r["g"]: r["items"]
+        for r in df.groupBy("g")
+        .agg(F.sort_array(F.collect_list("x")).alias("items"))
+        .collect()
+    }
+    salted = {
+        r["g"]: r["items"] for r in salted_agg(df, ["g"], "x", salts=8).collect()
+    }
+    assert direct == salted
