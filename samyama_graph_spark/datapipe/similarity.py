@@ -557,3 +557,26 @@ def knn_pq_adc(
         .orderBy(F.asc("score"), F.asc("id"))
         .limit(k)
     )
+
+
+def knn_ivfadc(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVFADC (the FAISS billion-scale composition): coarse-quantize to
+    restrict the scan to ``nprobe`` cells, then score candidates by
+    PQ asymmetric distance — the scan reads cell partitions + byte
+    codes only, never full vectors.  Deterministic given the centroid
+    list and codebook."""
+    probe = ivf_probe_cells(query_vec, centroids, nprobe)
+    assigned = ivf_assign(df, vec_col, centroids)
+    cands = assigned.filter(F.col("__ivf_cell").isin(probe)).drop(
+        "__ivf_cell"
+    )
+    return knn_pq_adc(cands, vec_col, id_col, query_vec, codebook, k)

