@@ -16,7 +16,6 @@ from samyama_graph_spark.algorithms.util import (
     collect_if_small,
     driver_union_find,
     iteration_scope,
-    loop_partitions,
     partitioned,
     symmetrize,
     vertices_from_edges,
@@ -62,13 +61,15 @@ def wcc(
             return spark.createDataFrame(
                 sorted(comp_map.items()), "id long, component long"
             )
-    with iteration_scope(edges.sparkSession, loop_partitions(edges)):
+    with iteration_scope(edges.sparkSession, edges):
         # distinct=False: min-aggregation is idempotent, so duplicate
         # (src, dst) rows cannot change the fixpoint — skipping the
-        # dedup saves a full shuffle of the edge set.  The symmetric
-        # frame's src column alone covers every vertex.
+        # dedup saves a full shuffle of the edge set.  Vertices come
+        # from the RAW edge list: symmetrize drops self-loops, and a
+        # vertex whose only edges are self-loops must still appear as
+        # its own singleton component (parity with the driver path).
         und = partitioned(symmetrize(edges, distinct=False), "src")
-        comp = und.select(F.col("src").alias("id")).distinct().select(
+        comp = vertices_from_edges(edges).select(
             "id", F.col("id").alias("component")
         )
         comp = checkpoint(comp, eager=False)
@@ -128,7 +129,7 @@ def cdlp(edges: DataFrame, iterations: int = 10) -> DataFrame:
     label twice, exactly like the reference's successors()/
     predecessors() double loop.  Returns ``(id, label)``.
     """
-    with iteration_scope(edges.sparkSession, loop_partitions(edges)):
+    with iteration_scope(edges.sparkSession, edges):
         fwd = edges.select("src", "dst")
         rev = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")

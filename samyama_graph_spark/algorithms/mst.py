@@ -19,7 +19,6 @@ from samyama_graph_spark.algorithms.util import (
     collect_if_small,
     driver_union_find,
     iteration_scope,
-    loop_partitions,
     partitioned,
     vertices_from_edges,
 )
@@ -107,7 +106,7 @@ def mst(
                 sorted(chosen_rows), "src long, dst long, weight double"
             )
     chosen: DataFrame | None = None
-    with iteration_scope(spark, loop_partitions(e)):
+    with iteration_scope(spark, e):
         e = partitioned(e, "src")
         comp = checkpoint(
             vertices_from_edges(e).select("id", F.col("id").alias("comp")),

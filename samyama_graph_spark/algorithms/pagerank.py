@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from samyama_graph_spark.algorithms.util import (
     iteration_scope,
-    loop_partitions,
     partitioned,
     trace_plan,
     vertices_from_edges,
@@ -44,7 +43,7 @@ def pagerank(
     a superset of the edge endpoints (the rank-sum bookkeeping assumes
     every edge source holds a rank).
     """
-    with iteration_scope(edges.sparkSession, loop_partitions(edges)):
+    with iteration_scope(edges.sparkSession, edges):
         # persist the edge list hash-partitioned on src: every
         # iteration's rank join is then exchange-free on the edge side
         # (only the small vertex frame moves) and the blocks are read

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 from samyama_graph_spark.algorithms.util import (
     checkpoint,
     iteration_scope,
-    loop_partitions,
     partitioned,
     symmetrize,
 )
@@ -60,7 +59,7 @@ def bfs(
             visited = visited.unionByName(nxt)
             frontier = nxt
         return visited if parents else visited.select("id", "depth")
-    with iteration_scope(spark, loop_partitions(edges)):
+    with iteration_scope(spark, edges):
         # edges persisted hash(src): the frontier join is exchange-free
         # on the (large) edge side every round — only the frontier and
         # visited vertex frames shuffle, and with AQE re-planning off
@@ -129,7 +128,7 @@ def sssp(
             )
         )
     spark = edges.sparkSession
-    with iteration_scope(spark, loop_partitions(edges)):
+    with iteration_scope(spark, edges):
         # edges persisted hash(src): only the (small) frontier and dist
         # vertex frames shuffle per round; each round is ONE scheduled
         # job (the improved-count, which also materializes the lazy

@@ -24,7 +24,6 @@ from samyama_graph_spark.algorithms.util import (
     checkpoint,
     collect_if_small,
     iteration_scope,
-    loop_partitions,
     partitioned,
     vertices_from_edges,
 )
@@ -183,7 +182,7 @@ def scc(
             return spark.createDataFrame(
                 sorted(comp.items()), "id long, component long"
             )
-    with iteration_scope(spark, loop_partitions(edges)):
+    with iteration_scope(spark, edges):
         e_all = checkpoint(edges.select("src", "dst").distinct(), eager=False)
         remaining = checkpoint(vertices_from_edges(edges), eager=False)
         result: DataFrame | None = None

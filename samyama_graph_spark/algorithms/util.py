@@ -51,7 +51,7 @@ def loop_partitions(df: DataFrame, floor: int = 8) -> int:
 
 @contextlib.contextmanager
 def iteration_scope(
-    spark: SparkSession, partitions: int | None = None
+    spark: SparkSession, partitions: int | DataFrame | None = None
 ) -> Iterator[None]:
     """Disable AQE (and optionally pin shuffle partitions) for the
     duration of a fixed-point loop.
@@ -69,6 +69,11 @@ def iteration_scope(
     old = spark.conf.get("spark.sql.adaptive.enabled", "true")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if isinstance(partitions, DataFrame):
+        # size AFTER disabling AQE: .rdd on an adaptive plan forces the
+        # upstream shuffle stages to actually EXECUTE just to read a
+        # partition count; non-adaptive plan compilation is metadata-only
+        partitions = loop_partitions(partitions)
     if partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     frames: list[DataFrame] = []

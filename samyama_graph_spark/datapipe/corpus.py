@@ -128,7 +128,11 @@ def repetition_metrics(
         F.size(F.array_distinct("ws")).alias("n_distinct"),
         word_shingles_from_tokens("ws", 2).alias("bigrams"),
     )
-    bg = base.select("id", F.explode_outer("bigrams").alias("bg"))
+    # plain explode: a <2-token doc has an EMPTY bigram array, and an
+    # explode_outer null row would be counted as a real bigram (frac
+    # 1.0 for one-word docs); the left join below restores such docs
+    # with top_bigram_frac 0.0
+    bg = base.select("id", F.explode("bigrams").alias("bg"))
     top = (
         bg.groupBy("id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -72,8 +72,14 @@ def salted_agg(
     task ever materializes the raw row stream of a hot key.  (The
     final array itself is still per-key — inherent to the output
     contract; cap it upstream if a key can exceed executor memory.)
+
+    The salt comes from the ROW POSITION, not the value: a hot key
+    with constant/low-cardinality values (the canonical collect_list
+    skew case) would collapse value-derived salts onto one reducer.
+    Any salt assignment yields the identical sorted result, so
+    position-derived salting does not affect determinism of the output.
     """
-    salt = F.pmod(F.hash(F.col(list_col)), F.lit(salts))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salts))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

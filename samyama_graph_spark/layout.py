@@ -73,3 +73,43 @@ def count_exchanges(df: DataFrame) -> int:
         for ln in plan.splitlines()
         if "Exchange" in ln and "BroadcastExchange" not in ln
     )
+
+
+def graph_with_dual_adjacency(
+    graph,
+    num_buckets: int = 32,
+    base_path: str | None = None,
+    prefix: str = "g",
+):
+    """Rewrite every edge type of a PropertyGraph into paired bucketed
+    tables (by-src AND by-dst) and return a graph whose forward scans
+    read the by-src copy and whose ``edges_rev`` carries the by-dst
+    copy — the production wiring for the planner's reverse-adjacency
+    pick (compiler._edge_source routes ``<-[:T]-`` hops through it).
+
+    The Spark analogue of the reference's paired out/in CSR adjacency
+    (store.rs:504-536): expansion joins in EITHER direction are then
+    exchange-free on the edge side.  One-time layout cost: two bucketed
+    writes per edge type; node tables are untouched (bucket them with
+    ``write_bucketed(nodes, ..., "id")`` for fully exchange-free
+    expansion, tests/test_layout.py).
+    """
+    from samyama_graph_spark.graph import PropertyGraph
+
+    spark = graph.spark
+    edges: dict = {}
+    edges_rev: dict = {}
+    for t, df in graph.edges.items():
+        by_src, by_dst = bucketed_edge_tables(
+            spark, df, f"{prefix}_{t.lower()}", num_buckets, base_path
+        )
+        edges[t] = by_src
+        edges_rev[t] = by_dst
+    out = PropertyGraph(
+        spark,
+        dict(graph.nodes),
+        edges,
+        dict(graph.edge_meta),
+        edges_rev,
+    )
+    return out._carry_stats_from(graph)

@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from samyama_graph_spark.algorithms.util import (
     checkpoint,
     iteration_scope,
-    loop_partitions,
     partitioned,
     symmetrize,
 )
@@ -101,7 +100,7 @@ def var_length_expand(
             visited = visited.unionByName(nxt)
             frontier = nxt.select("start", "node")
         return visited.filter(F.col("hops") >= min_hops)
-    with iteration_scope(starts.sparkSession, loop_partitions(edges)):
+    with iteration_scope(starts.sparkSession, edges):
         # edges persisted hash(src): the frontier join is exchange-free
         # on the edge side every hop; only the (start, node) frontier
         # and visited frames shuffle, and with AQE re-planning off each
@@ -236,11 +235,13 @@ def var_length_paths(
         return _var_length_paths_loop(
             starts, edges, min_hops, max_hops, id_col, direction, all_shortest
         )
-    # materialize the typed edge view once: the unrolled plan references
-    # it per depth, and when AQE broadcasts the frontier side the edge
-    # union would otherwise be re-scanned per hop (measured −20% on the
-    # 2-3 hop shortest-path shapes)
-    e = checkpoint(_typed_view(edges, direction))
+    # one lazy plan: the per-depth re-derivation of the edge view is
+    # shared via ReuseExchange when the joins shuffle; an eager
+    # checkpoint here would shave ~20% when AQE broadcasts the frontier
+    # side, but it pins the edge blocks in executor storage with no
+    # scope to release them — the leak class a resident session can't
+    # afford (lazy keeps zero pinned storage)
+    e = _typed_view(edges, direction)
     base = (
         starts.select(F.col(id_col).cast("long").alias("start"))
         .distinct()
@@ -322,7 +323,7 @@ def _var_length_paths_loop(
     count inside an AQE-off iteration scope — edges persisted hash(u)
     so every hop's expansion is exchange-free on the edge side and
     costs ONE scheduled job (the drain check)."""
-    with iteration_scope(starts.sparkSession, loop_partitions(edges)):
+    with iteration_scope(starts.sparkSession, edges):
         e = partitioned(_typed_view(edges, direction), "u")
         base = (
             starts.select(F.col(id_col).cast("long").alias("start"))

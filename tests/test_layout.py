@@ -68,3 +68,30 @@ def test_unbucketed_join_shuffles(spark, bucketed):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_graph_with_dual_adjacency_routes_reverse_hops(spark, tmp_path):
+    """The layout helper must produce a graph whose reverse Cypher hops
+    read the by-dst bucketed copy (plan-traced) with identical rows."""
+    from pyspark.sql import functions as F
+
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+    from samyama_graph_spark.layout import graph_with_dual_adjacency
+
+    n = spark.range(0, 50)
+    e = spark.range(0, 200).select(
+        (F.col("id") % 50).alias("src"), ((F.col("id") * 3) % 50).alias("dst")
+    )
+    g0 = PropertyGraph(spark, {"N": n}, {"T": e})
+    g = graph_with_dual_adjacency(
+        g0, num_buckets=4, base_path=str(tmp_path), prefix="dual"
+    )
+    assert set(g.edges_rev) == {"T"}
+    engine = CypherEngine(g)
+    out = engine.query(
+        "MATCH (x:N)<-[:T]-(y:N) WHERE id(x) = 3 RETURN count(*) AS n"
+    ).collect()
+    trace = "\n".join(engine.last_plan_trace)
+    assert "reverse adjacency (by-dst copy)" in trace, trace
+    assert out[0]["n"] == e.filter(F.col("dst") == 3).count()
