@@ -263,3 +263,47 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= top_k)
         .drop("rn")
     )
+
+
+# ------------------------------------------------- filter composition
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """The standard pre-training keep/drop gate composed from the
+    hygiene signals: length band + repetition thresholds (Gopher-style
+    rule set).  Returns every doc with its signals, a boolean ``keep``
+    and the FIRST failed rule as ``drop_reason`` (null when kept) —
+    the audit shape a data pipeline needs (you report WHY documents
+    died, not just how many).
+
+    One pass: repetition_metrics' two aggregations, then a pure
+    projection — no additional shuffle for the rule evaluation.
+    """
+    rep = repetition_metrics(df, text_col, id_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(
+            F.col("distinct_ratio") < min_distinct_ratio,
+            F.lit("low_diversity"),
+        )
+        .when(
+            F.col("top_bigram_frac") > max_top_bigram_frac,
+            F.lit("repetitive"),
+        )
+    )
+    return rep.select(
+        "id",
+        "n_tokens",
+        "distinct_ratio",
+        "top_bigram_frac",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )

@@ -1214,3 +1214,52 @@ def knn_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_codebook(train, _PQ_M, _PQ_KSUB)
     out = knn_pq_adc(embs, "embedding", "vec_id", qv, cb, k=10)
     return out.select("id", F.round("score", 6).alias("score"))
+
+
+@query(
+    "corpus_filter_audit",
+    """
+    WITH tok AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+                 FROM documents),
+    base AS (SELECT id, len(ws) AS n_tokens,
+                    len(list_distinct(ws)) AS n_distinct, ws
+             FROM tok),
+    bgi AS (SELECT id, ws, unnest(range(1, len(ws))) AS i
+            FROM base WHERE len(ws) >= 2),
+    cnt AS (SELECT id, ws[i] || ' ' || ws[i+1] AS bg, count(*) AS c
+            FROM bgi GROUP BY id, 2),
+    top AS (SELECT id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS total
+            FROM cnt GROUP BY id),
+    sig AS (SELECT b.id, b.n_tokens::BIGINT AS n_tokens,
+                   CASE WHEN b.n_tokens > 0
+                        THEN round(b.n_distinct * 1.0 / b.n_tokens, 6)
+                        ELSE 0.0 END AS distinct_ratio,
+                   CASE WHEN COALESCE(t.total, 0) > 0
+                        THEN round(t.top_c * 1.0 / t.total, 6)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM base b LEFT JOIN top t ON t.id = b.id),
+    audit AS (SELECT *,
+        CASE WHEN n_tokens < 20 THEN 'too_short'
+             WHEN n_tokens > 100000 THEN 'too_long'
+             WHEN distinct_ratio < 0.3 THEN 'low_diversity'
+             WHEN top_bigram_frac > 0.2 THEN 'repetitive'
+        END AS drop_reason
+        FROM sig)
+    SELECT COALESCE(drop_reason, 'kept') AS outcome,
+           count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS tokens
+    FROM audit GROUP BY 1
+    """,
+)
+def corpus_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training keep/drop gate with per-reason audit
+    counts — the end-to-end filter pipeline shape (first failed rule
+    wins; survivors counted under 'kept')."""
+    from samyama_graph_spark.datapipe.corpus import corpus_filter
+
+    out = corpus_filter(_docs(spark, sf_dir))
+    return out.groupBy(
+        F.coalesce("drop_reason", F.lit("kept")).alias("outcome")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
