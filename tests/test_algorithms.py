@@ -307,3 +307,57 @@ def test_iteration_scope_cleans_up_on_exception(spark):
     assert after <= before
     # and the session confs were restored
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def _random_digraph(spark, seed, n=40, m=120, self_loops=True, weights=False):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(m):
+        s, d = rng.randrange(n), rng.randrange(n)
+        if not self_loops and s == d:
+            continue
+        if weights:
+            rows.append((s, d, float(rng.randrange(1, 50))))
+        else:
+            rows.append((s, d))
+    if weights:
+        return spark.createDataFrame(rows, "src long, dst long, weight double")
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_wcc_driver_and_distributed_paths_agree(spark):
+    """The guarded union-find fast path and the distributed min-id loop
+    must return IDENTICAL components — including self-loop-only
+    vertices and duplicate edges (the review-found divergence class)."""
+    from samyama_graph_spark.algorithms import wcc
+
+    for seed in (1, 2, 3):
+        edges = _random_digraph(spark, seed)
+        fast = sorted(map(tuple, wcc(edges, driver_guard=10**6).collect()))
+        dist = sorted(map(tuple, wcc(edges, driver_guard=0).collect()))
+        assert fast == dist, f"seed {seed}"
+
+
+def test_scc_driver_and_distributed_paths_agree(spark):
+    from samyama_graph_spark.algorithms.scc import scc
+
+    for seed in (4, 5):
+        edges = _random_digraph(spark, seed)
+        fast = sorted(map(tuple, scc(edges).collect()))
+        dist = sorted(map(tuple, scc(edges, driver_guard=0).collect()))
+        assert fast == dist, f"seed {seed}"
+
+
+def test_mst_driver_and_distributed_paths_agree(spark):
+    """Borůvka's per-component min-(weight,src,dst) pick rule is shared
+    by both paths, so the chosen forests must be identical even under
+    duplicate weights."""
+    from samyama_graph_spark.algorithms.mst import mst
+
+    for seed in (6, 7):
+        edges = _random_digraph(spark, seed, weights=True)
+        fast = sorted(map(tuple, mst(edges).collect()))
+        dist = sorted(map(tuple, mst(edges, driver_guard=0).collect()))
+        assert fast == dist, f"seed {seed}"
