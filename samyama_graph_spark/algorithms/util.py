@@ -34,19 +34,30 @@ def loop_partitions(df: DataFrame, floor: int = 8) -> int:
 
     AQE normally right-sizes post-shuffle partitions at runtime, but it
     is disabled inside ``iteration_scope`` (see below) — so size the
-    loop's shuffles up front from the source layout: the scan partition
-    count tracks input bytes (one split per ~128 MB), clamped to
-    [floor, spark.sql.shuffle.partitions].  On a 100 TB input the scan
-    has thousands of splits so this returns the configured ceiling; on
-    a small graph it stops every per-round stage from launching 10× more
-    tasks than there are rows to justify (task launch ~5-10 ms is the
-    binding floor of an iterative round, measured).
+    loop's shuffles up front from Catalyst's SIZE ESTIMATE (optimized
+    plan ``stats().sizeInBytes``, ~one partition per 128 MB), clamped
+    to [floor, spark.sql.shuffle.partitions].  On a 100 TB input the
+    estimate is huge so this returns the configured ceiling; on a small
+    graph it stops every per-round stage from launching 10× more tasks
+    than there are rows to justify (task launch ~5-10 ms is the binding
+    floor of an iterative round, measured).
+
+    Statistics only — no job and no ``.rdd``: materializing the RDD of
+    an adaptive plan EXECUTES its upstream shuffle stages just to read
+    a partition count, and with AQE off a shuffle-topped plan would
+    always report the conf ceiling (both failure modes were observed).
     """
     conf_n = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    src_n = df.rdd.getNumPartitions()
-    return max(min(floor, conf_n), min(src_n, conf_n))
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return min(floor, conf_n)
+    est = max(1, size // (128 << 20))
+    return max(min(floor, conf_n), min(est, conf_n))
 
 
 @contextlib.contextmanager
@@ -68,17 +79,17 @@ def iteration_scope(
     """
     old = spark.conf.get("spark.sql.adaptive.enabled", "true")
     old_sp = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    if isinstance(partitions, DataFrame):
-        # size AFTER disabling AQE: .rdd on an adaptive plan forces the
-        # upstream shuffle stages to actually EXECUTE just to read a
-        # partition count; non-adaptive plan compilation is metadata-only
-        partitions = loop_partitions(partitions)
-    if partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     frames: list[DataFrame] = []
     _ACTIVE_SCOPES.append(frames)
     try:
+        # everything after reading the old confs sits inside the
+        # try/finally: a failure in plan compilation (loop_partitions)
+        # or conf.set must not leak AQE-off into the resident session
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        if isinstance(partitions, DataFrame):
+            partitions = loop_partitions(partitions)
+        if partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
         yield
     finally:
         _ACTIVE_SCOPES.pop()

@@ -60,6 +60,7 @@ def salted_agg(
     keys: list[str],
     list_col: str,
     salts: int = 16,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Skew-safe ``collect_list`` (the one common aggregate map-side
     combine cannot shrink): two-phase salted aggregation —
@@ -73,13 +74,19 @@ def salted_agg(
     final array itself is still per-key — inherent to the output
     contract; cap it upstream if a key can exceed executor memory.)
 
-    The salt comes from the ROW POSITION, not the value: a hot key
-    with constant/low-cardinality values (the canonical collect_list
-    skew case) would collapse value-derived salts onto one reducer.
-    Any salt assignment yields the identical sorted result, so
-    position-derived salting does not affect determinism of the output.
+    The salt must be DETERMINISTIC per row content — a position-based
+    source (monotonically_increasing_id / rand) re-salts rows when a
+    shuffle-stage retry recomputes map tasks, duplicating or dropping
+    rows mid-aggregation (the SPARK-23207 failure class).  Default:
+    hash of ALL columns, which spreads any hot key whose rows differ
+    anywhere.  A hot key of EXACT duplicate rows still collapses onto
+    one salt — pass ``salt_col`` naming a unique row id to spread that
+    case too.
     """
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salts))
+    if salt_col is not None:
+        salt = F.pmod(F.hash(F.col(salt_col)), F.lit(salts))
+    else:
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salts))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

@@ -151,6 +151,10 @@ class PropertyGraph:
             {k: c(v) for k, v in self.nodes.items()},
             {k: c(v) for k, v in self.edges.items()},
             dict(self.edge_meta),
+            # the reverse-adjacency copies are bucketed table reads, not
+            # delta chains — carry them as-is (dropping them would
+            # silently re-shuffle every reverse hop after compaction)
+            dict(self.edges_rev),
         )._carry_stats_from(self)
 
     # ---------------------------------------------------------------- scans

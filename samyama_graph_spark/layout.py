@@ -94,14 +94,28 @@ def graph_with_dual_adjacency(
     ``write_bucketed(nodes, ..., "id")`` for fully exchange-free
     expansion, tests/test_layout.py).
     """
+    import re
+
     from samyama_graph_spark.graph import PropertyGraph
 
     spark = graph.spark
+    # sanitize edge-type names into catalog identifiers and refuse
+    # silent collisions ('Follows' vs 'FOLLOWS' would otherwise
+    # overwrite each other's tables)
+    names: dict = {}
+    for t in graph.edges:
+        nm = re.sub(r"[^a-z0-9_]", "_", t.lower())
+        if nm in names:
+            raise ValueError(
+                f"edge types {names[nm]!r} and {t!r} collide on table "
+                f"name {prefix}_{nm}; rename one or use distinct prefixes"
+            )
+        names[nm] = t
     edges: dict = {}
     edges_rev: dict = {}
-    for t, df in graph.edges.items():
+    for nm, t in names.items():
         by_src, by_dst = bucketed_edge_tables(
-            spark, df, f"{prefix}_{t.lower()}", num_buckets, base_path
+            spark, graph.edges[t], f"{prefix}_{nm}", num_buckets, base_path
         )
         edges[t] = by_src
         edges_rev[t] = by_dst
