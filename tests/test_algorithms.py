@@ -361,3 +361,71 @@ def test_mst_driver_and_distributed_paths_agree(spark):
         fast = sorted(map(tuple, mst(edges).collect()))
         dist = sorted(map(tuple, mst(edges, driver_guard=0).collect()))
         assert fast == dist, f"seed {seed}"
+
+
+def test_bfs_matches_python_reference(spark):
+    """Distributed frontier BFS == driver-side BFS on random digraphs
+    (depths AND deterministic min-parents)."""
+    import collections
+
+    from samyama_graph_spark.algorithms import bfs
+
+    for seed in (11, 12):
+        edges = _random_digraph(spark, seed, n=60, m=200)
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        adj = collections.defaultdict(list)
+        for s, d in rows:
+            adj[s].append(d)
+        depth = {0: 0}
+        parent = {0: None}
+        frontier = [0]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = {}
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in depth:
+                        if v not in nxt or u < nxt[v]:
+                            nxt[v] = u
+            for v, p in nxt.items():
+                depth[v] = d
+                parent[v] = p
+            frontier = sorted(nxt)
+        got = {
+            r["id"]: (r["depth"], r["parent"])
+            for r in bfs(edges, 0, max_depth=30, parents=True).collect()
+        }
+        want = {v: (depth[v], parent[v]) for v in depth}
+        assert got == want, f"seed {seed}"
+
+
+def test_sssp_matches_python_dijkstra(spark):
+    """Distributed frontier Bellman-Ford == driver Dijkstra on random
+    non-negative integer weights (sums exact in doubles)."""
+    import heapq
+
+    from samyama_graph_spark.algorithms import sssp
+
+    for seed in (13, 14):
+        edges = _random_digraph(spark, seed, n=50, m=180, weights=True)
+        rows = [(r["src"], r["dst"], r["weight"]) for r in edges.collect()]
+        adj = {}
+        for s, d, w in rows:
+            adj.setdefault(s, []).append((d, w))
+        dist = {0: 0.0}
+        pq = [(0.0, 0)]
+        while pq:
+            du, u = heapq.heappop(pq)
+            if du > dist.get(u, float("inf")):
+                continue
+            for v, w in adj.get(u, ()):
+                nd = du + w
+                if nd < dist.get(v, float("inf")):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        got = {
+            r["id"]: r["dist"]
+            for r in sssp(edges, 0, max_rounds=60).collect()
+        }
+        assert got == dist, f"seed {seed}"
