@@ -496,3 +496,70 @@ def dup_clusters(
             ).alias("member_ids"),
         )
     )
+
+
+def simhash_dup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    chunks: int = 4,
+) -> DataFrame:
+    """Per-doc near-dup summary ``(id, n_dups, min_hamming)`` WITHOUT
+    materializing the distinct pair set.
+
+    A candidate pair surfaces once per SHARED chunk (its bucket-join
+    multiplicity m = number of equal chunks, 1..chunks), so instead of
+    a global ``distinct()`` — a full shuffle of the multi-million-row
+    candidate stream — each row carries the exact weight lcm/m (lcm of
+    1..chunks, an integer), and a partial-aggregating groupBy on doc id
+    sums weights: every pair contributes m * (lcm/m) = lcm, giving
+    exact integer counts with map-side combine doing the heavy
+    lifting.  Identical values to counting distinct verified pairs.
+    """
+    import math
+
+    sig = simhash(df, text_col, id_col)
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("sim"), c * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("v"),
+        )
+        for c in range(chunks)
+    ]
+    buckets = sig.select(
+        "id", "sim", F.explode(F.array(*chunk_cols)).alias("bkt")
+    )
+    l = buckets.select(F.col("id").alias("x"), F.col("sim").alias("sx"), "bkt")
+    r = buckets.select(F.col("id").alias("y"), F.col("sim").alias("sy"), "bkt")
+    cand = (
+        l.join(r, "bkt")
+        .filter(F.col("x") < F.col("y"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sx").bitwiseXOR(F.col("sy")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # multiplicity = number of equal chunks between the two signatures
+    eq_terms = [
+        F.when(
+            F.shiftright(F.col("sx"), c * width).bitwiseAND(F.lit(mask))
+            == F.shiftright(F.col("sy"), c * width).bitwiseAND(F.lit(mask)),
+            1,
+        ).otherwise(0)
+        for c in range(chunks)
+    ]
+    m = functools.reduce(op.add, eq_terms)
+    lcm = math.lcm(*range(1, chunks + 1))
+    cand = cand.withColumn("w", F.lit(lcm).cast("long") / m)
+    sides = cand.select(F.col("x").alias("id"), "hamming", "w").unionByName(
+        cand.select(F.col("y").alias("id"), "hamming", "w")
+    )
+    return sides.groupBy("id").agg(
+        (F.sum("w") / F.lit(lcm)).cast("long").alias("n_dups"),
+        F.min("hamming").cast("long").alias("min_hamming"),
+    )

@@ -227,19 +227,14 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (>1M qualifying pairs at sf0.1), so the raw pair set is bench-
     hostile output; the summary still forces every pair through the
     bucket-join + popcount verification in BOTH engines."""
-    pairs = simhash_near_dups(
+    from samyama_graph_spark.datapipe.dedup import simhash_dup_stats
+
+    return simhash_dup_stats(
         _docs(spark, sf_dir),
         "text",
         "doc_id",
         max_hamming=_SH_MAXHAM,
         chunks=_SH_CHUNKS,
-    )
-    both = pairs.select(F.col("x").alias("id"), "hamming").unionByName(
-        pairs.select(F.col("y").alias("id"), "hamming")
-    )
-    return both.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_dups"),
-        F.min("hamming").cast("long").alias("min_hamming"),
     )
 
 

@@ -491,3 +491,38 @@ def test_knn_ivfadc_composes(spark, sf_dir):
     ).collect()
     assert out[0]["id"] == 0 and abs(out[0]["score"]) < 1e-9
     assert len(out) == 10
+
+
+def test_simhash_dup_stats_matches_pair_path(spark, sf_dir):
+    """The weighted-count summary (no distinct) must equal the summary
+    computed from the distinct verified pair set."""
+    from samyama_graph_spark.datapipe.dedup import (
+        simhash_dup_stats,
+        simhash_near_dups,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = simhash_near_dups(docs, "text", "doc_id", max_hamming=6, chunks=4)
+    both = pairs.select(F.col("x").alias("id"), "hamming").unionByName(
+        pairs.select(F.col("y").alias("id"), "hamming")
+    )
+    want = sorted(
+        map(
+            tuple,
+            both.groupBy("id")
+            .agg(
+                F.count(F.lit(1)).alias("n_dups"),
+                F.min("hamming").cast("long").alias("min_hamming"),
+            )
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            simhash_dup_stats(
+                docs, "text", "doc_id", max_hamming=6, chunks=4
+            ).collect(),
+        )
+    )
+    assert got == want
