@@ -299,3 +299,71 @@ def test_reverse_adjacency_copy_is_used(spark):
     assert "reverse adjacency (by-dst copy)" in trace, trace
     expected = e.filter(F.col("dst") == 3).count()
     assert out.collect()[0]["n"] == expected
+
+
+def test_anchor_decisions_preserve_semantics(spark):
+    """Randomized chains over a skewed two-label graph: whatever anchor
+    the planner picks (keep / reverse / interior split), the result bag
+    must equal the syntactically-reversed query's — the two compile to
+    different join orders but identical semantics."""
+    import random
+
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    rng = random.Random(42)
+    big = spark.range(0, 300).select(F.col("id"))
+    mid = spark.range(1000, 1010).select(
+        F.col("id"), (F.col("id") - 1000).alias("k")
+    )
+    r1 = spark.range(0, 600).select(
+        (F.col("id") % 300).alias("src"),
+        (F.lit(1000) + F.col("id") % 10).alias("dst"),
+    )
+    r2 = spark.range(0, 600).select(
+        (F.lit(1000) + F.col("id") % 10).alias("src"),
+        ((F.col("id") * 3) % 300).alias("dst"),
+    )
+    g = PropertyGraph(
+        spark, {"Big": big, "Mid": mid}, {"R1": r1, "R2": r2}
+    )
+    engine = CypherEngine(g)
+
+    def flip(p):  # reverse a pattern string built from (node, arrow) parts
+        nodes, arrows = p
+        out = []
+        for n in reversed(nodes):
+            out.append(n)
+        rev_arr = ["<-[:%s]-" % a[0] if a[1] == ">" else "-[:%s]->" % a[0]
+                   for a in reversed(arrows)]
+        s = out[0]
+        for a, n in zip(rev_arr, out[1:]):
+            s += a + n
+        return s
+
+    shapes = []
+    for _ in range(6):
+        n_hops = rng.choice([2, 3])
+        nodes = []
+        arrows = []
+        for i in range(n_hops + 1):
+            if i % 2 == 0:
+                nodes.append(f"(n{i}:Big)")
+            else:
+                sel = rng.random() < 0.5
+                nodes.append(
+                    f"(n{i}:Mid {{k: {rng.randrange(10)}}})" if sel
+                    else f"(n{i}:Mid)"
+                )
+        for i in range(n_hops):
+            t = "R1" if i % 2 == 0 else "R2"
+            arrows.append((t, ">"))
+        fwd = nodes[0]
+        for (t, _), n in zip(arrows, nodes[1:]):
+            fwd += f"-[:{t}]->" + n
+        shapes.append((fwd, flip((nodes, arrows))))
+
+    for fwd, rev in shapes:
+        a = engine.query(f"MATCH {fwd} RETURN count(*) AS n").collect()[0]["n"]
+        b = engine.query(f"MATCH {rev} RETURN count(*) AS n").collect()[0]["n"]
+        assert a == b, f"{fwd} -> {a} vs reversed {b}"
