@@ -53,6 +53,7 @@ _DDL_SHOW = re.compile(
     r"^\s*show\s+(indexes|constraints|labels|relationship\s+types|property\s+keys)\s*$",
     re.IGNORECASE,
 )
+_DDL_ANALYZE = re.compile(r"^\s*analyze(\s+graph)?\s*$", re.IGNORECASE)
 
 
 class CypherEngine:
@@ -142,6 +143,28 @@ class CypherEngine:
             return spark.createDataFrame(
                 [(m.group(1), "DROPPED" if ok else "NOT_FOUND")],
                 "name string, status string",
+            )
+        if _DDL_ANALYZE.match(text):
+            # Pre-warm + report the planner statistics (the reference's
+            # catalog refresh, catalog.rs:63-140): per-label counts and
+            # per-edge-type avg out/in degrees.  Interactive sessions run
+            # it after bulk loads so the first multi-hop MATCH doesn't
+            # pay the stat jobs inline; stats are memoized on the graph
+            # and carried across compaction.
+            rows = [
+                (f":{lbl}", "label", float(self.graph.label_count_est(lbl)),
+                 None)
+                for lbl in sorted(self.graph.nodes)
+            ] + [
+                (f"[:{t}]", "edge_type",
+                 self.graph.edge_degree_est(t, "out"),
+                 self.graph.edge_degree_est(t, "in"))
+                for t in sorted(self.graph.edges)
+            ]
+            return spark.createDataFrame(
+                rows,
+                "entity string, kind string, count_or_out_deg double, "
+                "in_deg double",
             )
         m = _DDL_SHOW.match(text)
         if m:

@@ -62,3 +62,27 @@ def test_explain_and_profile(engine):
         "PROFILE MATCH (p:Person) RETURN count(*) AS n"
     ).collect()[0]
     assert prof["rows"] == 1 and prof["elapsed_ms"] > 0
+
+
+def test_analyze_prewarms_planner_stats(spark):
+    """ANALYZE reports per-label counts and per-edge-type degree stats
+    and memoizes them (no recount on re-access)."""
+    from pyspark.sql import functions as F
+
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    n = spark.range(0, 30)
+    e = spark.range(0, 90).select(
+        (F.col("id") % 30).alias("src"), ((F.col("id") * 7) % 30).alias("dst")
+    )
+    eng = CypherEngine(PropertyGraph(spark, {"N": n}, {"T": e}))
+    rows = {r["entity"]: r for r in eng.query("ANALYZE").collect()}
+    assert rows[":N"]["count_or_out_deg"] == 30.0
+    assert rows["[:T]"]["kind"] == "edge_type"
+    assert rows["[:T]"]["count_or_out_deg"] > 0
+    # memoized: cached values survive and match
+    assert eng.graph.label_count_est("N") == 30
+    assert eng.graph.edge_degree_est("T", "out") == rows["[:T]"][
+        "count_or_out_deg"
+    ]
