@@ -367,3 +367,43 @@ def test_anchor_decisions_preserve_semantics(spark):
         a = engine.query(f"MATCH {fwd} RETURN count(*) AS n").collect()[0]["n"]
         b = engine.query(f"MATCH {rev} RETURN count(*) AS n").collect()[0]["n"]
         assert a == b, f"{fwd} -> {a} vs reversed {b}"
+
+
+def test_interior_split_handles_var_length_and_undirected(spark):
+    """Interior-anchor splits must stay correct when the prefix is a
+    var-length segment or a hop is undirected (reversal flips hop
+    direction and preserves *min..max bounds)."""
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    big_a = spark.range(0, 1000)
+    mid = spark.range(5000, 5010).select(
+        F.col("id"), (F.col("id") - 5000).alias("k")
+    )
+    big_b = spark.range(9000, 10000)
+    r1 = spark.range(0, 1000).select(
+        F.col("id").alias("src"), (F.lit(5000) + F.col("id") % 10).alias("dst")
+    )
+    r2 = spark.range(0, 1000).select(
+        (F.lit(5000) + F.col("id") % 10).alias("src"),
+        (F.lit(9000) + F.col("id")).alias("dst"),
+    )
+    g = PropertyGraph(
+        spark, {"BigA": big_a, "Mid": mid, "BigB": big_b}, {"R1": r1, "R2": r2}
+    )
+    eng = CypherEngine(g)
+    n1 = eng.query(
+        "MATCH (a:BigA)-[:R1*1..2]->(m:Mid {k: 3})-[:R2]->(b:BigB) "
+        "RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    assert "interior split" in "\n".join(eng.last_plan_trace)
+    n2 = eng.query(
+        "MATCH (b:BigB)<-[:R2]-(m:Mid {k: 3})<-[:R1*1..2]-(a:BigA) "
+        "RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    assert n1 == n2 == 10000
+    n3 = eng.query(
+        "MATCH (a:BigA)-[:R1]->(m:Mid {k: 3})-[:R2]-(b:BigB) "
+        "RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    assert n3 == 10000
