@@ -145,12 +145,16 @@ class CypherEngine:
                 "name string, status string",
             )
         if _DDL_ANALYZE.match(text):
-            # Pre-warm + report the planner statistics (the reference's
-            # catalog refresh, catalog.rs:63-140): per-label counts and
-            # per-edge-type avg out/in degrees.  Interactive sessions run
-            # it after bulk loads so the first multi-hop MATCH doesn't
-            # pay the stat jobs inline; stats are memoized on the graph
-            # and carried across compaction.
+            # REFRESH + report the planner statistics (the reference's
+            # catalog refresh, catalog.rs:63-140): drop the memoized
+            # caches first — they are carried across writes/compaction
+            # by design (planner estimates tolerate staleness), so
+            # ANALYZE is the one statement that recomputes them —
+            # then recompute per-label counts, per-edge-type avg out/in
+            # degrees, AND the typeless aggregates the compiler uses
+            # for label-less/untyped pattern hops.
+            self.graph.__dict__.pop("_count_cache", None)
+            self.graph.__dict__.pop("_deg_cache", None)
             rows = [
                 (f":{lbl}", "label", float(self.graph.label_count_est(lbl)),
                  None)
@@ -160,6 +164,12 @@ class CypherEngine:
                  self.graph.edge_degree_est(t, "out"),
                  self.graph.edge_degree_est(t, "in"))
                 for t in sorted(self.graph.edges)
+            ] + [
+                ("(any)", "label", float(self.graph.label_count_est(None)),
+                 None),
+                ("[any]", "edge_type",
+                 self.graph.edge_degree_est(None, "out"),
+                 self.graph.edge_degree_est(None, "in")),
             ]
             return spark.createDataFrame(
                 rows,

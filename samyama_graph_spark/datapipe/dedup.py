@@ -301,25 +301,9 @@ def simhash_near_dups(
     Bucket-join per chunk, then exact popcount(xor) verification.
     """
     sig = simhash(df, text_col, id_col)
-    width = SIMHASH_BITS // chunks
-    chunk_cols = [
-        F.struct(
-            F.lit(c).alias("c"),
-            F.shiftright(F.col("sim"), c * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("v"),
-        )
-        for c in range(chunks)
-    ]
-    buckets = sig.select("id", "sim", F.explode(F.array(*chunk_cols)).alias("bkt"))
-    l = buckets.select(F.col("id").alias("x"), F.col("sim").alias("sx"), "bkt")
-    r = buckets.select(F.col("id").alias("y"), F.col("sim").alias("sy"), "bkt")
-    cand = (
-        l.join(r, "bkt")
-        .filter(F.col("x") < F.col("y"))
-        .select("x", "y", "sx", "sy")
-        .distinct()
-    )
+    cand = _simhash_candidates(sig, chunks).select(
+        "x", "y", "sx", "sy"
+    ).distinct()
     return (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sx").bitwiseXOR(F.col("sy")))
@@ -327,6 +311,30 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("x", "y", "hamming")
     )
+
+
+def _simhash_candidates(sig: DataFrame, chunks: int) -> DataFrame:
+    """Pigeonhole bucket-join candidate stream ``(x, y, sx, sy)`` with
+    ONE ROW PER SHARED CHUNK (multiplicity = number of equal chunks):
+    the single source of the chunking/bucketing layout for both the
+    distinct pair path and the weighted-count stats path."""
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftright(F.col("sim"), c * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("v"),
+        )
+        for c in range(chunks)
+    ]
+    buckets = sig.select(
+        "id", "sim", F.explode(F.array(*chunk_cols)).alias("bkt")
+    )
+    l = buckets.select(F.col("id").alias("x"), F.col("sim").alias("sx"), "bkt")
+    r = buckets.select(F.col("id").alias("y"), F.col("sim").alias("sy"), "bkt")
+    return l.join(r, "bkt").filter(F.col("x") < F.col("y"))
 
 
 # ------------------------------------------------------ embedding near-dup
@@ -522,23 +530,8 @@ def simhash_dup_stats(
     sig = simhash(df, text_col, id_col)
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
-    chunk_cols = [
-        F.struct(
-            F.lit(c).alias("c"),
-            F.shiftright(F.col("sim"), c * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("v"),
-        )
-        for c in range(chunks)
-    ]
-    buckets = sig.select(
-        "id", "sim", F.explode(F.array(*chunk_cols)).alias("bkt")
-    )
-    l = buckets.select(F.col("id").alias("x"), F.col("sim").alias("sx"), "bkt")
-    r = buckets.select(F.col("id").alias("y"), F.col("sim").alias("sy"), "bkt")
     cand = (
-        l.join(r, "bkt")
-        .filter(F.col("x") < F.col("y"))
+        _simhash_candidates(sig, chunks)
         .withColumn(
             "hamming", F.bit_count(F.col("sx").bitwiseXOR(F.col("sy")))
         )

@@ -20,7 +20,7 @@ from samyama_graph_spark.datapipe.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_near_dups,
+    simhash_dup_stats,
 )
 from samyama_graph_spark.datapipe.multimodal import extract_features, synthetic_media
 from samyama_graph_spark.datapipe.similarity import (
@@ -227,8 +227,6 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (>1M qualifying pairs at sf0.1), so the raw pair set is bench-
     hostile output; the summary still forces every pair through the
     bucket-join + popcount verification in BOTH engines."""
-    from samyama_graph_spark.datapipe.dedup import simhash_dup_stats
-
     return simhash_dup_stats(
         _docs(spark, sf_dir),
         "text",

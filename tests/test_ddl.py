@@ -81,8 +81,17 @@ def test_analyze_prewarms_planner_stats(spark):
     assert rows[":N"]["count_or_out_deg"] == 30.0
     assert rows["[:T]"]["kind"] == "edge_type"
     assert rows["[:T]"]["count_or_out_deg"] > 0
-    # memoized: cached values survive and match
-    assert eng.graph.label_count_est("N") == 30
+    # the typeless aggregates the compiler's untyped-hop costing uses
+    # are pre-warmed too
+    assert rows["(any)"]["count_or_out_deg"] == 30.0
+    assert "\x00ALL" in eng.graph.__dict__["_deg_cache"]
+    # memoized: the cache keys are present (value equality alone would
+    # pass even if memoization silently broke and recounted)
+    assert eng.graph.__dict__["_count_cache"]["N"] == 30
     assert eng.graph.edge_degree_est("T", "out") == rows["[:T]"][
         "count_or_out_deg"
     ]
+    # ANALYZE is a REFRESH: a stale carried-over cache is recomputed
+    eng.graph.__dict__["_count_cache"]["N"] = 1
+    rows2 = {r["entity"]: r for r in eng.query("ANALYZE").collect()}
+    assert rows2[":N"]["count_or_out_deg"] == 30.0
