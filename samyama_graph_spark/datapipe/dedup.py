@@ -556,3 +556,35 @@ def simhash_dup_stats(
         (F.sum("w") / F.lit(lcm)).cast("long").alias("n_dups"),
         F.min("hamming").cast("long").alias("min_hamming"),
     )
+
+
+def apply_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Materialize the DEDUPED corpus: keep one canonical row (the
+    minimum id) per transitive near-dup cluster, drop the rest.
+
+    The last mile of the dedup pipeline — clusters identify the
+    duplicates; this applies the decision.  Components come from
+    :func:`dup_clusters`' WCC (guarded driver union-find under the
+    pair-volume bound); non-canonical ids anti-join out of the corpus
+    in one broadcastable pass (the drop set is bounded by dup volume,
+    not corpus size).
+    """
+    from samyama_graph_spark.algorithms.components import wcc
+    from samyama_graph_spark.algorithms.util import DRIVER_EDGE_GUARD
+
+    edges = pairs.select(
+        F.col("x").cast("long").alias("src"),
+        F.col("y").cast("long").alias("dst"),
+    )
+    comp = wcc(
+        edges, max_iterations=max_iterations, driver_guard=DRIVER_EDGE_GUARD
+    )
+    drops = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(
+        drops, df[id_col] == drops["id"], "left_anti"
+    )

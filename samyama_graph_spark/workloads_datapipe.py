@@ -1256,3 +1256,40 @@ def corpus_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_tokens").cast("long").alias("tokens"),
     )
+
+
+@query(
+    "dedup_apply",
+    f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    e(a, b) AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+    vn(id) AS (SELECT a FROM e UNION SELECT b FROM e),
+    reach(a, b) AS (SELECT id, id FROM vn
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b),
+    comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+    drops AS (SELECT id FROM comp WHERE component <> id)
+    SELECT d.lang, count(*) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.id = d.doc_id)
+    GROUP BY d.lang
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup application: MinHash-LSH pairs -> transitive
+    clusters -> canonical-survivor corpus, summarized per language;
+    the oracle replays the closure and the anti-join."""
+    from samyama_graph_spark.datapipe.dedup import apply_dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id",
+        k=3, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+    kept = apply_dedup(docs, pairs, "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
