@@ -132,15 +132,7 @@ def lsh_candidates(
     Bucket join is an equi-join on the band struct — shuffle by bucket,
     never all-pairs.
     """
-    rows = num_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            *[F.col(f"mh{b * rows + r}").alias(f"v{r}") for r in range(rows)],
-        )
-        for b in range(bands)
-    ]
-    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bkt"))
+    buckets = band_buckets(sigs, num_hashes, bands)
     l = buckets.select(F.col("id").alias("x"), "bkt")
     r = buckets.select(F.col("id").alias("y"), "bkt")
     return (
@@ -587,4 +579,116 @@ def apply_dedup(
     drops = comp.filter(F.col("id") != F.col("component")).select("id")
     return df.join(
         drops, df[id_col] == drops["id"], "left_anti"
+    )
+
+
+# ------------------------------------------------- incremental MinHash
+
+
+def band_buckets(
+    sigs: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Exploded band-bucket rows ``(id, bkt)`` from MinHash signatures
+    — the unit the LSH candidate join and the at-rest incremental
+    index share."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"mh{b * rows + r}").alias(f"v{r}") for r in range(rows)],
+        )
+        for b in range(bands)
+    ]
+    return sigs.select("id", F.explode(F.array(*band_cols)).alias("bkt"))
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """The at-rest incremental-dedup index of a corpus:
+    ``(buckets, shingle_hashes)`` = band-bucket rows ``(id, bkt)`` and
+    60-bit shingle hashes ``(id, sk)``.
+
+    Persist both (partitioned/bucketed however the store prefers); a
+    daily ingest batch then dedups against the WHOLE history by
+    joining its own (small) bucket rows to the index — the corpus is
+    never re-shingled.
+    """
+    sh = shingle_sets(df, text_col, id_col, k)
+    sh60 = sh.select("id", hash60(F.col("shingle")).alias("sk"))
+    sigs = minhash_signatures(sh, num_hashes)
+    return band_buckets(sigs, num_hashes, bands), sh60
+
+
+def _pair_jaccard_hashed(sh60: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs over a pre-hashed shingle
+    table ``(id, sk)`` (the index representation)."""
+    sizes = sh60.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh60.select(F.col("id").alias("x"), "sk")
+    b = sh60.select(F.col("id").alias("y"), "sk")
+    inter = (
+        a.join(pairs, "x")
+        .join(b, ["y", "sk"])
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "x").withColumnRenamed("n", "nx"),
+            "x",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "y").withColumnRenamed("n", "ny"),
+            "y",
+        )
+        .select(
+            "x",
+            "y",
+            (
+                F.col("i") / (F.col("nx") + F.col("ny") - F.col("i"))
+            ).alias("jacc"),
+        )
+    )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    index_buckets: DataFrame,
+    index_shingles: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs involving at least one NEW document: the new
+    batch's bucket rows join the index-plus-batch buckets, so cost
+    scales with the BATCH (times bucket collision rates), never the
+    corpus — incremental ingestion's requirement.  Returns
+    ``(x, y, jacc)`` with x < y, jacc >= threshold; equals the
+    full-corpus pair set minus old-old pairs (verified by the oracle).
+    """
+    nb, ns = minhash_index(
+        new_df, text_col, id_col, k, num_hashes, bands
+    )
+    all_bkts = index_buckets.unionByName(nb)
+    all_sh = index_shingles.unionByName(ns)
+    other = all_bkts.select(F.col("id").alias("oid"), "bkt")
+    cand = (
+        nb.join(other, "bkt")
+        .filter(F.col("id") != F.col("oid"))
+        .select(
+            F.least("id", "oid").alias("x"),
+            F.greatest("id", "oid").alias("y"),
+        )
+        .distinct()
+    )
+    return _pair_jaccard_hashed(all_sh, cand).filter(
+        F.col("jacc") >= threshold
     )

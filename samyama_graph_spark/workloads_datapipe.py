@@ -1293,3 +1293,36 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),
     )
+
+
+@query(
+    "minhash_incremental",
+    f"""
+    WITH {_minhash_pair_ctes()}
+    SELECT x, y, jacc FROM pairs
+    WHERE x % 2 = 1 OR y % 2 = 1
+    """,
+)
+def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: even doc_ids stand in for the
+    indexed corpus (at-rest band buckets + shingle hashes), odd ids
+    for the new batch; the batch dedups against index-plus-batch
+    without re-shingling the corpus.  Must equal the full-corpus pair
+    set minus old-old pairs — the oracle computes exactly that."""
+    from samyama_graph_spark.datapipe.dedup import (
+        minhash_incremental_pairs,
+        minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx_bkts, idx_sh = minhash_index(
+        old, "text", "doc_id", k=3, num_hashes=_MH_HASHES, bands=_MH_BANDS
+    )
+    out = minhash_incremental_pairs(
+        new, idx_bkts, idx_sh, "text", "doc_id",
+        k=3, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+    return out.select("x", "y", F.round("jacc", 6).alias("jacc"))
