@@ -1,10 +1,14 @@
 """Large-scale training-data pipeline operators.
 
 New scope beyond the reference engine (which has no document
-processing): deduplication (exact / MinHash-LSH / SimHash / n-gram
-Jaccard / embedding near-dup), similarity search, text analysis, and
-multimodal column plumbing — the operations a 100TB pretraining-data
-pipeline runs on Spark.
+processing): deduplication (exact / MinHash-LSH incl. incremental /
+SimHash / n-gram Jaccard / embedding near-dup / transitive clustering
+and application), similarity search (brute-force, LSH, IVF, PQ,
+IVFADC), corpus hygiene (contamination, PII, repetition, length
+buckets, tf-idf, composed filter gate), sampling/splits, sequence
+packing, skew mitigation, text analysis, and multimodal column
+plumbing — the operations a 100TB pretraining-data pipeline runs on
+Spark.
 
 Design rules: everything is built from JVM-side pyspark.sql.functions
 (no Python UDFs in hot paths); candidate generation is always a
@@ -12,32 +16,89 @@ bucket/blocking join (never an all-pairs cross join); hashes are
 md5-prefix based so results are reproducible across engines.
 """
 
+from samyama_graph_spark.datapipe.corpus import (
+    contamination_overlap,
+    corpus_filter,
+    length_buckets,
+    pii_scrub,
+    repetition_metrics,
+    tfidf_top_terms,
+)
 from samyama_graph_spark.datapipe.dedup import (
-    exact_dedup,
+    apply_dedup,
+    dup_clusters,
     embedding_near_dups,
+    exact_dedup,
+    minhash_incremental_pairs,
+    minhash_index,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_dup_stats,
     simhash_near_dups,
 )
-from samyama_graph_spark.datapipe.similarity import cosine, knn_bruteforce, knn_lsh
+from samyama_graph_spark.datapipe.sampling import (
+    assign_split,
+    sample_exact_k,
+    stratified_sample,
+)
+from samyama_graph_spark.datapipe.similarity import (
+    cosine,
+    knn_bruteforce,
+    knn_ivf,
+    knn_ivfadc,
+    knn_lsh,
+    knn_pq_adc,
+    pq_codebook,
+    pq_encode,
+)
+from samyama_graph_spark.datapipe.skew import salted_agg, salted_join
 from samyama_graph_spark.datapipe.text import (
     language_id,
+    normalize_text,
     quality_score,
     text_fingerprint,
     token_stats,
 )
 
 __all__ = [
+    # dedup
     "exact_dedup",
     "minhash_lsh_pairs",
+    "minhash_index",
+    "minhash_incremental_pairs",
     "ngram_jaccard_pairs",
     "simhash_near_dups",
+    "simhash_dup_stats",
     "embedding_near_dups",
+    "dup_clusters",
+    "apply_dedup",
+    # similarity
     "cosine",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
+    "knn_pq_adc",
+    "knn_ivfadc",
+    "pq_codebook",
+    "pq_encode",
+    # corpus hygiene
+    "contamination_overlap",
+    "pii_scrub",
+    "repetition_metrics",
+    "length_buckets",
+    "tfidf_top_terms",
+    "corpus_filter",
+    # sampling / splits
+    "stratified_sample",
+    "assign_split",
+    "sample_exact_k",
+    # skew
+    "salted_join",
+    "salted_agg",
+    # text
     "token_stats",
     "quality_score",
     "language_id",
     "text_fingerprint",
+    "normalize_text",
 ]
