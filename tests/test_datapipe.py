@@ -526,3 +526,33 @@ def test_simhash_dup_stats_matches_pair_path(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_corpus_filter_reasons(spark):
+    from samyama_graph_spark.datapipe.corpus import corpus_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short doc"),                             # too_short
+            (2, " ".join(["spam"] * 40)),                 # low_diversity
+            (3, " ".join(f"w{i}" for i in range(40))),    # kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in corpus_filter(docs, min_tokens=20).collect()}
+    assert out[1]["drop_reason"] == "too_short" and not out[1]["keep"]
+    assert out[2]["drop_reason"] == "low_diversity"
+    assert out[3]["keep"] and out[3]["drop_reason"] is None
+
+
+def test_salted_agg_salt_col_spreads_duplicates(spark):
+    """With a unique salt_col, even a hot key of EXACT duplicate values
+    still aggregates correctly (and deterministically)."""
+    from samyama_graph_spark.datapipe.skew import salted_agg
+
+    df = spark.range(0, 1000).select(
+        F.lit("hot").alias("g"), F.lit(7).alias("x"), F.col("id").alias("rid")
+    )
+    out = salted_agg(df, ["g"], "x", salts=8, salt_col="rid").collect()
+    assert len(out) == 1
+    assert out[0]["items"] == [7] * 1000
