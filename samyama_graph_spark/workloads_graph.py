@@ -187,7 +187,9 @@ def pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) and rounding to 6 decimals is meaningful)."""
     g = tpch_graph(spark, sf_dir)
     edges = _rank_edges(g)
-    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING).cache()
+    # pagerank returns an eagerly-materialized checkpoint — the count
+    # reads the stored blocks (no extra cache layer needed)
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
     n = ranks.count()
     return (
         ranks.select(
