@@ -438,6 +438,27 @@ def embedding_near_dups(
     return out
 
 
+def _components_from_pairs(
+    pairs: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Transitive components of a verified dup-pair graph: the pair
+    graph is bounded by dup volume, not the corpus, so under the guard
+    the closure is settled by driver union-find in one CollectLimit
+    job (exact, no iteration cap); above it, distributed min-id
+    propagation with convergence checks.  Shared by dup_clusters and
+    apply_dedup so the cast/guard contract lives in one place."""
+    from samyama_graph_spark.algorithms.components import wcc
+    from samyama_graph_spark.algorithms.util import DRIVER_EDGE_GUARD
+
+    edges = pairs.select(
+        F.col("x").cast("long").alias("src"),
+        F.col("y").cast("long").alias("dst"),
+    )
+    return wcc(
+        edges, max_iterations=max_iterations, driver_guard=DRIVER_EDGE_GUARD
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
@@ -462,19 +483,7 @@ def dup_clusters(
     Jaccard/cosine-verified), so WCC converges in a few rounds; the
     collect_list is bounded by the largest dup cluster, not the corpus.
     """
-    from samyama_graph_spark.algorithms.components import wcc
-    from samyama_graph_spark.algorithms.util import DRIVER_EDGE_GUARD
-
-    edges = pairs.select(
-        F.col("x").cast("long").alias("src"), F.col("y").cast("long").alias("dst")
-    )
-    # the verified pair graph is bounded by dup volume, not the corpus:
-    # under the guard the transitive closure is settled by driver
-    # union-find in one CollectLimit job (exact, no iteration cap);
-    # above it, distributed min-id propagation with convergence checks
-    comp = wcc(
-        edges, max_iterations=max_iterations, driver_guard=DRIVER_EDGE_GUARD
-    )
+    comp = _components_from_pairs(pairs, max_iterations)
     if nodes is not None:
         ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
         comp = comp.unionByName(
@@ -566,16 +575,7 @@ def apply_dedup(
     in one broadcastable pass (the drop set is bounded by dup volume,
     not corpus size).
     """
-    from samyama_graph_spark.algorithms.components import wcc
-    from samyama_graph_spark.algorithms.util import DRIVER_EDGE_GUARD
-
-    edges = pairs.select(
-        F.col("x").cast("long").alias("src"),
-        F.col("y").cast("long").alias("dst"),
-    )
-    comp = wcc(
-        edges, max_iterations=max_iterations, driver_guard=DRIVER_EDGE_GUARD
-    )
+    comp = _components_from_pairs(pairs, max_iterations)
     drops = comp.filter(F.col("id") != F.col("component")).select("id")
     return df.join(
         drops, df[id_col] == drops["id"], "left_anti"
@@ -625,36 +625,6 @@ def minhash_index(
     return band_buckets(sigs, num_hashes, bands), sh60
 
 
-def _pair_jaccard_hashed(sh60: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs over a pre-hashed shingle
-    table ``(id, sk)`` (the index representation)."""
-    sizes = sh60.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh60.select(F.col("id").alias("x"), "sk")
-    b = sh60.select(F.col("id").alias("y"), "sk")
-    inter = (
-        a.join(pairs, "x")
-        .join(b, ["y", "sk"])
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    return (
-        inter.join(
-            sizes.withColumnRenamed("id", "x").withColumnRenamed("n", "nx"),
-            "x",
-        )
-        .join(
-            sizes.withColumnRenamed("id", "y").withColumnRenamed("n", "ny"),
-            "y",
-        )
-        .select(
-            "x",
-            "y",
-            (
-                F.col("i") / (F.col("nx") + F.col("ny") - F.col("i"))
-            ).alias("jacc"),
-        )
-    )
-
 
 def minhash_incremental_pairs(
     new_df: DataFrame,
@@ -673,12 +643,22 @@ def minhash_incremental_pairs(
     corpus — incremental ingestion's requirement.  Returns
     ``(x, y, jacc)`` with x < y, jacc >= threshold; equals the
     full-corpus pair set minus old-old pairs (verified by the oracle).
+
+    ``k`` / ``num_hashes`` / ``bands`` MUST match the parameters the
+    index was built with: the frames carry no metadata to validate
+    against, and a mismatch silently randomizes old-new bucket
+    collisions (recall collapses with no error).  Persist the
+    parameters next to the index tables.
     """
     nb, ns = minhash_index(
         new_df, text_col, id_col, k, num_hashes, bands
     )
+    # pin the batch-side frames: nb feeds the candidate join twice
+    # (directly and inside the unioned bucket view) and ns feeds the
+    # verification legs — without the pin the batch re-shingles per leg
+    nb = nb.cache()
+    nb.count()
     all_bkts = index_buckets.unionByName(nb)
-    all_sh = index_shingles.unionByName(ns)
     other = all_bkts.select(F.col("id").alias("oid"), "bkt")
     cand = (
         nb.join(other, "bkt")
@@ -688,7 +668,25 @@ def minhash_incremental_pairs(
             F.greatest("id", "oid").alias("y"),
         )
         .distinct()
+        .cache()
     )
-    return _pair_jaccard_hashed(all_sh, cand).filter(
-        F.col("jacc") >= threshold
+    cand.count()  # pin: consumed by the id set below + the inter join
+    # verification must stay BATCH-sized: semi-join the shingle tables
+    # down to candidate ids before the three Jaccard legs — without
+    # this the per-doc size aggregation runs over the whole indexed
+    # corpus on every ingest batch
+    cand_ids = (
+        cand.select(F.col("x").alias("id"))
+        .unionByName(cand.select(F.col("y").alias("id")))
+        .distinct()
     )
+    sh_needed = (
+        index_shingles.unionByName(ns)
+        .join(cand_ids, "id", "left_semi")
+        .withColumnRenamed("sk", "shingle")
+        .cache()
+    )
+    sh_needed.count()  # pin: sizes + both join legs
+    out = _pair_jaccard(sh_needed, cand).filter(F.col("jacc") >= threshold)
+    nb.unpersist()
+    return out
