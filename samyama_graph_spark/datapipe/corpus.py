@@ -110,8 +110,8 @@ def repetition_metrics(
 
     - ``distinct_ratio``: distinct tokens / total tokens;
     - ``top_bigram_frac``: occurrences of the most frequent 2-gram /
-      total 2-grams (ties broken by the lexicographically smallest
-      bigram, so the metric is deterministic and oracle-hashable);
+      total 2-grams (only the count is extracted, so ties need no
+      break — the metric is deterministic and oracle-hashable);
     - ``n_tokens``.
 
     Highly repetitive documents (boilerplate, keyword stuffing, broken
