@@ -1326,3 +1326,31 @@ def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_MH_THRESHOLD,
     )
     return out.select("x", "y", F.round("jacc", 6).alias("jacc"))
+
+
+@query(
+    "hypertable_rollup",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup chain: hourly rollup of raw events,
+    then the DAILY view derived by re-aggregating the hourly rollup —
+    never re-reading raw events.  The oracle computes daily directly
+    from the raw table, so the algebraic re-aggregation must be exact."""
+    from samyama_graph_spark.datapipe.timeseries import (
+        reaggregate,
+        time_rollup,
+    )
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    hourly = time_rollup(events, "ts", "1 hour", ["event_type"], "value")
+    daily = reaggregate(hourly, "1 day", ["event_type"])
+    return daily.select(
+        "event_type", "bucket_start",
+        F.col("n").cast("long"), F.round("total", 4).alias("total"),
+    )
