@@ -556,3 +556,32 @@ def test_salted_agg_salt_col_spreads_duplicates(spark):
     out = salted_agg(df, ["g"], "x", salts=8, salt_col="rid").collect()
     assert len(out) == 1
     assert out[0]["items"] == [7] * 1000
+
+
+def test_time_rollup_reaggregation_exact(spark):
+    """Daily-from-hourly must equal daily-from-raw (algebraic
+    re-aggregation), including buckets straddling midnight."""
+    import datetime as dt
+
+    from samyama_graph_spark.datapipe.timeseries import (
+        reaggregate,
+        time_rollup,
+    )
+
+    base = dt.datetime(2024, 3, 1, 22, 15)
+    rows = [
+        ("a", base + dt.timedelta(minutes=37 * i), float(i)) for i in range(200)
+    ]
+    ev = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    hourly = time_rollup(ev, "ts", "1 hour", ["k"], "value")
+    daily_via = {
+        (r["k"], r["bucket_start"]): (r["n"], r["total"])
+        for r in reaggregate(hourly, "1 day", ["k"]).collect()
+    }
+    daily_raw = {
+        (r["k"], r["bucket_start"]): (r["n"], r["total"])
+        for r in time_rollup(ev, "ts", "1 day", ["k"], "value").collect()
+    }
+    assert daily_via == daily_raw
+    # totals conserved end to end
+    assert sum(v[0] for v in daily_via.values()) == 200
