@@ -52,6 +52,7 @@ from samyama_graph_spark.datapipe.similarity import (
     pq_encode,
 )
 from samyama_graph_spark.datapipe.skew import salted_agg, salted_join
+from samyama_graph_spark.datapipe.timeseries import reaggregate, time_rollup
 from samyama_graph_spark.datapipe.text import (
     language_id,
     normalize_text,
@@ -95,6 +96,9 @@ __all__ = [
     # skew
     "salted_join",
     "salted_agg",
+    # time-series rollups
+    "time_rollup",
+    "reaggregate",
     # text
     "token_stats",
     "quality_score",
