@@ -953,7 +953,11 @@ class Compiler:
             return
         base = self._with_row_id(st)
         before_cols = set(base.columns)
-        sub = State(base, Scope(dict(st.scope.vars), st.scope.params, graph=self.g))
+        sub = State(
+            base,
+            Scope(dict(st.scope.vars), st.scope.params, graph=self.g),
+            anon=st.anon,
+        )
         for path in clause.paths:
             self._add_path(sub, path)
         if clause.where is not None:
@@ -1022,6 +1026,7 @@ class Compiler:
             sub = State(
                 bindings,
                 Scope({v: st.scope.vars[v] for v in anchors}, self.params, graph=self.g),
+                anon=st.anon,
             )
             for p in paths:
                 self._add_path(sub, p)
@@ -1080,7 +1085,13 @@ class Compiler:
         """EXISTS{pattern} -> left-semi; NOT EXISTS -> left-anti
         (reference: semi_join_detector.rs / eval_exists_subquery)."""
         base = self._with_row_id(st)
-        sub = State(base, Scope(dict(st.scope.vars), st.scope.params, graph=self.g))
+        # seed the anonymous-name counter from the parent: the copied
+        # scope still holds the outer pattern's __e_N/__n_N bindings
+        sub = State(
+            base,
+            Scope(dict(st.scope.vars), st.scope.params, graph=self.g),
+            anon=st.anon,
+        )
         for path in ex.pattern:
             self._add_path(sub, path)
         if ex.where is not None:
@@ -1202,7 +1213,7 @@ class Compiler:
         )
         part = q.parts[0]
         inner_sq = A.SingleQuery(part.clauses[1:], part.ret)
-        sub = State(bindings, sub_scope, carry=list(cols))
+        sub = State(bindings, sub_scope, anon=st.anon, carry=list(cols))
         result = self._compile_single_st(sub, inner_sq)
 
         ret_names = [c for c in result.columns if c not in cols]
@@ -1382,7 +1393,7 @@ class Compiler:
         if distinct:
             frame = frame.distinct()
         if where is not None:
-            tmp = State(frame, new_scope)
+            tmp = State(frame, new_scope, anon=st.anon)
             self._apply_where(tmp, where)
             frame = tmp.frame
 
