@@ -163,16 +163,95 @@ def lcc_from_closure(deg: DataFrame, te: DataFrame) -> DataFrame:
     )
 
 
-def lcc(edges: DataFrame, canonical: bool = False) -> DataFrame:
+def lcc(
+    edges: DataFrame, canonical: bool = False, directed: bool = False
+) -> DataFrame:
     """Local clustering coefficient per vertex: ``(id, lcc)``.
 
-    lcc(v) = triangles(v) / (deg(v) * (deg(v)-1) / 2) over the
-    undirected closure; 0 when deg < 2 (reference lcc.rs:29).
+    Undirected (default): lcc(v) = triangles(v) / (deg(v)*(deg(v)-1)/2)
+    over the undirected closure; 0 when deg < 2 (reference lcc.rs:29).
+
+    ``directed=True`` switches to the reference's directed mode
+    (lcc.rs:42, shaders/lcc.wgsl directed branch): the neighborhood is
+    still the undirected distinct-neighbor set, but the numerator
+    counts ORDERED pairs (u, w) of neighbors joined by a directed
+    u->w edge, and the denominator is d*(d-1).
 
     Degrees come from the SAME pinned canonical-pairs frame the
     triangle pipeline builds, so the expensive input projection (e.g.
     a co-order self-join) is evaluated exactly once.
     """
+    if directed:
+        return lcc_directed(edges)
     deg, te = closure_edges(edges, canonical)
     te = _pinned(te)
     return lcc_from_closure(deg, te)
+
+
+def lcc_directed(edges: DataFrame) -> DataFrame:
+    """Directed local clustering coefficient: ``(id, lcc)``.
+
+    Reference semantics (lcc.rs:42 / lcc.wgsl directed branch):
+    N(v) = distinct undirected neighbors (self-loops dropped);
+    lcc(v) = #{(u,w) : u,w ∈ N(v), u≠w, u→w ∈ E} / (d·(d−1)), 0 when
+    d < 2.
+
+    The reference enumerates all neighbor pairs per node (O(Σd²)
+    adjacency-set probes).  Here the numerator is reassembled from
+    triangles instead: a directed edge u→w lies inside N(v) exactly
+    when {v,u,w} is a triangle of the undirected closure, so each
+    triangle {a,b,c} contributes ec(b,c) to a, ec(a,c) to b and
+    ec(a,b) to c, where ec is the directed multiplicity (1 or 2) of
+    the undirected pair.  Total work stays O(edges + triangle legs) —
+    no per-node neighbor array ever materializes, which is what makes
+    the plan survive hub vertices at 100 TB.
+    """
+    dedges = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    # directed multiplicity per undirected pair (1 or 2)
+    ecnt = _pinned(
+        dedges.distinct()
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    deg, te = closure_edges(
+        ecnt.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        canonical=True,
+    )
+    tris = te.select("src", "dst", F.explode("ws").alias("x"))
+    legs = (
+        tris.select(
+            F.col("x").alias("id"), F.col("src").alias("p"), F.col("dst").alias("q")
+        )
+        .unionByName(
+            tris.select(
+                F.col("src").alias("id"),
+                F.col("dst").alias("p"),
+                F.col("x").alias("q"),
+            )
+        )
+        .unionByName(
+            tris.select(
+                F.col("dst").alias("id"),
+                F.col("src").alias("p"),
+                F.col("x").alias("q"),
+            )
+        )
+        .select("id", F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b"))
+    )
+    td = legs.join(ecnt, ["a", "b"]).groupBy("id").agg(F.sum("ec").alias("tdir"))
+    return (
+        deg.join(td, "id", "left")
+        .fillna(0, subset=["tdir"])
+        .select(
+            "id",
+            F.when(
+                F.col("deg") >= 2,
+                F.col("tdir") / (F.col("deg") * (F.col("deg") - F.lit(1.0))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )

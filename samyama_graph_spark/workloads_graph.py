@@ -474,6 +474,83 @@ def lcc_triangle_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lcc_directed_chords",
+    """
+    WITH base AS (
+        SELECT c_custkey AS ck,
+               LEAD(c_custkey, 1) OVER w AS n1,
+               LEAD(c_custkey, 2) OVER w AS n2
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+    ),
+    edd AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT ck AS src, n1 AS dst FROM base WHERE n1 IS NOT NULL
+            UNION ALL
+            SELECT ck, n2 FROM base WHERE n2 IS NOT NULL
+            UNION ALL
+            SELECT n1, ck FROM base WHERE n1 IS NOT NULL AND ck % 3 = 0
+        ) WHERE src <> dst
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edd
+    ),
+    nbr AS (SELECT a AS id, b AS n FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT id, count(*) AS d FROM nbr GROUP BY id),
+    num AS (
+        SELECT n1.id, count(*) AS td
+        FROM nbr n1
+        JOIN nbr n2 ON n2.id = n1.id AND n1.n <> n2.n
+        JOIN edd e ON e.src = n1.n AND e.dst = n2.n
+        GROUP BY n1.id
+    )
+    SELECT deg.id AS id,
+           round(CASE WHEN d >= 2
+                      THEN CAST(COALESCE(td, 0) AS DOUBLE) / (d * (d - 1))
+                      ELSE 0 END, 6) AS lcc
+    FROM deg LEFT JOIN num ON num.id = deg.id
+    """,
+)
+def lcc_directed_chords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL algo.lcc directed mode (reference lcc.rs:42 / lcc.wgsl
+    directed branch) over a deterministic directed test graph: each
+    nation's customers in key order form a chain with +1 and +2 chords
+    (triangles on every consecutive triple) plus a back-edge on every
+    third customer (pairs with BOTH directions, so the d·(d−1)
+    denominator and ordered-pair numerator both matter).  The oracle
+    probes ordered neighbor pairs directly — an independent derivation
+    from the triangle-reassembly plan in lcc_directed."""
+    from pyspark.sql import Window
+
+    from samyama_graph_spark.algorithms.topology import lcc
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy("ck")
+    base = (
+        cust.select("c_nationkey", F.col("c_custkey").alias("ck"))
+        .withColumn("n1", F.lead("ck", 1).over(w))
+        .withColumn("n2", F.lead("ck", 2).over(w))
+    )
+    edges = (
+        base.filter(F.col("n1").isNotNull())
+        .select(F.col("ck").alias("src"), F.col("n1").alias("dst"))
+        .unionByName(
+            base.filter(F.col("n2").isNotNull()).select(
+                F.col("ck").alias("src"), F.col("n2").alias("dst")
+            )
+        )
+        .unionByName(
+            base.filter(F.col("n1").isNotNull() & (F.col("ck") % 3 == 0)).select(
+                F.col("n1").alias("src"), F.col("ck").alias("dst")
+            )
+        )
+    )
+    out = lcc(edges, directed=True)
+    return out.select("id", F.round("lcc", 6).alias("lcc"))
+
+
+@query(
     "triangle_count_coorder",
     """
     WITH pe AS (

@@ -50,6 +50,57 @@ def test_lcc(spark, tri_graph):
     assert got[5] == 0.0
 
 
+def test_lcc_directed_vs_python_reference(spark):
+    """Differential test for directed LCC (reference lcc.rs:42): a
+    seeded random directed graph, checked against a literal
+    ordered-neighbor-pair implementation of the reference kernel."""
+    import random
+
+    rng = random.Random(7)
+    n = 40
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(220)}
+    edges = {(u, v) for u, v in edges if u != v}
+
+    nbrs: dict[int, set[int]] = {i: set() for i in range(n)}
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    expect = {}
+    for v in range(n):
+        d = len(nbrs[v])
+        if d < 2:
+            if d > 0:
+                expect[v] = 0.0
+            continue
+        td = sum(
+            1
+            for u in nbrs[v]
+            for w in nbrs[v]
+            if u != w and (u, w) in edges
+        )
+        expect[v] = td / (d * (d - 1))
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["id"]: r["lcc"] for r in lcc(df, directed=True).collect()}
+    assert set(got) == set(expect)
+    for v, e in expect.items():
+        assert got[v] == pytest.approx(e), f"vertex {v}"
+
+
+def test_lcc_directed_double_edges(spark):
+    """A reciprocal pair inside a triangle counts twice in the
+    numerator: 1->2->3->1 plus 2->1 gives vertex 3 both ordered pairs
+    (1,2) and (2,1), so lcc(3) = 2/(2*1) = 1, while vertices 1 and 2
+    see only one direction between their neighbors: 1/(2*1)."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1)], "src long, dst long"
+    )
+    got = {r["id"]: r["lcc"] for r in lcc(df, directed=True).collect()}
+    assert got[3] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(0.5)
+    assert got[2] == pytest.approx(0.5)
+
+
 def test_wcc(spark, tri_graph):
     got = {r["id"]: r["component"] for r in wcc(tri_graph).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
