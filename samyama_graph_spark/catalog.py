@@ -61,15 +61,52 @@ class Catalog:
     def drop_index(self, name: str) -> bool:
         return self.indexes.pop(name, None) is not None
 
+    def build_vector_index_layout(
+        self, graph, name: str, path: str, nlist: int = 16, nprobe: int = 4
+    ) -> IndexDef:
+        """Materialize a vector index's at-rest IVF layout and wire it
+        into the planner: after this, db.index.vector.queryNodes on the
+        indexed (label, prop) routes to the cell-partitioned parquet
+        (partition-pruned probe, similarity.knn_ivf_partitioned)
+        instead of the brute-force scan — the Spark analogue of the
+        reference building an HNSW structure on CREATE VECTOR INDEX
+        (vector/index.rs:136 persists per-index config the same way).
+
+        Centroids are the embeddings of the ``nlist`` lowest node ids
+        (the deterministic knn_ivf convention); parameters persist in
+        the layout's ``_meta`` record and in the IndexDef options."""
+        from pyspark.sql import functions as F
+
+        from samyama_graph_spark.datapipe.similarity import (
+            ivf_write_partitioned,
+        )
+
+        idx = self.indexes[name]
+        if idx.kind != "vector":
+            raise ValueError(f"index {name} is not a vector index")
+        prop = idx.properties[0]
+        metric = (idx.options.get("metric") or "cosine").lower()
+        nodes = graph.node_df(idx.label).filter(F.col(prop).isNotNull())
+        cents = [
+            [float(x) for x in r[prop]]
+            for r in nodes.orderBy("id").limit(nlist).collect()
+        ]
+        ivf_write_partitioned(nodes, prop, cents, path, metric=metric)
+        idx.options.update(
+            {"layout_path": path, "nlist": nlist, "nprobe": nprobe}
+        )
+        return idx
+
     def show_indexes(self) -> DataFrame:
+        from samyama_graph_spark.graph import local_string_frame
+
         rows = [
             (i.name, i.label, ",".join(i.properties), i.kind)
             for i in sorted(self.indexes.values(), key=lambda x: x.name)
         ]
-        return self.spark.createDataFrame(
-            rows or [(None, None, None, None)],
-            "name string, label string, properties string, kind string",
-        ).filter("name IS NOT NULL")
+        return local_string_frame(
+            self.spark, rows, ["name", "label", "properties", "kind"]
+        )
 
     # -------------------------------------------------------- constraints
     def create_constraint(
@@ -82,14 +119,15 @@ class Catalog:
         return c
 
     def show_constraints(self) -> DataFrame:
+        from samyama_graph_spark.graph import local_string_frame
+
         rows = [
             (c.name, c.label, ",".join(c.properties), c.kind)
             for c in sorted(self.constraints.values(), key=lambda x: x.name)
         ]
-        return self.spark.createDataFrame(
-            rows or [(None, None, None, None)],
-            "name string, label string, properties string, kind string",
-        ).filter("name IS NOT NULL")
+        return local_string_frame(
+            self.spark, rows, ["name", "label", "properties", "kind"]
+        )
 
     def validate_constraint(self, graph, name: str) -> DataFrame:
         """Violations of a uniqueness constraint: rows whose key repeats."""

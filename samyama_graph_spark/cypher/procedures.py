@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from samyama_graph_spark.graph import PropertyGraph
+from samyama_graph_spark.graph import PropertyGraph, local_string_frame
 
 
 def _normalize_metric(m: str) -> str:
@@ -104,14 +104,16 @@ def run_procedure(
     spark = g.spark
 
     if name == "db.labels":
-        return spark.createDataFrame([(l,) for l in g.labels()], "label string")
+        return local_string_frame(
+            spark, [(l,) for l in g.labels()], ["label"]
+        )
     if name == "db.relationshiptypes":
-        return spark.createDataFrame(
-            [(t,) for t in g.edge_types()], "relationshipType string"
+        return local_string_frame(
+            spark, [(t,) for t in g.edge_types()], ["relationshipType"]
         )
     if name == "db.propertykeys":
-        return spark.createDataFrame(
-            [(k,) for k in g.property_keys()], "propertyKey string"
+        return local_string_frame(
+            spark, [(k,) for k in g.property_keys()], ["propertyKey"]
         )
     if name == "db.schema.visualization":
         return g.schema_visualization()
@@ -125,6 +127,8 @@ def run_procedure(
         # searches with the index's DistanceMetric (vector/index.rs:71-77,
         # parse_metric http/vector.rs:44-48); default cosine
         metric = "cosine"
+        layout = None
+        nprobe = 4
         if catalog is not None:
             for idx in catalog.indexes.values():
                 if (
@@ -135,11 +139,30 @@ def run_procedure(
                     metric = _normalize_metric(
                         idx.options.get("metric") or "cosine"
                     )
-        nodes = g.node_df(label)
-        hits = knn_bruteforce(
-            nodes.filter(F.col(prop).isNotNull()), prop, "id",
-            [float(x) for x in vec], k, metric=metric,
-        )
+                    layout = idx.options.get("layout_path")
+                    nprobe = int(idx.options.get("nprobe") or 4)
+        qv = [float(x) for x in vec]
+        if layout is not None:
+            # at-rest IVF layout built by
+            # Catalog.build_vector_index_layout: probe reads only the
+            # nprobe matching cell directories (partition pruning at
+            # the file source) instead of scanning the label — the
+            # CREATE VECTOR INDEX actually changes the plan, like the
+            # reference's HNSW search path (vector/index.rs:196-258)
+            from samyama_graph_spark.datapipe.similarity import (
+                knn_ivf_partitioned,
+            )
+
+            hits = knn_ivf_partitioned(
+                spark, layout, prop, "id", qv, None, k,
+                metric=metric, nprobe=nprobe,
+            )
+        else:
+            nodes = g.node_df(label)
+            hits = knn_bruteforce(
+                nodes.filter(F.col(prop).isNotNull()), prop, "id",
+                qv, k, metric=metric,
+            )
         # binds the full node value + score (VectorSearchOperator,
         # operator.rs:4645; tests YIELD node, score RETURN node.name)
         # L2 is a distance (ascending); cosine/inner product are

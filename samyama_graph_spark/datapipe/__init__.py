@@ -31,6 +31,8 @@ from samyama_graph_spark.datapipe.dedup import (
     exact_dedup,
     minhash_incremental_pairs,
     minhash_index,
+    minhash_index_read,
+    minhash_index_write,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_dup_stats,
@@ -45,7 +47,10 @@ from samyama_graph_spark.datapipe.similarity import (
     cosine,
     knn_bruteforce,
     knn_ivf,
+    knn_ivf_partitioned,
     knn_ivfadc,
+    ivf_write_partitioned,
+    read_index_meta,
     knn_lsh,
     knn_pq_adc,
     pq_codebook,
@@ -66,6 +71,8 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "minhash_index",
+    "minhash_index_read",
+    "minhash_index_write",
     "minhash_incremental_pairs",
     "ngram_jaccard_pairs",
     "simhash_near_dups",
@@ -78,8 +85,11 @@ __all__ = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivf_partitioned",
     "knn_pq_adc",
     "knn_ivfadc",
+    "ivf_write_partitioned",
+    "read_index_meta",
     "pq_codebook",
     "pq_encode",
     # corpus hygiene

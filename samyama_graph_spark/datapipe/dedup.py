@@ -13,7 +13,7 @@ from __future__ import annotations
 import functools
 import operator as op
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from samyama_graph_spark.datapipe.common import (
@@ -623,6 +623,82 @@ def minhash_index(
     sh60 = sh.select("id", hash60(F.col("shingle")).alias("sk"))
     sigs = minhash_signatures(sh, num_hashes)
     return band_buckets(sigs, num_hashes, bands), sh60
+
+
+def minhash_index_write(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """Persist the incremental-dedup index AT REST under ``path``:
+    ``buckets/`` + ``shingles/`` parquet plus a ``_meta`` parameter
+    record (k, num_hashes, bands, hash family constants) — the
+    reference persists per-index config the same way
+    (vector/index.rs:136).  Readers must come through
+    ``minhash_index_read`` with MATCHING parameters: a batch shingled
+    with a different k or banded differently would silently miss every
+    candidate otherwise."""
+    from samyama_graph_spark.datapipe.common import (
+        HASH_FAMILY_M,
+        HASH_FAMILY_P,
+    )
+    from samyama_graph_spark.datapipe.similarity import _write_index_meta
+
+    buckets, sh60 = minhash_index(df, text_col, id_col, k, num_hashes, bands)
+    buckets.write.mode("overwrite").parquet(path + "/buckets")
+    sh60.write.mode("overwrite").parquet(path + "/shingles")
+    _write_index_meta(
+        df.sparkSession,
+        path,
+        {
+            "kind": "minhash",
+            "k": k,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "hash_family": {"p": HASH_FAMILY_P, "m": HASH_FAMILY_M},
+        },
+    )
+
+
+def minhash_index_read(
+    spark: SparkSession,
+    path: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Open an at-rest minhash index, VALIDATING the caller's
+    parameters against the persisted ``_meta`` record; raises on any
+    mismatch instead of returning wrong candidates."""
+    from samyama_graph_spark.datapipe.common import (
+        HASH_FAMILY_M,
+        HASH_FAMILY_P,
+    )
+    from samyama_graph_spark.datapipe.similarity import read_index_meta
+
+    meta = read_index_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no _meta record under {path}")
+    want = {
+        "k": k,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "hash_family": {"p": HASH_FAMILY_P, "m": HASH_FAMILY_M},
+    }
+    got = {key: meta.get(key) for key in want}
+    if got != want:
+        raise ValueError(
+            f"minhash index at {path} was built with {got}, "
+            f"caller requested {want}"
+        )
+    return (
+        spark.read.parquet(path + "/buckets"),
+        spark.read.parquet(path + "/shingles"),
+    )
 
 
 

@@ -404,15 +404,52 @@ def ivf_write_partitioned(
     vec_col: str,
     centroids: list[list[float]],
     path: str,
+    metric: str = "cosine",
 ) -> None:
     """Materialize the IVF index AT REST: rows written under one
     parquet partition directory per cell (``__ivf_cell=<i>/``).  This
     is the 100TB shape of the index — a probe reads only the nprobe
     matching directories (source-level partition pruning), so query
-    cost scales with nprobe/C of the corpus instead of a full scan."""
+    cost scales with nprobe/C of the corpus instead of a full scan.
+
+    The index parameters (vec_col, metric, nlist, dim, centroids) are
+    persisted alongside the data under ``<path>/_meta`` — the
+    reference persists per-index config the same way
+    (vector/index.rs:136) — so readers VALIDATE instead of trusting
+    caller convention; a mis-parameterized probe raises rather than
+    silently returning wrong candidates."""
     ivf_assign(df, vec_col, centroids).write.mode("overwrite").partitionBy(
         "__ivf_cell"
     ).parquet(path)
+    meta = {
+        "kind": "ivf",
+        "vec_col": vec_col,
+        "metric": metric,
+        "nlist": len(centroids),
+        "dim": len(centroids[0]) if centroids else 0,
+        "centroids": [[float(x) for x in c] for c in centroids],
+    }
+    _write_index_meta(df.sparkSession, path, meta)
+
+
+def _write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    import json
+
+    spark.createDataFrame([(json.dumps(meta),)], "meta string").coalesce(
+        1
+    ).write.mode("overwrite").json(path + "/_meta")
+
+
+def read_index_meta(spark: SparkSession, path: str) -> dict | None:
+    """The persisted parameter record of an at-rest index (IVF /
+    MinHash); None when the layout predates metadata."""
+    import json
+
+    try:
+        rows = spark.read.json(path + "/_meta").collect()
+    except Exception:
+        return None
+    return json.loads(rows[0]["meta"]) if rows else None
 
 
 def knn_ivf_partitioned(
@@ -421,7 +458,7 @@ def knn_ivf_partitioned(
     vec_col: str,
     id_col: str,
     query_vec: list[float],
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     k: int = 10,
     metric: str = "cosine",
     nprobe: int = 4,
@@ -430,7 +467,32 @@ def knn_ivf_partitioned(
     ivf_write_partitioned: the cell filter prunes partitions at the
     file source (assert via PartitionFilters in the physical plan),
     then the survivors re-rank exactly.  Same results as knn_ivf on
-    the un-partitioned frame."""
+    the un-partitioned frame.
+
+    ``centroids=None`` loads them from the index's ``_meta`` record;
+    explicitly passed parameters are validated against ``_meta`` and a
+    mismatch raises (wrong centroids or metric would silently probe
+    the wrong cells otherwise)."""
+    meta = read_index_meta(spark, path)
+    if centroids is None:
+        if meta is None:
+            raise ValueError(f"no _meta under {path} and no centroids given")
+        centroids = meta["centroids"]
+    if meta is not None:
+        want = [[float(x) for x in c] for c in centroids]
+        if (
+            meta.get("vec_col") != vec_col
+            or meta.get("metric") != metric
+            or meta.get("nlist") != len(want)
+            or meta.get("centroids") != want
+        ):
+            raise ValueError(
+                f"IVF index at {path} was built with "
+                f"(vec_col={meta.get('vec_col')}, metric={meta.get('metric')}, "
+                f"nlist={meta.get('nlist')}); caller requested "
+                f"(vec_col={vec_col}, metric={metric}, nlist={len(want)}) "
+                f"or different centroids"
+            )
     probe = ivf_probe_cells(query_vec, centroids, nprobe)
     cands = (
         spark.read.parquet(path)

@@ -37,12 +37,47 @@ SRC = "src"
 DST = "dst"
 
 
+def local_string_frame(
+    spark: SparkSession, rows: list[tuple], cols: list[str]
+) -> DataFrame:
+    """Tiny driver-side string frame as a VALUES LocalRelation.
+
+    Catalog/introspection answers (SHOW LABELS, db.schema.visualization,
+    SHOW INDEXES, ...) are driver-known lists; building them with
+    spark.createDataFrame yields an RDD-backed plan whose collect()
+    schedules a real job (~0.4 s floor per action on a warm local
+    session), while a SQL VALUES LocalRelation collects without any
+    job — the Spark analogue of the reference answering SHOW from its
+    in-memory catalog (catalog.rs:63-140)."""
+    if not rows:
+        return spark.createDataFrame(
+            [], ", ".join(f"{c} string" for c in cols)
+        )
+
+    def q(v) -> str:
+        if v is None:
+            return "CAST(NULL AS STRING)"
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    values = ", ".join(
+        "(" + ", ".join(q(v) for v in r) + ")" for r in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {values} AS t({', '.join(cols)})")
+
+
 @dataclass
 class EdgeMeta:
-    """Planner metadata for one edge type: endpoint labels + stats."""
+    """Planner metadata for one edge type: endpoint labels + stats.
+
+    ``pairs`` statically declares the (src_label, dst_label)
+    combinations of a multi-source edge type (e.g. IN_NATION fed by
+    both Customer and Supplier), so schema introspection never needs a
+    data scan to resolve it."""
 
     src_label: str | None = None
     dst_label: str | None = None
+    pairs: tuple[tuple[str, str], ...] | None = None
 
 
 @dataclass
@@ -95,19 +130,18 @@ class PropertyGraph:
         pairs actually present are emitted — the reference scans real
         connectivity the same way (SchemaVisualizationOperator,
         operator.rs:5785)."""
-        declared = [
-            (m.src_label, t, m.dst_label)
-            for t, m in sorted(self.edge_meta.items())
-            if m.src_label is not None and m.dst_label is not None
-        ]
-        unresolved = [
-            t for t, m in sorted(self.edge_meta.items())
-            if m.src_label is None or m.dst_label is None
-        ]
-        out = self.spark.createDataFrame(
-            declared or [(None, None, None)],
-            "src_label string, type string, dst_label string",
-        ).filter(F.col("type").isNotNull())
+        declared = []
+        unresolved = []
+        for t, m in sorted(self.edge_meta.items()):
+            if m.pairs:
+                declared.extend((s, t, d) for s, d in m.pairs)
+            elif m.src_label is not None and m.dst_label is not None:
+                declared.append((m.src_label, t, m.dst_label))
+            else:
+                unresolved.append(t)
+        out = local_string_frame(
+            self.spark, declared, ["src_label", "type", "dst_label"]
+        )
         if unresolved and self.nodes:
             lookup = None
             for label, df in self.nodes.items():

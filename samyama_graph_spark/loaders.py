@@ -216,7 +216,9 @@ def tpch_graph(spark: SparkSession, sf_dir: str | None = None) -> PropertyGraph:
     }
     meta = {
         "IN_REGION": EdgeMeta("Nation", "Region"),
-        "IN_NATION": EdgeMeta(None, "Nation"),
+        "IN_NATION": EdgeMeta(
+            None, "Nation", pairs=(("Customer", "Nation"), ("Supplier", "Nation"))
+        ),
         "PLACED": EdgeMeta("Customer", "Order"),
         "CONTAINS": EdgeMeta("Order", "Part"),
         "SUPPLIED_BY": EdgeMeta("Part", "Supplier"),

@@ -95,3 +95,96 @@ def test_analyze_prewarms_planner_stats(spark):
     eng.graph.__dict__["_count_cache"]["N"] = 1
     rows2 = {r["entity"]: r for r in eng.query("ANALYZE").collect()}
     assert rows2[":N"]["count_or_out_deg"] == 30.0
+
+
+def test_vector_index_layout_routes_querynodes(spark, sf_dir, tmp_path):
+    """CREATE VECTOR INDEX + build_vector_index_layout must change the
+    queryNodes PLAN: the probe reads the cell-partitioned layout with
+    partition pruning, and with nprobe = nlist returns exactly the
+    brute-force top-k (superset probe => exact)."""
+    from samyama_graph_spark.loaders import tpch_graph
+
+    eng = CypherEngine(tpch_graph(spark, sf_dir))
+    eng.query(
+        "CREATE VECTOR INDEX doc_emb FOR (d:Document) ON (d.embedding) "
+        "OPTIONS {similarity: 'cosine'}"
+    )
+    qv = [
+        float(x)
+        for x in eng.graph.node_df("Document")
+        .orderBy("id")
+        .first()["embedding"]
+    ]
+    call = "CALL db.index.vector.queryNodes('Document', 'embedding', $q, 5)"
+    base = [
+        (r["nodeId"], round(r["score"], 9))
+        for r in eng.query(call, {"q": qv}).collect()
+    ]
+
+    eng.catalog.build_vector_index_layout(
+        eng.graph, "doc_emb", str(tmp_path / "doc_ivf"), nlist=8, nprobe=8
+    )
+    routed_df = eng.query(call, {"q": qv})
+    routed = [(r["nodeId"], round(r["score"], 9)) for r in routed_df.collect()]
+    assert routed == base
+    plan = routed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__ivf_cell" in plan
+
+
+def test_ivf_meta_mismatch_raises(spark, sf_dir, tmp_path):
+    """An at-rest IVF layout records its parameters; probing it with
+    different centroids or metric must raise, not silently return
+    wrong candidates."""
+    from samyama_graph_spark.datapipe.similarity import (
+        ivf_write_partitioned,
+        knn_ivf_partitioned,
+    )
+    from samyama_graph_spark.loaders import load_tables
+
+    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embs.orderBy("vec_id").limit(4).collect()
+    ]
+    path = str(tmp_path / "ivf_meta")
+    ivf_write_partitioned(embs, "embedding", cents, path)
+    qv = cents[0]
+    # matching parameters (or centroids=None -> from meta) work
+    assert knn_ivf_partitioned(
+        spark, path, "embedding", "vec_id", qv, None, 3
+    ).count() == 3
+    with pytest.raises(ValueError, match="built with"):
+        knn_ivf_partitioned(
+            spark, path, "embedding", "vec_id", qv, cents[:3], 3
+        )
+    with pytest.raises(ValueError, match="built with"):
+        knn_ivf_partitioned(
+            spark, path, "embedding", "vec_id", qv, cents, 3, metric="l2"
+        )
+
+
+def test_minhash_index_meta_mismatch_raises(spark, sf_dir, tmp_path):
+    """The persisted minhash index validates (k, num_hashes, bands)
+    against its _meta record on read."""
+    from samyama_graph_spark.datapipe.dedup import (
+        minhash_index,
+        minhash_index_read,
+        minhash_index_write,
+    )
+    from samyama_graph_spark.loaders import load_tables
+
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"].limit(50)
+    )
+    path = str(tmp_path / "mh_idx")
+    minhash_index_write(docs, "text", "doc_id", path, k=3, num_hashes=8, bands=4)
+    buckets, shingles = minhash_index_read(
+        spark, path, k=3, num_hashes=8, bands=4
+    )
+    direct_buckets, direct_sh = minhash_index(docs, "text", "doc_id", 3, 8, 4)
+    assert buckets.count() == direct_buckets.count()
+    assert shingles.count() == direct_sh.count()
+    with pytest.raises(ValueError, match="built with"):
+        minhash_index_read(spark, path, k=5, num_hashes=8, bands=4)
+    with pytest.raises(ValueError, match="built with"):
+        minhash_index_read(spark, path, k=3, num_hashes=8, bands=2)
