@@ -22,11 +22,98 @@ from samyama_graph_spark.algorithms.util import (
 )
 
 
+def wcc_two_phase(
+    edges: DataFrame,
+    max_iterations: int = 50,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """WCC by alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    ``(id, component)`` with component = min id, identical output to
+    the hash-to-min ``wcc``.
+
+    Each round halves long chains, so convergence is O(log^2 n) rounds
+    independent of graph DIAMETER — the variant to pick when the graph
+    is a few very long paths/cycles (hash-to-min needs one round per
+    hop of diameter).  The price is that both phases recompute
+    neighborhood minima over the full evolving edge set (two extra
+    aggregations per round), so on low-diameter graphs — most real
+    ones — hash-to-min does less work; that is why this is a flag, not
+    the default (``wcc(variant='two_phase')``).
+
+    large-star(u): every neighbor v > u connects to
+    m = min(N(u) ∪ {u}); small-star(u): every neighbor v <= u and u
+    itself connect to m.  Fixpoint = the edge set is a stable set of
+    (node -> component-min) stars; checked exactly (count + anti-join
+    probe), no fingerprint shortcuts.
+    """
+    spark = edges.sparkSession
+    rounds = 0
+    with iteration_scope(spark, edges):
+        e = checkpoint(
+            symmetrize(edges).filter(F.col("src") < F.col("dst")).distinct(),
+            eager=False,
+        )
+        verts = vertices_from_edges(edges)
+
+        def star(pairs: DataFrame, large: bool) -> DataFrame:
+            sym = symmetrize(pairs, distinct=False)
+            m = sym.groupBy("src").agg(
+                F.least(F.min("dst"), F.col("src")).alias("m")
+            )
+            joined = sym.join(m, "src")
+            keep = (
+                (F.col("dst") > F.col("src"))
+                if large
+                else (F.col("dst") <= F.col("src"))
+            )
+            out = joined.filter(keep).select(
+                F.col("dst").alias("a"), F.col("m").alias("b")
+            )
+            if not large:
+                out = out.unionByName(
+                    m.select(F.col("src").alias("a"), F.col("m").alias("b"))
+                )
+            return (
+                out.filter(F.col("a") != F.col("b"))
+                .select(
+                    F.greatest("a", "b").alias("src"),
+                    F.least("a", "b").alias("dst"),
+                )
+                .distinct()
+            )
+
+        while rounds < max_iterations:
+            e1 = star(e, large=True)
+            e2 = checkpoint(star(e1, large=False), eager=False)
+            rounds += 1
+            # exact stability: same cardinality and no new pairs
+            n_old, n_new = e.count(), e2.count()
+            if n_old == n_new:
+                if (
+                    e2.join(e, ["src", "dst"], "left_anti").limit(1).count()
+                    == 0
+                ):
+                    e = e2
+                    break
+            e = e2
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    # stable stars: src (> dst) points at its component min; roots and
+    # isolated vertices map to themselves
+    comp = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    return (
+        verts.join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
 def wcc(
     edges: DataFrame,
     max_iterations: int = 50,
     check_interval: int = 2,
     driver_guard: int = 0,
+    variant: str = "hash_to_min",
 ) -> DataFrame:
     """Weakly connected components: ``(id, component)`` where component
     is the minimum vertex id in the component.
@@ -50,7 +137,14 @@ def wcc(
     call for post-filter graphs like dup-pair clusters or Borůvka
     contraction, whose size is bounded by construction.  Components
     are unique, so both paths return identical output.
+
+    ``variant='two_phase'`` switches to large-star/small-star
+    contraction (wcc_two_phase) for very-high-diameter graphs.
     """
+    if variant == "two_phase":
+        return wcc_two_phase(edges, max_iterations)
+    if variant != "hash_to_min":
+        raise ValueError(f"unknown wcc variant {variant!r}")
     if driver_guard > 0:
         rows = collect_if_small(edges, driver_guard, "src", "dst")
         if rows is not None:

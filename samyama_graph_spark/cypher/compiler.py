@@ -520,14 +520,32 @@ class Compiler:
             return out
 
         def path_cost(p: A.PatternPath, bound: set[str]) -> float:
-            ends = [p.nodes[0], p.nodes[-1]]
-            costs = [
-                0.0
-                if (np.var is not None and np.var in bound)
-                else self._anchor_cost(st, np)
-                for np in ends
-            ]
-            return min(costs)
+            """Expected work to expand the whole path from its cheaper
+            endpoint: anchor scan cardinality TIMES the cumulative edge
+            fan-out (_chain_work).  Edge selectivity matters for cyclic
+            patterns: when several candidate paths connect to the bound
+            set (both endpoints cost ~1), the most selective edge must
+            lead so the smallest intermediate result comes first — the
+            binary-join mitigation of the WCOJ gap (leapfrog.rs:265
+            orders by the same per-level cardinality principle)."""
+            has_var = any(
+                ep.min_hops is not None for ep in p.edges
+            )  # var-length segments are costed by their first hop only
+            c0 = (
+                1.0
+                if (p.nodes[0].var is not None and p.nodes[0].var in bound)
+                else self._anchor_cost(st, p.nodes[0])
+            )
+            c1 = (
+                1.0
+                if (p.nodes[-1].var is not None and p.nodes[-1].var in bound)
+                else self._anchor_cost(st, p.nodes[-1])
+            )
+            if has_var or not p.edges:
+                return min(c0, c1)
+            fwd = self._chain_work(st, p, 0, c0)
+            rev = self._chain_work(st, p, len(p.nodes) - 1, c1)
+            return min(fwd, rev)
 
         remaining = list(paths)
         ordered: list[A.PatternPath] = []

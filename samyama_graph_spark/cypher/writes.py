@@ -62,6 +62,12 @@ class WriteExecutor:
         self._merge_binds: dict[str, tuple[str, dict]] = {}
         self.counters = {"nodes_created": 0, "edges_created": 0,
                         "properties_set": 0, "nodes_deleted": 0}
+        # statically-unknown delta sizes (frame-bound CREATE / DELETE):
+        # counted LAZILY in the summary frame instead of one eager
+        # count() job per statement — a 12-statement interactive
+        # pipeline otherwise pays the job floor 5-6 extra times, and
+        # the summary is often never collected at all
+        self._pending_counts: list[tuple[str, DataFrame]] = []
 
     # ------------------------------------------------------------- entry
     def execute(self, sq: A.SingleQuery) -> tuple[PropertyGraph, DataFrame]:
@@ -101,6 +107,13 @@ class WriteExecutor:
         if sq.ret is not None:
             return g2, self._returning(g2, st, sq.ret)
         summary = _literal_row(self.g.spark, dict(self.counters))
+        for key, df in self._pending_counts:
+            c = df.agg(F.count(F.lit(1)).alias("__c"))
+            summary = (
+                summary.crossJoin(c)
+                .withColumn(key, F.col(key) + F.col("__c"))
+                .drop("__c")
+            )
         return g2, summary
 
     def _returning(
@@ -316,9 +329,11 @@ class WriteExecutor:
         else:
             self.nodes[label] = rows
         # n is passed when the delta size is statically known (literal
-        # CREATE): counting a known-1-row frame costs a whole scheduled
-        # job per statement otherwise
-        self.counters["nodes_created"] += n if n is not None else rows.count()
+        # CREATE); otherwise the count defers into the lazy summary
+        if n is not None:
+            self.counters["nodes_created"] += n
+        else:
+            self._pending_counts.append(("nodes_created", rows))
 
     def _append_edges(
         self, etype: str, rows: DataFrame, n: int | None = None
@@ -330,7 +345,10 @@ class WriteExecutor:
         else:
             self.edges[etype] = rows
             self.edge_meta.setdefault(etype, EdgeMeta())
-        self.counters["edges_created"] += n if n is not None else rows.count()
+        if n is not None:
+            self.counters["edges_created"] += n
+        else:
+            self._pending_counts.append(("edges_created", rows))
 
     # -------------------------------------------------------------- merge
     def _merge(self, st: State, clause: A.MergeClause) -> None:
@@ -545,7 +563,7 @@ class WriteExecutor:
                 self.nodes[info.label] = self.nodes[info.label].join(
                     ids, "id", "left_anti"
                 )
-                self.counters["nodes_deleted"] += ids.count()
+                self._pending_counts.append(("nodes_deleted", ids))
                 if clause.detach:
                     for et, edf in list(self.edges.items()):
                         self.edges[et] = edf.join(

@@ -75,31 +75,32 @@ def var_length_expand(
     if max_hops <= _UNROLL_MAX:
         # bounded short patterns (*1..2, *..3 — the common Cypher
         # shapes): unroll the hops into ONE lazy plan with no per-depth
-        # count/checkpoint jobs.  Early-exit checks only save work when
-        # the frontier can empty before a LARGE bound; at depth <= 4
-        # they cost a scheduled job per hop while AQE already skips
-        # empty frontiers at runtime (and picks broadcast sides from
-        # the real sizes).
+        # count/checkpoint jobs.  Per-depth visited anti-joins are
+        # replaced by a single min-hops aggregation at the end: the
+        # walk frontier at depth k (distinct nodes at walk distance k)
+        # may revisit earlier nodes, but min(hops) over all depths IS
+        # the BFS first-reach depth, and one aggregation costs one
+        # exchange where K anti-joins cost K (at sf0.1 this halved the
+        # AQE job count of the *1..2 gate entry).  Early-exit checks
+        # only save work when the frontier can empty before a LARGE
+        # bound; at depth <= 4 they cost a scheduled job per hop.
         e = _directed_view(edges, direction)
         frontier = starts.select(
             F.col(id_col).alias("start"), F.col(id_col).alias("node")
         ).distinct()
-        visited = frontier.withColumn("hops", F.lit(0))
+        levels = [frontier.withColumn("hops", F.lit(0))]
         for depth in range(1, max_hops + 1):
-            nxt = (
+            frontier = (
                 e.join(frontier, e["src"] == frontier["node"])
                 .select("start", F.col("dst").alias("node"))
                 .distinct()
-                .join(
-                    visited.select("start", "node"),
-                    ["start", "node"],
-                    "left_anti",
-                )
-                .withColumn("hops", F.lit(depth))
             )
-            visited = visited.unionByName(nxt)
-            frontier = nxt.select("start", "node")
-        return visited.filter(F.col("hops") >= min_hops)
+            levels.append(frontier.withColumn("hops", F.lit(depth)))
+        out = levels[0]
+        for lv in levels[1:]:
+            out = out.unionByName(lv)
+        out = out.groupBy("start", "node").agg(F.min("hops").alias("hops"))
+        return out.filter(F.col("hops") >= min_hops)
     with iteration_scope(starts.sparkSession, edges):
         # edges persisted hash(src): the frontier join is exchange-free
         # on the edge side every hop; only the (start, node) frontier
@@ -235,12 +236,21 @@ def var_length_paths(
         return _var_length_paths_loop(
             starts, edges, min_hops, max_hops, id_col, direction, all_shortest
         )
-    # one lazy plan: the per-depth re-derivation of the edge view is
-    # shared via ReuseExchange when the joins shuffle; an eager
-    # checkpoint here would shave ~20% when AQE broadcasts the frontier
-    # side, but it pins the edge blocks in executor storage with no
-    # scope to release them — the leak class a resident session can't
-    # afford (lazy keeps zero pinned storage)
+    # one lazy plan via SIMPLE-PATH ENUMERATION: each depth extends the
+    # previous depth's paths, rejecting node revisits with an
+    # array_contains filter (no visited anti-join), and ONE final
+    # resolution pass restores the visited-set/all-shortest semantics:
+    # every intermediate node of a minimal-hop path sits at its own
+    # BFS depth (subpaths of shortest paths are shortest), so keeping
+    # only min-hops rows per (start, node) yields exactly the BFS
+    # first-reach paths — all of them in all_shortest mode, the
+    # lexicographically smallest otherwise.  K joins + 1 aggregation
+    # replaces K joins + K anti-joins + K min_by aggregations; at
+    # sf0.1 the gate entry's AQE job count dropped ~2x.  The
+    # enumeration frames hold simple paths rather than the (smaller)
+    # BFS tree, which is why this shape is gated to depth <=
+    # _UNROLL_MAX; the iterative loop below keeps frontier-pruned BFS
+    # for deep/unbounded traversals.
     e = _typed_view(edges, direction)
     base = (
         starts.select(F.col(id_col).cast("long").alias("start"))
@@ -254,23 +264,73 @@ def var_length_paths(
         )
     )
     frontier = base
-    visited = frontier.select("start", "node")
-    out_frames = [frontier]
-
+    frames = [base]
     for depth in range(1, max_hops + 1):
-        nxt = _paths_step(e, frontier, visited, all_shortest, depth)
-        out_frames.append(nxt)
-        visited = visited.unionByName(
-            nxt.select("start", "node").distinct()
-            if all_shortest
-            else nxt.select("start", "node")
-        )
-        frontier = nxt
+        frontier = _enum_step(e, frontier, depth)
+        frames.append(frontier)
 
-    out = out_frames[0]
-    for fr in out_frames[1:]:
+    out = frames[0]
+    for fr in frames[1:]:
         out = out.unionByName(fr)
+    out = _resolve_first_reach(out, all_shortest)
     return out.filter(F.col("hops") >= min_hops)
+
+
+def _enum_step(e: DataFrame, frontier: DataFrame, depth: int) -> DataFrame:
+    """Extend every simple path by one edge (node-revisit rejected)."""
+    f = frontier.select("start", "node", "path_nodes", "path_rels")
+    return (
+        e.join(f, e["u"] == f["node"])
+        .filter(~F.array_contains(f["path_nodes"], e["v"]))
+        .select(
+            "start",
+            F.col("v").alias("node"),
+            F.concat("path_nodes", F.array(F.col("v"))).alias("path_nodes"),
+            F.concat(
+                "path_rels",
+                F.array(
+                    F.struct(
+                        F.col("esrc").alias("src"),
+                        F.col("edst").alias("dst"),
+                        F.col("etype").alias("type"),
+                    )
+                ),
+            ).alias("path_rels"),
+            F.lit(depth).alias("hops"),
+        )
+    )
+
+
+def _resolve_first_reach(paths: DataFrame, all_shortest: bool) -> DataFrame:
+    """Collapse enumerated simple paths to BFS first-reach semantics in
+    one exchange: keep only minimal-hop rows per (start, node) — every
+    such row is a genuine BFS-tree path because subpaths of shortest
+    paths are shortest."""
+    if all_shortest:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("start", "node")
+        return (
+            paths.withColumn("__minh", F.min("hops").over(w))
+            .filter(F.col("hops") == F.col("__minh"))
+            .drop("__minh")
+        )
+    return (
+        paths.groupBy("start", "node")
+        .agg(
+            F.min_by(
+                F.struct("hops", "path_nodes", "path_rels"),
+                F.struct("hops", "path_nodes"),
+            ).alias("pp")
+        )
+        .select(
+            "start",
+            "node",
+            F.col("pp.path_nodes").alias("path_nodes"),
+            F.col("pp.path_rels").alias("path_rels"),
+            F.col("pp.hops").alias("hops"),
+        )
+    )
 
 
 def _paths_step(e, frontier, visited, all_shortest: bool, depth: int):

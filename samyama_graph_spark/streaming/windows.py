@@ -113,6 +113,33 @@ def sliding_windows(
     )
 
 
+def tumbling_base(
+    events: DataFrame, bucket: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Algebraic base aggregation for window rollups: fine-grained
+    tumbling buckets carrying count + RAW sum —
+    ``(event_type, bucket_start, n, total_raw)``.
+
+    Coarser tumbling windows and sliding windows whose size/slide are
+    bucket multiples re-aggregate from this sink WITHOUT a second pass
+    over the stream (the timeseries.py hypertable-rollup pattern
+    applied to streaming): one stateful query feeds many views."""
+    e = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        e.groupBy("event_type", F.window("ts", bucket).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_raw"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket_start"),
+            "n",
+            "total_raw",
+        )
+    )
+
+
 def session_windows(
     events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

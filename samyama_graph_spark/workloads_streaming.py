@@ -80,22 +80,21 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from samyama_graph_spark.streaming.windows import (
         run_streams_to_memory,
         session_windows,
-        sliding_windows,
+        tumbling_base,
     )
 
     path = f"{sf_dir}/events.parquet"
-    # the three windowed views of the one source run CONCURRENTLY
-    # (independent availableNow queries): wall time = max, not sum
-    tumb_t, slide_t, sess_t = run_streams_to_memory(
+    # TWO streaming queries, not three: the tumbling and sliding views
+    # both re-aggregate from one 30-minute base-bucket stream (their
+    # size/slide are bucket multiples), so only the base aggregation
+    # and the session windows (different key + session_window state)
+    # pay micro-batch machinery; the rollups are batch reads of the
+    # sink.  Concurrent availableNow queries: wall time = max, not sum.
+    base_t, sess_t = run_streams_to_memory(
         [
             (
-                hourly_windows(events_stream(spark, path)),
-                _qname("wm_tumb"),
-                "complete",
-            ),
-            (
-                sliding_windows(events_stream(spark, path)),
-                _qname("wm_slide"),
+                tumbling_base(events_stream(spark, path)),
+                _qname("wm_base"),
                 "complete",
             ),
             (
@@ -105,18 +104,43 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
-    tumb = tumb_t.select(
-        F.lit("tumbling").alias("kind"), "event_type",
-        F.lit(None).cast("long").alias("user_id"),
-        "window_start", F.lit(None).cast("timestamp").alias("window_end"),
-        F.col("n").cast("long").alias("n"), F.col("total"),
+    tumb = (
+        base_t.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("bucket_start")).alias("window_start"),
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total_raw"), 4).alias("total"),
+        )
+        .select(
+            F.lit("tumbling").alias("kind"), "event_type",
+            F.lit(None).cast("long").alias("user_id"),
+            "window_start", F.lit(None).cast("timestamp").alias("window_end"),
+            F.col("n").cast("long").alias("n"), F.col("total"),
+        )
     )
-    slide = slide_t.select(
-        F.lit("sliding").alias("kind"), "event_type",
-        F.lit(None).cast("long").alias("user_id"),
-        "window_start", F.lit(None).cast("timestamp").alias("window_end"),
-        F.col("n").cast("long").alias("n"),
-        F.lit(None).cast("double").alias("total"),
+    half = F.expr("INTERVAL 30 MINUTES")
+    slide = (
+        base_t.select(
+            "event_type", F.col("bucket_start").alias("window_start"), "n"
+        )
+        .unionAll(
+            base_t.select(
+                "event_type",
+                (F.col("bucket_start") - half).alias("window_start"),
+                "n",
+            )
+        )
+        .groupBy("event_type", "window_start")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            F.lit("sliding").alias("kind"), "event_type",
+            F.lit(None).cast("long").alias("user_id"),
+            "window_start", F.lit(None).cast("timestamp").alias("window_end"),
+            F.col("n").cast("long").alias("n"),
+            F.lit(None).cast("double").alias("total"),
+        )
     )
     sess = sess_t.select(
         F.lit("session").alias("kind"),

