@@ -557,7 +557,6 @@ GATE_ORDER: list[str] = [
     "cypher_two_hop_agg",
     "cypher_optional_match",
     "cypher_exists",
-    "cypher_not_exists",
     "cypher_union",
     "cypher_with_unwind",
     "order_skip_limit",
@@ -570,6 +569,16 @@ GATE_ORDER: list[str] = [
     "cypher_write_pipeline",
     "cypher_knn",
     "cypher_introspection",
+    # LDBC SNB golden corpus on the TPC-H projection (benches/
+    # ldbc_benchmark.rs, ldbc_bi_benchmark.rs; the other 13 IS/IC/BI
+    # entries are pytest-oracled in workloads_ldbc.py).  Families they
+    # replaced: cypher_not_exists (cypher_exists row keeps the
+    # semi/anti family; ic10 gates NOT EXISTS with live rows),
+    # knn_join_top5 (lsh+ivf rows keep ANN; the knn-join twin stays in
+    # pytest), multimodal_features (png_stats is the richer decode row)
+    "ldbc_ic1_transitive_name",
+    "ldbc_ic10_recommendation",
+    "ldbc_bi4_popular_moderators",
     # LLM-data-pipeline: dedup + ANN (+ §2 #46 family)
     "dedup_exact",
     "minhash_lsh_dedup",
@@ -577,7 +586,6 @@ GATE_ORDER: list[str] = [
     "simhash_dedup",
     "embedding_near_dup",
     "knn_lsh_top10",
-    "knn_join_top5",
     "knn_ivf_top10",
     # text analysis (metrics entry also carries normalization columns;
     # fingerprints entry also carries the BPE pre-tokenizer counts)
@@ -588,7 +596,6 @@ GATE_ORDER: list[str] = [
     "sequence_packing",
     "dedup_clusters",
     # multimodal
-    "multimodal_features",
     "multimodal_png_stats",
     # PCA (§2 #59) — the oracled slot; full-dim twin is pytest-checked
     "pca_2d_closed_form",
