@@ -61,6 +61,7 @@ from samyama_graph_spark.datapipe.timeseries import reaggregate, time_rollup
 from samyama_graph_spark.datapipe.text import (
     language_id,
     normalize_text,
+    split_text_chunks,
     quality_score,
     text_fingerprint,
     token_stats,
@@ -115,4 +116,5 @@ __all__ = [
     "language_id",
     "text_fingerprint",
     "normalize_text",
+    "split_text_chunks",
 ]

@@ -166,3 +166,56 @@ def normalize_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).cast("long").alias("n_emails"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+def split_text_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """RAG text splitting (reference auto-embed pipeline,
+    src/embed/mod.rs:83 split_text): sliding character windows of
+    ``chunk_size`` advancing by ``chunk_size - overlap``; a text that
+    fits in one chunk stays whole, and the walk stops at the chunk
+    that reaches the end.  Returns ``(id, chunk_index, chunk_text,
+    n_chunk_chars)``.
+
+    The downstream embedding call is an external-LLM boundary (embed/
+    client.rs) and out of scope; this is the deterministic half every
+    ingestion pipeline needs, expressed as sequence + explode +
+    substring — pure codegen, map-only at 100 TB, and exactly
+    replayable in SQL (generate_series).  Length semantics are
+    CHARACTERS on both engines (the reference slices bytes; identical
+    on ASCII corpora — divergence only on multi-byte text).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    t = F.col(text_col)
+    n_chunks = F.when(F.length(t) <= chunk_size, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.ceil((F.length(t) - F.lit(chunk_size)) / F.lit(stride)).cast(
+            "long"
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            t.alias("__t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+        )
+        .select(
+            "id",
+            F.col("chunk_index").cast("long").alias("chunk_index"),
+            F.substring(
+                F.col("__t"),
+                (F.col("chunk_index") * stride + 1).cast("int"),
+                chunk_size,
+            ).alias("chunk_text"),
+        )
+        .withColumn(
+            "n_chunk_chars", F.length("chunk_text").cast("long")
+        )
+    )

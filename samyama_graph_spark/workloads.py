@@ -532,6 +532,7 @@ def load_all_workloads() -> dict[str, QuerySpec]:
     import samyama_graph_spark.workloads_cypher  # noqa: F401
     import samyama_graph_spark.workloads_datapipe  # noqa: F401
     import samyama_graph_spark.workloads_graph  # noqa: F401
+    import samyama_graph_spark.workloads_finbench  # noqa: F401
     import samyama_graph_spark.workloads_ldbc  # noqa: F401
     import samyama_graph_spark.workloads_streaming  # noqa: F401
 

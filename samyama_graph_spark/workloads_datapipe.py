@@ -1354,3 +1354,37 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bucket_start",
         F.col("n").cast("long"), F.round("total", 4).alias("total"),
     )
+
+
+@query(
+    "rag_text_chunks",
+    """
+    WITH n AS (
+        SELECT doc_id, text,
+               CASE WHEN length(text) <= 200 THEN 1
+                    ELSE 1 + CAST(CEIL((length(text) - 200) / 160.0) AS BIGINT)
+               END AS nc
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, text, unnest(generate_series(0, nc - 1)) AS i FROM n
+    )
+    SELECT doc_id AS id, CAST(i AS BIGINT) AS chunk_index,
+           substring(text, CAST(i * 160 + 1 AS INT), 200) AS chunk_text,
+           CAST(length(substring(text, CAST(i * 160 + 1 AS INT), 200))
+                AS BIGINT) AS n_chunk_chars
+    FROM e
+    """,
+)
+def rag_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG auto-embed text splitting (reference src/embed/mod.rs:83):
+    every document sliced into 200-char windows with 40-char overlap
+    (stride 160), the deterministic half of the embed pipeline — the
+    LLM embedding call itself is the out-of-scope external boundary.
+    sequence + explode + substring, map-only; the oracle replays the
+    same walk with generate_series."""
+    from samyama_graph_spark.datapipe.text import split_text_chunks
+
+    return split_text_chunks(
+        _docs(spark, sf_dir), "text", "doc_id", chunk_size=200, overlap=40
+    )

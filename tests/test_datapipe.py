@@ -585,3 +585,41 @@ def test_time_rollup_reaggregation_exact(spark):
     assert daily_via == daily_raw
     # totals conserved end to end
     assert sum(v[0] for v in daily_via.values()) == 200
+
+
+def test_split_text_chunks_vs_reference_walk(spark):
+    """Differential test against a literal port of the reference's
+    split_text loop (embed/mod.rs:83): same chunk boundaries, same
+    stop condition, short texts stay whole."""
+    from samyama_graph_spark.datapipe.text import split_text_chunks
+
+    def ref_split(text, size, overlap):
+        if len(text) <= size:
+            return [text]
+        chunks, start = [], 0
+        while start < len(text):
+            end = min(start + size, len(text))
+            chunks.append(text[start:end])
+            if end == len(text):
+                break
+            start += size - overlap
+        return chunks
+
+    texts = [
+        (1, "short"),
+        (2, "x" * 20),
+        (3, "".join(chr(97 + i % 26) for i in range(20 * 7 + 3))),
+        (4, "".join(chr(65 + i % 26) for i in range(40))),
+        (5, "a" * 35),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = split_text_chunks(df, "text", "doc_id", chunk_size=20, overlap=5)
+    rows = sorted(
+        ((r["id"], r["chunk_index"], r["chunk_text"]) for r in got.collect())
+    )
+    expect = sorted(
+        (i, j, c)
+        for i, t in texts
+        for j, c in enumerate(ref_split(t, 20, 5))
+    )
+    assert rows == expect
