@@ -678,3 +678,165 @@ def ldbc_bi20_high_level_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "ldbc_is2_recent_messages",
+    f"""
+    SELECT o_orderkey + {_OB} AS oid, CAST(o_orderdate AS VARCHAR) AS odate,
+           o_totalprice AS price
+    FROM orders WHERE o_custkey = 1
+    ORDER BY odate DESC, oid
+    LIMIT 10
+    """,
+)
+def ldbc_is2_recent_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS2 Recent Posts by Person (ldbc_benchmark.rs:86-95): the
+    person's own newest messages, newest first, top 10."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (p:Customer)-[:PLACED]->(o:Order)
+        WHERE id(p) = $me
+        RETURN id(o) AS oid, toString(o.orderdate) AS odate,
+               o.totalprice AS price
+        ORDER BY odate DESC, oid
+        LIMIT 10
+        """,
+        {"me": _ME},
+    )
+
+
+@query(
+    "ldbc_is6_forum_of_post",
+    f"""
+    SELECT n_nationkey + {_NB} AS forum_id, n_name AS forum,
+           r_name AS moderator
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE o_orderkey = 1
+    """,
+)
+def ldbc_is6_forum_of_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS6 Forum of Post (ldbc_benchmark.rs:109-116): message-anchored
+    chain to its container and the container's moderator
+    (Forum -> Nation, moderator -> Region)."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (o:Order)<-[:PLACED]-(c:Customer)-[:IN_NATION]->(n:Nation)
+              -[:IN_REGION]->(r:Region)
+        WHERE id(o) = $oid
+        RETURN id(n) AS forum_id, n.name AS forum, r.name AS moderator
+        """,
+        {"oid": _OB + 1},
+    )
+
+
+@query(
+    "ldbc_ic3_country_posts",
+    f"""
+    WITH RECURSIVE {KNOWS_CTES}, {_reach_cte(2)}
+    SELECT fof.id AS fid, c_name AS name, count(*) AS msg_count
+    FROM fof
+    JOIN customer ON c_custkey + {_CB} = fof.id
+    JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1994-07-01'
+      AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
+    GROUP BY fid, name
+    ORDER BY msg_count DESC, fid
+    LIMIT 20
+    """,
+)
+def ldbc_ic3_country_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC3 Friends in Countries (ldbc_benchmark.rs:153-167): FoF whose
+    messages in a window fall in either of two categories (countryX OR
+    countryY -> two order priorities), counted per friend.  Exercises
+    var-length + WITH DISTINCT + date window + OR predicate + agg
+    top-k in one pipeline."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (p:Customer)-[:KNOWS*1..2]-(f:Customer)
+        WHERE id(p) = $me AND id(f) <> $me
+        WITH DISTINCT f
+        MATCH (f)-[:PLACED]->(o:Order)
+        WHERE o.orderdate >= date('1994-01-01')
+          AND o.orderdate < date('1994-07-01')
+          AND (o.orderpriority = '1-URGENT' OR o.orderpriority = '2-HIGH')
+        RETURN id(f) AS fid, f.name AS name, count(*) AS msg_count
+        ORDER BY msg_count DESC, fid
+        LIMIT 20
+        """,
+        {"me": _ME},
+    )
+
+
+@query(
+    "ldbc_ic7_recent_likers",
+    f"""
+    SELECT DISTINCT l2.l_suppkey + {_SB} AS liker_id, s_name AS liker,
+           o_orderkey + {_OB} AS oid, CAST(o_orderdate AS VARCHAR) AS odate
+    FROM orders
+    JOIN lineitem l1 ON l1.l_orderkey = o_orderkey
+    JOIN lineitem l2 ON l2.l_partkey = l1.l_partkey
+    JOIN supplier ON s_suppkey = l2.l_suppkey
+    WHERE o_custkey = 1
+    ORDER BY odate DESC, oid, liker_id
+    LIMIT 20
+    """,
+)
+def ldbc_ic7_recent_likers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC7 Recent Likers (ldbc_benchmark.rs:221-231): who engaged with
+    the person's messages, newest message first (LIKES -> the
+    suppliers connected to the order's parts; SUPPLIED_BY fans at the
+    part level exactly like the oracle's l1xl2 join)."""
+    return (
+        _engine(spark, sf_dir)
+        .query(
+            """
+            MATCH (p:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(t:Part)
+                  -[:SUPPLIED_BY]->(s:Supplier)
+            WHERE id(p) = $me
+            RETURN DISTINCT id(s) AS liker_id, s.name AS liker,
+                   id(o) AS oid, toString(o.orderdate) AS odate
+            ORDER BY odate DESC, oid, liker_id
+            LIMIT 20
+            """,
+            {"me": _ME},
+        )
+    )
+
+
+@query(
+    "ldbc_bi2_tag_pairs",
+    """
+    SELECT p1.p_brand AS tag1, p2.p_brand AS tag2, count(*) AS cooccurrences
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    JOIN part p1 ON p1.p_partkey = a.l_partkey
+    JOIN part p2 ON p2.p_partkey = b.l_partkey
+    JOIN orders ON o_orderkey = a.l_orderkey
+    WHERE p1.p_brand < p2.p_brand
+      AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    GROUP BY tag1, tag2
+    ORDER BY cooccurrences DESC, tag1, tag2
+    LIMIT 20
+    """,
+)
+def ldbc_bi2_tag_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-2 Tag Co-occurrence (ldbc_bi_benchmark.rs:94-103): pairs of
+    tags on the same message in a date range, most frequent first —
+    two expansions from the same bound message node with an
+    anti-symmetric inequality so each unordered pair counts once per
+    co-occurrence."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (t1:Part)<-[:CONTAINS]-(o:Order)-[:CONTAINS]->(t2:Part)
+        WHERE t1.brand < t2.brand
+          AND o.orderdate >= date('1995-01-01')
+          AND o.orderdate < date('1996-01-01')
+        RETURN t1.brand AS tag1, t2.brand AS tag2, count(*) AS cooccurrences
+        ORDER BY cooccurrences DESC, tag1, tag2
+        LIMIT 20
+        """
+    )
