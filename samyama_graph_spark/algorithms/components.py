@@ -83,12 +83,14 @@ def wcc_two_phase(
                 .distinct()
             )
 
+        n_old = e.count()
         while rounds < max_iterations:
             e1 = star(e, large=True)
             e2 = checkpoint(star(e1, large=False), eager=False)
             rounds += 1
             # exact stability: same cardinality and no new pairs
-            n_old, n_new = e.count(), e2.count()
+            # (n_old carried from the previous round's count)
+            n_new = e2.count()
             if n_old == n_new:
                 if (
                     e2.join(e, ["src", "dst"], "left_anti").limit(1).count()
@@ -97,6 +99,7 @@ def wcc_two_phase(
                     e = e2
                     break
             e = e2
+            n_old = n_new
     if _stats is not None:
         _stats["rounds"] = rounds
     # stable stars: src (> dst) points at its component min; roots and

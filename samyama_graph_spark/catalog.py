@@ -81,15 +81,20 @@ class Catalog:
             ivf_write_partitioned,
         )
 
+        from samyama_graph_spark.cypher.procedures import _normalize_metric
+
         idx = self.indexes[name]
         if idx.kind != "vector":
             raise ValueError(f"index {name} is not a vector index")
         prop = idx.properties[0]
-        metric = (idx.options.get("metric") or "cosine").lower()
+        # normalize EXACTLY like the queryNodes read path, or a layout
+        # built on 'euclidean'/'inner_product' spellings would fail
+        # every probe's _meta validation
+        metric = _normalize_metric(idx.options.get("metric") or "cosine")
         nodes = graph.node_df(idx.label).filter(F.col(prop).isNotNull())
         cents = [
             [float(x) for x in r[prop]]
-            for r in nodes.orderBy("id").limit(nlist).collect()
+            for r in nodes.select("id", prop).orderBy("id").limit(nlist).collect()
         ]
         ivf_write_partitioned(nodes, prop, cents, path, metric=metric)
         idx.options.update(

@@ -980,6 +980,11 @@ class Compiler:
             self._add_path(sub, path)
         if clause.where is not None:
             self._apply_where(sub, clause.where)
+        # advance the parent counter past the sub's allocations: the
+        # sub's anonymous vars flow back into the parent scope below,
+        # so a later sibling clause minting the same __n_N/__e_N name
+        # would silently unify with them (or raise 'bound twice')
+        st.anon = sub.anon
         new_cols = [c for c in sub.frame.columns if c not in before_cols]
         right = sub.frame.select("__row_id", *new_cols)
         st.frame = base.join(right, "__row_id", "left").drop("__row_id")
@@ -1050,6 +1055,7 @@ class Compiler:
                 self._add_path(sub, p)
             if where is not None:
                 self._apply_where(sub, where)
+            st.anon = sub.anon
             tmp = st.fresh("pc")
             key_cols = [F.col(c) for c in cols]
             if isinstance(node, A.PatternComprehension):
@@ -1114,6 +1120,7 @@ class Compiler:
             self._add_path(sub, path)
         if ex.where is not None:
             self._apply_where(sub, ex.where)
+        st.anon = sub.anon
         keys = sub.frame.select("__row_id")
         how = "left_anti" if anti else "left_semi"
         st.frame = base.join(keys, "__row_id", how).drop("__row_id")
@@ -1233,6 +1240,7 @@ class Compiler:
         inner_sq = A.SingleQuery(part.clauses[1:], part.ret)
         sub = State(bindings, sub_scope, anon=st.anon, carry=list(cols))
         result = self._compile_single_st(sub, inner_sq)
+        st.anon = sub.anon
 
         ret_names = [c for c in result.columns if c not in cols]
         collide = set(ret_names) & set(st.frame.columns)
@@ -1413,6 +1421,7 @@ class Compiler:
         if where is not None:
             tmp = State(frame, new_scope, anon=st.anon)
             self._apply_where(tmp, where)
+            st.anon = tmp.anon
             frame = tmp.frame
 
         if order_by:

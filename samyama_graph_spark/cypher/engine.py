@@ -238,6 +238,16 @@ class CypherEngine:
             )
             new_graph, summary = wx.execute(ast.parts[0])
             self.graph = new_graph
+            # writes invalidate at-rest vector layouts: the parquet
+            # snapshot no longer reflects the live graph, so queryNodes
+            # must fall back to the brute-force scan (which sees the
+            # new rows) until the layout is rebuilt — the reference
+            # maintains its HNSW on insert (vector/index.rs), while
+            # rebuilding a partitioned layout per statement is a batch
+            # operation here
+            for idx in self.catalog.indexes.values():
+                if idx.kind == "vector":
+                    idx.options.pop("layout_path", None)
             # carry the id watermark across statements: only the first
             # write of a session scans per-table max(id)
             self._id_hint = wx.id_hint

@@ -217,7 +217,10 @@ def _run_algo(g: PropertyGraph, algo: str, args: list) -> DataFrame:
     if algo == "lcc":
         from samyama_graph_spark.algorithms import lcc
 
-        out = lcc(_view(g, label, edge_type))
+        # {directed: true} selects the reference's directed kernel
+        # (lcc.rs:42 d*(d-1) denominator over ordered neighbor pairs)
+        directed = bool(config.get("directed", False))
+        out = lcc(_view(g, label, edge_type), directed=directed)
         return _with_node(g, out, "id").select(
             "node",
             F.col("lcc").alias("coefficient"),

@@ -47,13 +47,22 @@ transfer_agg AS (
 )
 """
 
-_GRAPHS: dict[tuple[int, str], PropertyGraph] = {}
-_ENGINES: dict[tuple[int, str], CypherEngine] = {}
+# weakly keyed on the live session (loaders.py:85 convention):
+# id(spark) can be recycled by a new session after the old one is
+# collected, which would hand out frames bound to a dead context
+import weakref
+
+_GRAPHS: "weakref.WeakKeyDictionary[SparkSession, dict[str, PropertyGraph]]" = (
+    weakref.WeakKeyDictionary()
+)
+_ENGINES: "weakref.WeakKeyDictionary[SparkSession, dict[str, CypherEngine]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def finbench_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
-    key = (id(spark), sf_dir)
-    if key not in _GRAPHS:
+    per = _GRAPHS.setdefault(spark, {})
+    if sf_dir not in per:
         ev = load_tables(spark, sf_dir, ["events"])["events"]
         tr = ev.filter(F.col("event_type") == "purchase").select(
             (F.col("user_id") + F.lit(_AB)).cast("long").alias("src"),
@@ -77,7 +86,7 @@ def finbench_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 ((F.col("id") - _AB) % 7 == 0).alias("is_blocked"),
             )
         )
-        _GRAPHS[key] = PropertyGraph(
+        per[sf_dir] = PropertyGraph(
             spark,
             {"Account": accts},
             {"TRANSFER": tr, "TRANSFER_AGG": agg},
@@ -86,23 +95,24 @@ def finbench_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 "TRANSFER_AGG": EdgeMeta("Account", "Account"),
             },
         )
-    return _GRAPHS[key]
+    return per[sf_dir]
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
-    key = (id(spark), sf_dir)
-    if key not in _ENGINES:
-        _ENGINES[key] = CypherEngine(finbench_graph(spark, sf_dir))
-    return _ENGINES[key]
+    per = _ENGINES.setdefault(spark, {})
+    if sf_dir not in per:
+        per[sf_dir] = CypherEngine(finbench_graph(spark, sf_dir))
+    return per[sf_dir]
 
 
 @query(
     "finbench_cr1_transfer_in",
     f"""
     WITH {TRANSFER_CTES}
-    SELECT CAST({_AB + 7} AS BIGINT) AS account,
+    SELECT dst AS account,
            count(*) AS n_in, round(sum(amount), 2) AS total_in
     FROM transfer WHERE dst = {_AB + 7}
+    GROUP BY dst
     """,
 )
 def finbench_cr1_transfer_in(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,32 +106,41 @@ def _knows_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ring
 
 
-_LDBC_GRAPHS: dict[tuple[int, str], PropertyGraph] = {}
-_LDBC_ENGINES: dict[tuple[int, str], CypherEngine] = {}
+# weakly keyed on the live session (loaders.py:85 convention):
+# id(spark) can be recycled by a new session after the old one is
+# collected, which would hand out frames bound to a dead context
+import weakref
+
+_LDBC_GRAPHS: "weakref.WeakKeyDictionary[SparkSession, dict[str, PropertyGraph]]" = (
+    weakref.WeakKeyDictionary()
+)
+_LDBC_ENGINES: "weakref.WeakKeyDictionary[SparkSession, dict[str, CypherEngine]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def ldbc_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     """tpch_graph + the derived KNOWS social edge (FIXTURES.md F2 -> F5
     binding).  Node tables and the other edge types are shared with the
     base projection, so plan caches and ANALYZE stats carry over."""
-    key = (id(spark), sf_dir)
-    if key not in _LDBC_GRAPHS:
+    per = _LDBC_GRAPHS.setdefault(spark, {})
+    if sf_dir not in per:
         base = tpch_graph(spark, sf_dir)
         edges = dict(base.edges)
         edges["KNOWS"] = _knows_edges(spark, sf_dir)
         meta = dict(base.edge_meta)
         meta["KNOWS"] = EdgeMeta("Customer", "Customer")
-        _LDBC_GRAPHS[key] = PropertyGraph(
+        per[sf_dir] = PropertyGraph(
             spark, dict(base.nodes), edges, meta, edges_rev=dict(base.edges_rev)
         )
-    return _LDBC_GRAPHS[key]
+    return per[sf_dir]
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
-    key = (id(spark), sf_dir)
-    if key not in _LDBC_ENGINES:
-        _LDBC_ENGINES[key] = CypherEngine(ldbc_graph(spark, sf_dir))
-    return _LDBC_ENGINES[key]
+    per = _LDBC_ENGINES.setdefault(spark, {})
+    if sf_dir not in per:
+        per[sf_dir] = CypherEngine(ldbc_graph(spark, sf_dir))
+    return per[sf_dir]
 
 
 # ---------------------------------------------------------------------------

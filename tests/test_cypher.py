@@ -655,3 +655,28 @@ def test_rebind_applies_late_label_constraint(spark):
     assert n_all[0]["n"] == 15  # 10 in A + 5 in B
     n_b = eng.query("MATCH (x {k: 1}), (x:B) RETURN count(*) AS n").collect()
     assert n_b[0]["n"] == 5
+
+
+def test_anonymous_vars_not_shared_across_sibling_clauses(spark):
+    """Regression: the anonymous-variable counter must advance past a
+    subclause's allocations.  Before the fix, the second clause's
+    anonymous node reused __n_1 (already in scope from the OPTIONAL
+    MATCH), compiling an expand-into that silently dropped every row;
+    with anonymous edges it raised 'bound twice'."""
+    from samyama_graph_spark.cypher import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    x = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    r = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(1, 3)], "src long, dst long")
+    eng = CypherEngine(PropertyGraph(spark, {"X": x}, {"R": r, "S": s}))
+    got = eng.query(
+        "MATCH (a:X) OPTIONAL MATCH (a)-[r1:R]->() "
+        "MATCH (a)-[r2:S]->() RETURN id(a) AS aid"
+    ).collect()
+    assert [row["aid"] for row in got] == [1]
+    got2 = eng.query(
+        "MATCH (a:X) OPTIONAL MATCH (a)-[:R]->() "
+        "OPTIONAL MATCH (a)-[:S]->() RETURN count(*) AS n"
+    ).collect()
+    assert got2[0]["n"] == 3

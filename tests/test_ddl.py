@@ -188,3 +188,22 @@ def test_minhash_index_meta_mismatch_raises(spark, sf_dir, tmp_path):
         minhash_index_read(spark, path, k=5, num_hashes=8, bands=4)
     with pytest.raises(ValueError, match="built with"):
         minhash_index_read(spark, path, k=3, num_hashes=8, bands=2)
+
+
+def test_write_invalidates_vector_layout(spark, sf_dir, tmp_path):
+    """A write statement must drop the at-rest IVF routing: the layout
+    is a parquet snapshot, so queryNodes falls back to brute-force
+    (which sees the new node) instead of silently serving stale
+    results."""
+    from samyama_graph_spark.loaders import tpch_graph
+
+    eng = CypherEngine(tpch_graph(spark, sf_dir))
+    eng.query(
+        "CREATE VECTOR INDEX doc_emb2 FOR (d:Document) ON (d.embedding)"
+    )
+    eng.catalog.build_vector_index_layout(
+        eng.graph, "doc_emb2", str(tmp_path / "doc_ivf2"), nlist=4, nprobe=4
+    )
+    assert "layout_path" in eng.catalog.indexes["doc_emb2"].options
+    eng.query("CREATE (x:Document {text: 'fresh'})")
+    assert "layout_path" not in eng.catalog.indexes["doc_emb2"].options
