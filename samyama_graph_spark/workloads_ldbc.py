@@ -849,3 +849,137 @@ def ldbc_bi2_tag_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "ldbc_bi6_authoritative_users",
+    f"""
+    WITH tagged AS (
+        SELECT DISTINCT l_orderkey FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+    )
+    SELECT c_custkey + {_CB} AS author_id, c_name AS author,
+           count(DISTINCT l2.l_suppkey) AS likers
+    FROM tagged
+    JOIN orders ON o_orderkey = tagged.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN lineitem l2 ON l2.l_orderkey = tagged.l_orderkey
+    GROUP BY author_id, author
+    ORDER BY likers DESC, author_id
+    LIMIT 20
+    """,
+)
+def ldbc_bi6_authoritative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-6 Most Authoritative Users (ldbc_bi_benchmark.rs:160-172):
+    three pattern paths sharing the message node — the tag filter, the
+    author, and the likers (suppliers engaged on the same order) —
+    with a distinct-count per author.  Exercises multi-path join
+    ordering around a shared selective anchor."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (o:Order)-[:CONTAINS]->(t:Part),
+              (o)<-[:PLACED]-(author:Customer),
+              (o)-[l:CONTAINS]->(:Part)-[sb:SUPPLIED_BY]->(liker:Supplier)
+        WHERE t.brand = 'Brand#13' AND sb.orderkey = id(o) - $ob
+        RETURN id(author) AS author_id, author.name AS author,
+               count(DISTINCT liker.id) AS likers
+        ORDER BY likers DESC, author_id
+        LIMIT 20
+        """,
+        {"ob": _OB},
+    )
+
+
+@query(
+    "ldbc_bi10_experts",
+    f"""
+    WITH RECURSIVE {KNOWS_CTES}, {_reach_cte(2)}
+    SELECT fof.id AS expert_id, c_name AS expert, count(*) AS expertise
+    FROM fof
+    JOIN customer ON c_custkey + {_CB} = fof.id
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+    GROUP BY expert_id, expert
+    ORDER BY expertise DESC, expert_id
+    LIMIT 20
+    """,
+)
+def ldbc_bi10_experts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-10 Experts in Social Circle (ldbc_bi_benchmark.rs:228-240):
+    FoF *1..2, WITH DISTINCT, then per-expert counts of their messages
+    carrying the target tag."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (p:Customer)-[:KNOWS*1..2]-(expert:Customer)
+        WHERE id(p) = $me AND id(expert) <> $me
+        WITH DISTINCT expert
+        MATCH (expert)-[:PLACED]->(o:Order)-[:CONTAINS]->(t:Part)
+        WHERE t.brand = 'Brand#13'
+        RETURN id(expert) AS expert_id, expert.name AS expert,
+               count(*) AS expertise
+        ORDER BY expertise DESC, expert_id
+        LIMIT 20
+        """,
+        {"me": _ME},
+    )
+
+
+@query(
+    "ldbc_bi14_thread_initiators",
+    f"""
+    SELECT c_custkey + {_CB} AS author_id, c_name AS author,
+           count(*) AS replies
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY author_id, author
+    ORDER BY replies DESC, author_id
+    LIMIT 20
+    """,
+)
+def ldbc_bi14_thread_initiators(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BI-14 Top Thread Initiators (ldbc_bi_benchmark.rs:270-281):
+    UNANCHORED whole-graph two-hop aggregation — every author's total
+    reply count, top 20.  The BI scan-heavy counterpoint to the
+    point-anchored IC reads: author side broadcasts, replies stream."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (author:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(:Part)
+        RETURN id(author) AS author_id, author.name AS author,
+               count(*) AS replies
+        ORDER BY replies DESC, author_id
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "ldbc_bi15_social_degrees",
+    f"""
+    WITH {KNOWS_CTES}
+    SELECT k.src AS pid, c_name AS name, count(*) AS friends
+    FROM knows_u k
+    JOIN customer ON c_custkey + {_CB} = k.src
+    GROUP BY pid, name
+    ORDER BY friends DESC, pid
+    LIMIT 20
+    """,
+)
+def ldbc_bi15_social_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-15 Social Normals (ldbc_bi_benchmark.rs:286-298): undirected
+    KNOWS degree per person over the whole graph, top 20 — the
+    unanchored undirected expansion + count the reference uses as its
+    weighted-path stand-in."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (p:Customer)-[:KNOWS]-(f:Customer)
+        RETURN id(p) AS pid, p.name AS name, count(*) AS friends
+        ORDER BY friends DESC, pid
+        LIMIT 20
+        """
+    )
