@@ -563,7 +563,7 @@ def ldbc_ic12_expert_reply(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE w.d < 6
     )
     SELECT CAST(MIN(d) AS BIGINT) AS len
-    FROM walk WHERE id = {_CB + 2}
+    FROM walk WHERE id = {_CB + 24}
     HAVING MIN(d) IS NOT NULL
     """,
 )
@@ -572,7 +572,9 @@ def ldbc_ic13_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoints anchored — shortestPath((a {id})-[:KNOWS*..6]-(b {id})).
     The oracle BFSes the ring with a depth-capped recursive CTE and
     takes MIN(d); no row if the pair is disconnected within 6 hops,
-    matching the empty MATCH."""
+    matching the empty MATCH.  Partner 24 sits three ring hops from
+    customer 1 in the same nation at every shipped SF (1-13-15-24), so
+    the entry exercises a real multi-hop path, not the empty case."""
     return (
         _engine(spark, sf_dir)
         .query(
@@ -581,7 +583,7 @@ def ldbc_ic13_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE id(a) = $me AND id(b) = $other
             RETURN length(path) AS len
             """,
-            {"me": _ME, "other": _CB + 2},
+            {"me": _ME, "other": _CB + 24},
         )
         .select(F.col("len").cast("long").alias("len"))
     )
