@@ -75,6 +75,12 @@ def main() -> None:
         gc.collect()
         for _rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
             rdd.unpersist()
+        # memory-sink temp views (streaming entries) hold their full
+        # result in driver memory; a suite run otherwise accumulates
+        # dozens of ~100k-row tables and late queries pay the GC bill
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
         spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
