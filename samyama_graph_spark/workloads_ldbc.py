@@ -985,3 +985,139 @@ def ldbc_bi15_social_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "ldbc_bi7_author_scores",
+    f"""
+    WITH top_authors AS (
+        SELECT c_custkey AS ck, c_name AS author, count(*) AS post_count
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY ck, author
+        ORDER BY post_count DESC, ck
+        LIMIT 100
+    )
+    SELECT ck + {_CB} AS author_id, author, post_count,
+           count(*) AS total_likes
+    FROM top_authors
+    JOIN orders ON o_custkey = ck
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY author_id, author, post_count
+    ORDER BY total_likes DESC, author_id
+    LIMIT 20
+    """,
+)
+def ldbc_bi7_author_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-7 Authoritative Authors by Score (ldbc_bi_benchmark.rs:
+    178-190): the two-stage pipelined top-k — aggregate all authors,
+    ORDER+LIMIT inside WITH to the top 100, then re-expand ONLY those
+    and aggregate again.  The second stage's author set is 100 rows,
+    so its expansion join broadcasts."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (author:Customer)-[:PLACED]->(o:Order)
+        WITH author, count(*) AS post_count
+        ORDER BY post_count DESC, id(author)
+        LIMIT 100
+        MATCH (author)-[:PLACED]->(o2:Order)-[:CONTAINS]->(:Part)
+        RETURN id(author) AS author_id, author.name AS author,
+               post_count, count(*) AS total_likes
+        ORDER BY total_likes DESC, author_id
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "ldbc_bi9_forum_two_tags",
+    f"""
+    WITH fa AS (
+        SELECT c_nationkey AS nk, o_orderkey AS o1
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+    ),
+    fb AS (
+        SELECT c_nationkey AS nk, o_orderkey AS o2
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+    )
+    SELECT fa.nk + {_NB} AS forum_id,
+           count(DISTINCT o1) AS tag1_posts, count(DISTINCT o2) AS tag2_posts
+    FROM fa JOIN fb ON fb.nk = fa.nk AND o1 <> o2
+    GROUP BY forum_id
+    ORDER BY tag1_posts DESC, forum_id
+    LIMIT 20
+    """,
+)
+def ldbc_bi9_forum_two_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-9 Forum with Related Tags (ldbc_bi_benchmark.rs:196-208):
+    forums (-> nations) containing distinct messages tagged with BOTH
+    of two given tags — two independent expansions re-joined on the
+    forum with an inequality, distinct-counted per side."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (f:Nation)<-[:IN_NATION]-(:Customer)-[:PLACED]->(p1:Order)
+              -[:CONTAINS]->(t1:Part),
+              (f)<-[:IN_NATION]-(:Customer)-[:PLACED]->(p2:Order)
+              -[:CONTAINS]->(t2:Part)
+        WHERE t1.brand = 'Brand#13' AND t2.brand = 'Brand#23'
+          AND id(p1) <> id(p2)
+        RETURN id(f) AS forum_id, count(DISTINCT p1.id) AS tag1_posts,
+               count(DISTINCT p2.id) AS tag2_posts
+        ORDER BY tag1_posts DESC, forum_id
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "ldbc_bi16_expert_search",
+    f"""
+    WITH RECURSIVE {KNOWS_CTES},
+    experts AS (
+        SELECT c_custkey + {_CB} AS eid, count(DISTINCT o_orderkey) AS expertise
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+        GROUP BY eid
+        ORDER BY expertise DESC, eid
+        LIMIT 100
+    )
+    SELECT k.dst AS person_id, c_name AS person,
+           experts.eid AS expert_id, expertise
+    FROM experts
+    JOIN knows_u k ON k.src = experts.eid
+    JOIN customer ON c_custkey + {_CB} = k.dst
+    ORDER BY expertise DESC, person_id, expert_id
+    LIMIT 20
+    """,
+)
+def ldbc_bi16_expert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-16 Expert Search (ldbc_bi_benchmark.rs:304-318): rank
+    experts on a tag (top 100 by distinct tagged messages), then
+    expand their KNOWS neighborhoods — the ranked-seed-then-traverse
+    pipeline.  The expansion starts from <=100 rows regardless of
+    corpus size."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (expert:Customer)-[:PLACED]->(post:Order)
+              -[:CONTAINS]->(t:Part)
+        WHERE t.brand = 'Brand#13'
+        WITH expert, count(DISTINCT post.id) AS expertise
+        ORDER BY expertise DESC, id(expert)
+        LIMIT 100
+        MATCH (person:Customer)-[:KNOWS]-(expert)
+        RETURN id(person) AS person_id, person.name AS person,
+               id(expert) AS expert_id, expertise
+        ORDER BY expertise DESC, person_id, expert_id
+        LIMIT 20
+        """
+    )
