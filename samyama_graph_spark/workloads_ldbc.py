@@ -1121,3 +1121,100 @@ def ldbc_bi16_expert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "ldbc_ic8_recent_replies",
+    f"""
+    SELECT o_orderkey + {_OB} AS oid, l_linenumber AS line,
+           CAST(l_shipdate AS VARCHAR) AS sd, p_name AS part
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE o_custkey = 1
+    ORDER BY sd DESC, oid, line
+    LIMIT 20
+    """,
+)
+def ldbc_ic8_recent_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC8 Recent Replies (ldbc_benchmark.rs:233-244): newest replies
+    to any of the person's messages — anchored two-hop with the sort
+    key on an EDGE property (reply date -> lineitem shipdate)."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (p:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(t:Part)
+        WHERE id(p) = $me
+        RETURN id(o) AS oid, l.linenumber AS line,
+               toString(l.shipdate) AS sd, t.name AS part
+        ORDER BY sd DESC, oid, line
+        LIMIT 20
+        """,
+        {"me": _ME},
+    )
+
+
+@query(
+    "ldbc_bi11_unrelated_replies",
+    f"""
+    SELECT count(*) AS unrelated
+    FROM customer
+    JOIN orders o ON o.o_custkey = c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c_custkey <= 200
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o2
+          JOIN lineitem l2 ON l2.l_orderkey = o2.o_orderkey
+          WHERE o2.o_custkey = c_custkey
+            AND l2.l_partkey = l.l_partkey
+            AND o2.o_orderkey <> o.o_orderkey
+      )
+    """,
+)
+def ldbc_bi11_unrelated_replies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-11 Unrelated Replies (ldbc_bi_benchmark.rs:246-257): count
+    messages sharing NO tag with a sibling — a correlated NOT EXISTS
+    over THREE bound anchors (customer, order, part) compiled to a
+    left-anti join keyed on the pattern row."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(t:Part)
+        WHERE id(c) <= $cmax AND NOT EXISTS {
+            MATCH (c)-[:PLACED]->(o2:Order)-[:CONTAINS]->(t)
+            WHERE id(o2) <> id(o)
+        }
+        RETURN count(*) AS unrelated
+        """,
+        {"cmax": _CB + 200},
+    )
+
+
+@query(
+    "ldbc_bi12_person_trending",
+    f"""
+    SELECT c_custkey + {_CB} AS author_id, c_name AS author,
+           count(*) AS like_count
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+    GROUP BY author_id, author
+    ORDER BY like_count DESC, author_id
+    LIMIT 20
+    """,
+)
+def ldbc_bi12_person_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-12 Person Trending (ldbc_bi_benchmark.rs:262-272): per-author
+    engagement inside a period where the range predicate lives on the
+    EDGE property (likes creationDate -> lineitem shipdate), pushed
+    below the aggregation."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (author:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(:Part)
+        WHERE l.shipdate >= date('1995-01-01')
+          AND l.shipdate < date('1996-01-01')
+        RETURN id(author) AS author_id, author.name AS author,
+               count(*) AS like_count
+        ORDER BY like_count DESC, author_id
+        LIMIT 20
+        """
+    )
