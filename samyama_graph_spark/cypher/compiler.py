@@ -71,10 +71,14 @@ class Compiler:
         graph: PropertyGraph,
         params: dict[str, Any] | None = None,
         catalog=None,
+        wcoj: bool = True,
     ):
         self.g = graph
         self.params = params or {}
         self.catalog = catalog  # index metadata (vector metrics etc.)
+        # worst-case-optimal triangle rewrite (leapfrog.rs:265); off ->
+        # cyclic patterns compile to cost-ordered binary joins
+        self.wcoj = wcoj
         # planner diagnostics consumed by EXPLAIN (the reference's
         # EXPLAIN reports candidate plans + costs, planner.rs:73,
         # executor/mod.rs:229-260)
@@ -375,10 +379,122 @@ class Compiler:
         if path.shortest is not None:
             self._shortest_path(st, path)
             return
+        if self._try_wcoj_triangle(st, path):
+            return
         # anchor selection may split the chain at an interior node (two
         # segments sharing the anchor variable) — compile each in turn
         for seg in self._orient_path(st, path):
             self._compile_chain(st, seg)
+
+    def _try_wcoj_triangle(self, st: State, path: A.PatternPath) -> bool:
+        """Worst-case-optimal plan for single-path triangle patterns
+        ``(a)-[:R]->(b)-[:S]->(c)-[:T]->(a)`` (any per-edge direction).
+
+        The binary-join plan materializes and shuffles every wedge
+        (open two-path) before the closing filter — the classic
+        intermediate-result blowup WCOJ exists to avoid; the reference
+        runs these through a LeapFrog TrieJoin (leapfrog.rs:265).  Here
+        the closing intersection is computed with grouped adjacency
+        arrays probed against a per-vertex hash map inside whole-stage
+        codegen (operators/wcoj.py), so shuffled volume is bounded by
+        distinct edge pairs + output.
+
+        Applies only when the rewrite is provably equivalent to the
+        binary plan it replaces — all three edges anonymous single-hop
+        without inline properties, node variables distinct and not yet
+        bound, no named path — and falls back silently otherwise.
+        Exact multiset parity: multi-edge multiplicity is restored
+        multiplicatively (cnt1*cnt2*cnt3 per binding), matching the
+        one-row-per-edge-combination semantics of the join plan.
+        """
+        if not self.wcoj:
+            return False
+        if path.shortest is not None or path.path_var is not None:
+            return False
+        if len(path.edges) != 3:
+            return False
+        for ep in path.edges:
+            if ep.min_hops is not None or ep.var is not None or ep.properties:
+                return False
+        a = path.nodes[0].var
+        if a is None or path.nodes[3].var != a:
+            return False
+        closing = path.nodes[3]
+        if closing.labels or closing.properties:
+            return False
+        names = [a, path.nodes[1].var, path.nodes[2].var]
+        concrete = [n for n in names if n is not None]
+        if len(set(concrete)) != len(concrete):
+            return False
+        if any(n in st.scope.vars for n in concrete):
+            # a bound anchor makes the binary expansion cheap (and the
+            # rebind/label-recheck machinery lives on that path)
+            return False
+        node_pats = list(path.nodes[:3])
+        if any(len(np.labels) > 1 for np in node_pats):
+            return False
+
+        from samyama_graph_spark.operators import wcoj
+
+        vars_ = [
+            names[0],
+            names[1] or st.fresh("n"),
+            names[2] or st.fresh("n"),
+        ]
+
+        def _label_ids(np_: A.NodePattern) -> DataFrame | None:
+            if not np_.labels:
+                return None
+            try:
+                return self.g.node_df(np_.labels[0]).select(
+                    F.col("id").alias("__lid")
+                )
+            except KeyError:
+                return self.g.spark.createDataFrame([], "__lid long")
+
+        idsets = [_label_ids(np_) for np_ in node_pats]
+        pairs: list[DataFrame] = []
+        for i, ep in enumerate(path.edges):
+            esrc = self._edge_source(ep.types, "__w", ep.direction)
+            p = wcoj.pair_counts(
+                esrc.select(
+                    F.col("__w.src").alias("src"), F.col("__w.dst").alias("dst")
+                )
+            )
+            # label pruning BEFORE the adjacency aggregation: semi-join
+            # each endpoint against its label's id set so the collected
+            # arrays only hold vertices that can participate
+            if idsets[i] is not None:
+                p = p.join(idsets[i], F.col("u") == F.col("__lid"), "left_semi")
+            j = (i + 1) % 3
+            if idsets[j] is not None:
+                p = p.join(idsets[j], F.col("v") == F.col("__lid"), "left_semi")
+            pairs.append(p)
+
+        tri = wcoj.expand_multiplicity(wcoj.triangle_intersection(*pairs))
+        tri = tri.select(
+            F.col("a").alias("__wa"),
+            F.col("b").alias("__wb"),
+            F.col("c").alias("__wc"),
+        )
+        for var, np_, idcol in zip(vars_, node_pats, ["__wa", "__wb", "__wc"]):
+            label = np_.labels[0] if np_.labels else None
+            nsrc = self._node_source(label, var)
+            tri = tri.join(nsrc, F.col(f"{var}.id") == F.col(idcol))
+        tri = tri.drop("__wa", "__wb", "__wc")
+        st.frame = tri if st.frame is None else st.frame.crossJoin(tri)
+        for var, np_ in zip(vars_, node_pats):
+            st.scope.vars[var] = VarInfo(
+                "node", var, np_.labels[0] if np_.labels else None
+            )
+        for var, np_ in zip(vars_, node_pats):
+            self._inline_props(st, var, np_.properties)
+        self.plan_trace.append(
+            f"path {vars_[0]}-{vars_[1]}-{vars_[2]}-{vars_[0]}: "
+            "worst-case-optimal intersection join (leapfrog.rs:265) — "
+            "wedges never materialized"
+        )
+        return True
 
     def _compile_chain(self, st: State, path: A.PatternPath) -> None:
         node_vars: list[str] = []

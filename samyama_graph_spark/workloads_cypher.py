@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from samyama_graph_spark.cypher import CypherEngine
+from samyama_graph_spark.graph import PropertyGraph
 from samyama_graph_spark.loaders import ID_BASE, load_tables, tpch_graph
 from samyama_graph_spark.workloads import query
 
@@ -777,3 +778,88 @@ def cypher_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_paths").cast("long").alias("n"),
     )
     return sp.unionByName(asp)
+
+
+# --------------------------------------------------------------------------
+# Worst-case-optimal triangle join over the co-order part graph
+# --------------------------------------------------------------------------
+
+_COORDER_ENGINES: dict[tuple[int, str], CypherEngine] = {}
+
+
+def _coorder_engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
+    """Cypher engine over the co-order part graph: Part nodes (id =
+    partkey) and a CO edge per distinct ordered pair (u < v) of parts
+    appearing in the same order — the densest graph the fixtures can
+    build, so triangle patterns here actually stress the wedge
+    explosion the WCOJ rewrite (compiler._try_wcoj_triangle,
+    leapfrog.rs:265) exists to avoid."""
+    key = (id(spark), sf_dir)
+    if key not in _COORDER_ENGINES:
+        t = load_tables(spark, sf_dir)
+        parts = t["part"].select(
+            F.col("p_partkey").alias("id"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("name"),
+            F.col("p_brand").alias("brand"),
+        )
+        # per-order combination arrays: ONE shuffle, local quadratic
+        # expansion over bounded order size (same shape as
+        # workloads_graph._coorder_closure)
+        pairs = (
+            t["lineitem"]
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ps, (x, i) -> "
+                        "transform(slice(ps, i + 2, size(ps)), "
+                        "y -> struct(x AS src, y AS dst))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.src", "p.dst")
+            .distinct()
+        )
+        g = PropertyGraph(spark, {"Part": parts}, {"CO": pairs})
+        _COORDER_ENGINES[key] = CypherEngine(g)
+    return _COORDER_ENGINES[key]
+
+
+@query(
+    "cypher_wcoj_triangle",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )
+    SELECT p1.u AS pk, CAST(count(*) AS BIGINT) AS tris
+    FROM pairs p1
+    JOIN pairs p2 ON p2.u = p1.v
+    JOIN pairs p3 ON p3.u = p1.u AND p3.v = p2.v
+    GROUP BY p1.u
+    ORDER BY tris DESC, pk
+    LIMIT 20
+    """,
+)
+def cypher_wcoj_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration through the full Cypher stack, compiled to
+    the worst-case-optimal intersection join (operators/wcoj.py): the
+    single-path cycle below hits compiler._try_wcoj_triangle, so no
+    wedge (open two-path) is ever shuffled — intermediates are bounded
+    by |distinct CO pairs| + |triangles|, the LFTJ guarantee
+    (leapfrog.rs:265) in Catalyst terms."""
+    eng = _coorder_engine(spark, sf_dir)
+    out = eng.query(
+        """
+        MATCH (a:Part)-[:CO]->(b:Part)-[:CO]->(c:Part)<-[:CO]-(a)
+        RETURN a.partkey AS pk, count(*) AS tris
+        ORDER BY tris DESC, pk
+        LIMIT 20
+        """
+    )
+    assert any("worst-case-optimal" in s for s in eng.last_plan_trace)
+    return out

@@ -1218,3 +1218,102 @@ def ldbc_bi12_person_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "ldbc_ic14_trusted_paths",
+    f"""
+    WITH RECURSIVE {KNOWS_CTES},
+    paths(id, d, ns) AS (
+        SELECT CAST({_ME} AS BIGINT), 0, [CAST({_ME} AS BIGINT)]
+        UNION ALL
+        SELECT k.dst, p.d + 1, list_append(p.ns, k.dst)
+        FROM paths p JOIN knows_u k ON k.src = p.id
+        WHERE p.d < 6 AND NOT list_contains(p.ns, k.dst)
+    ),
+    target AS (SELECT ns, d FROM paths WHERE id = {_CB + 24}),
+    best AS (SELECT MIN(d) AS l FROM target),
+    path_nodes AS (
+        SELECT UNNEST(ns) AS nid FROM target, best WHERE d = l
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(ROUND(c_acctbal, 0)) AS DOUBLE) AS weight
+    FROM path_nodes JOIN customer ON c_custkey + {_CB} = nid
+    """,
+)
+def ldbc_ic14_trusted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC14 Trusted Connection Paths (ldbc_benchmark.rs:311-330): ALL
+    shortest paths between two anchored persons, each path scored by a
+    weight computed from the entities on it, via
+    allShortestPaths -> nodes(path) -> UNWIND -> re-MATCH by id.  The
+    LDBC weight sums comment-interaction scores per hop; the TPC-H
+    binding scores path members by rounded account balance — same
+    shape: path enumeration feeding a value join and an aggregate.
+    Anchors are IC13's pair (customer 1 -> 24, three ring hops at every
+    shipped SF), and the oracle enumerates simple paths with a
+    list-carrying recursive CTE, keeps the MIN(d) ones, and scores the
+    same node set."""
+    return (
+        _engine(spark, sf_dir)
+        .query(
+            """
+            MATCH path = allShortestPaths((a:Customer)-[:KNOWS*..6]-(b:Customer))
+            WHERE id(a) = $me AND id(b) = $other
+            UNWIND nodes(path) AS nid
+            MATCH (c:Customer) WHERE id(c) = nid
+            RETURN count(*) AS n_nodes, sum(round(c.acctbal, 0)) AS weight
+            """,
+            {"me": _ME, "other": _CB + 24},
+        )
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+    )
+
+
+@query(
+    "ldbc_bi17_triangles",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      FROM lineitem l1
+      JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    )
+    SELECT pa.p_brand AS brand, CAST(count(*) AS BIGINT) AS triangles
+    FROM pairs p1
+    JOIN pairs p2 ON p2.u = p1.v
+    JOIN pairs p3 ON p3.u = p1.u AND p3.v = p2.v
+    JOIN part pa ON pa.p_partkey = p1.u
+    JOIN part pb ON pb.p_partkey = p1.v
+    JOIN part pc ON pc.p_partkey = p2.v
+    WHERE pa.p_brand = pb.p_brand AND pb.p_brand = pc.p_brand
+    GROUP BY brand
+    ORDER BY triangles DESC, brand
+    LIMIT 10
+    """,
+)
+def ldbc_bi17_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-17 Friend Triangles (ldbc_bi_benchmark.rs:330-352): count
+    triangles whose three members all belong to one country.  TPC-H
+    binding: triangles in the co-order part graph whose corners share a
+    brand (country -> brand), grouped per brand.  The cycle compiles to
+    the worst-case-optimal intersection join (compiler
+    _try_wcoj_triangle, leapfrog.rs:265) — the in-country restriction
+    arrives as a WHERE over the bound corners, applied after the
+    intersection with no wedge ever shuffled."""
+    from samyama_graph_spark.workloads_cypher import _coorder_engine
+
+    eng = _coorder_engine(spark, sf_dir)
+    out = eng.query(
+        """
+        MATCH (a:Part)-[:CO]->(b:Part)-[:CO]->(c:Part)<-[:CO]-(a)
+        WHERE a.brand = b.brand AND b.brand = c.brand
+        RETURN a.brand AS brand, count(*) AS triangles
+        ORDER BY triangles DESC, brand
+        LIMIT 10
+        """
+    )
+    assert any("worst-case-optimal" in s for s in eng.last_plan_trace)
+    return out

@@ -441,3 +441,74 @@ def test_cycle_selective_edge_leads(spark):
     assert first_path == "b-c", reorder_line
     # and the answer is still the plain conjunctive count
     assert out.collect()[0]["n"] >= 0
+
+
+def test_wcoj_triangle_intersection_parity(spark):
+    """Single-path triangle patterns must take the worst-case-optimal
+    intersection join (leapfrog.rs:265) and return the exact row
+    multiset of the binary-join plan — including multi-edge
+    multiplicity (cnt1*cnt2*cnt3 per binding), undirected edges (both
+    orientations), mixed directions, labels, and inline properties."""
+    from samyama_graph_spark.cypher.compiler import Compiler
+    from samyama_graph_spark.cypher.parser import parse
+    from samyama_graph_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(1, 8)], "id long, name string"
+    )
+    # triangles 1-2-3 (with a 3->1 multi-edge) and 2-3-4; a path tail
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 1), (3, 4), (4, 2),
+         (4, 5), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    g = PropertyGraph(spark, {"P": nodes}, {"E": edges})
+    queries = [
+        "MATCH (a)-[:E]->(b)-[:E]->(c)-[:E]->(a) "
+        "RETURN a.name AS an, b.name AS bn, c.name AS cn",
+        "MATCH (a:P)-[:E]->(b:P)-[:E]->(c:P)-[:E]->(a) RETURN count(*) AS n",
+        "MATCH (a)-[:E]->(b)-[:E]->(c)<-[:E]-(a) "
+        "RETURN a.name AS an, c.name AS cn",
+        "MATCH (a)-[:E]-(b)-[:E]-(c)-[:E]-(a) RETURN count(*) AS n",
+        "MATCH (a {name:'n2'})-[:E]->(b)-[:E]->(c)-[:E]->(a) "
+        "RETURN b.name AS bn",
+    ]
+    for q in queries:
+        ast = parse(q)
+        on = Compiler(g, wcoj=True)
+        off = Compiler(g, wcoj=False)
+        got = sorted(map(tuple, on.compile_query(ast).collect()))
+        want = sorted(map(tuple, off.compile_query(ast).collect()))
+        assert any("worst-case-optimal" in t for t in on.plan_trace), (
+            q, on.plan_trace,
+        )
+        assert got == want, (q, got, want)
+
+
+def test_wcoj_fallback_when_not_equivalent(spark):
+    """Shapes the rewrite cannot prove equivalent must stay on the
+    binary-join path: edge variables, an already-bound anchor, and a
+    labeled closing occurrence."""
+    from samyama_graph_spark.cypher import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    eng = CypherEngine(PropertyGraph(spark, {"P": nodes}, {"E": edges}))
+    fallbacks = [
+        # edge variable pins the binary plan (its rows are observable)
+        "MATCH (a)-[e:E]->(b)-[:E]->(c)-[:E]->(a) RETURN count(e) AS n",
+        # anchor bound by an earlier path -> anchored expansion
+        "MATCH (a:P) WITH a MATCH (a)-[:E]->(b)-[:E]->(c)-[:E]->(a) "
+        "RETURN count(*) AS n",
+        # closing occurrence carries a label constraint
+        "MATCH (a)-[:E]->(b)-[:E]->(c)-[:E]->(a:P) RETURN count(*) AS n",
+    ]
+    for q in fallbacks:
+        n = eng.query(q).collect()[0]["n"]
+        assert n == 3, (q, n)
+        assert not any(
+            "worst-case-optimal" in t for t in eng.last_plan_trace
+        ), (q, eng.last_plan_trace)
