@@ -79,6 +79,10 @@ class Compiler:
         # worst-case-optimal triangle rewrite (leapfrog.rs:265); off ->
         # cyclic patterns compile to cost-ordered binary joins
         self.wcoj = wcoj
+        # max estimated rows per broadcast-resident adjacency side; the
+        # default keeps each broadcast under a few hundred MB (two
+        # longs + struct overhead per entry)
+        self.wcoj_broadcast_limit = 5_000_000
         # planner diagnostics consumed by EXPLAIN (the reference's
         # EXPLAIN reports candidate plans + costs, planner.rs:73,
         # executor/mod.rs:229-260)
@@ -433,6 +437,26 @@ class Compiler:
         node_pats = list(path.nodes[:3])
         if any(len(np.labels) > 1 for np in node_pats):
             return False
+        # the intersection plan keeps the adjacency index RESIDENT
+        # (broadcast) — the LFTJ execution model.  If either index side
+        # exceeds the broadcast budget, shipping arrays through a
+        # shuffle join would move wedge-order bytes (worse than binary
+        # joins; see operators/wcoj.py), so fall back to the
+        # cost-ordered binary plan and let AQE pick join strategies.
+        for ep in path.edges[1:]:
+            if ep.types:
+                est = sum(self.g.edge_count_est(t) for t in ep.types)
+            else:
+                est = self.g.edge_count_est(None)
+            if ep.direction == "both":
+                est *= 2
+            if est > self.wcoj_broadcast_limit:
+                self.plan_trace.append(
+                    "triangle: intersection index side "
+                    f"~{est} rows exceeds wcoj_broadcast_limit "
+                    f"{self.wcoj_broadcast_limit} -> binary joins"
+                )
+                return False
 
         from samyama_graph_spark.operators import wcoj
 

@@ -147,3 +147,116 @@ def sample_exact_k(
         .filter(F.col("__rn") <= k)
         .drop("__h", "__rn")
     )
+
+
+def mixture_rates(
+    df: DataFrame, group_col: str, shares: dict[str, float]
+) -> DataFrame:
+    """Per-group acceptance thresholds (in BUCKETS-ths) realizing a
+    target mixture by downsampling only.
+
+    Training-data mixing: given target shares per domain/source (the
+    static-mixture reweighting of Pile/DoReMi-style pipelines), the
+    largest corpus achievable WITHOUT upsampling has total
+    ``T = min_g(n_g / share_g)``; group g then keeps ``share_g * T``
+    rows, i.e. acceptance rate ``share_g * T / n_g`` (exactly 1 for the
+    binding group).  Everything is DataFrame algebra — one tiny
+    aggregate over group counts, no driver collect — and thresholds are
+    FLOOR-ed bucket integers so the DuckDB oracle replays the identical
+    arithmetic (floor is unambiguous across engines; round is not).
+    Groups absent from ``shares`` are dropped (explicit beats
+    surprising, like stratified_sample).
+    """
+    total_share = sum(shares.values())
+    norm = {g: s / total_share for g, s in shares.items()}
+    share_map = F.create_map(
+        *[x for g in sorted(norm) for x in (F.lit(g), F.lit(norm[g]))]
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__share", F.element_at(share_map, F.col(group_col)))
+        .filter(F.col("__share").isNotNull())
+    )
+    feasible = counts.agg(
+        F.min(F.col("__n") / F.col("__share")).alias("__total")
+    )
+    return counts.crossJoin(feasible).select(
+        group_col,
+        F.floor(
+            ((F.col("__share") * F.col("__total")) / F.col("__n"))
+            * F.lit(BUCKETS)
+        ).alias("__thr"),
+    )
+
+
+def resample_mixture(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    shares: dict[str, float],
+    seed: int = 3,
+) -> DataFrame:
+    """Resample to a target group mixture: broadcast the per-group
+    thresholds from :func:`mixture_rates` onto the corpus and keep a
+    row iff its stable hash bucket clears its group's threshold — a
+    map-only pass over 100 TB once the (tiny) rates frame is built, and
+    fully deterministic: membership depends only on (id, seed, group
+    counts), never on partitioning."""
+    rates = mixture_rates(df, group_col, shares)
+    return df.join(F.broadcast(rates), group_col).filter(
+        hash_bucket(F.col(id_col), seed) < F.col("__thr")
+    ).drop("__thr")
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    seed: int = 4,
+) -> DataFrame:
+    """Deterministic ≤k out-neighbor sample per source vertex — the
+    GraphSAGE/GNN-minibatch fan-out primitive.
+
+    The k winners per source are the smallest seeded edge hashes
+    (destination as final tie-break), so the sample is stable under
+    repartitioning and incremental ingestion, and the DuckDB oracle
+    replays it with QUALIFY row_number() over the same hash.  One
+    shuffle on the source key; layered calls (sample the sampled
+    frontier) give bounded multi-hop blocks whose size is
+    seeds * prod(k_i) regardless of hub degrees — the skew-proof way to
+    cut GNN training minibatches out of a 100 TB edge set.
+    """
+    from pyspark.sql.window import Window
+
+    h = hash60(
+        F.concat(
+            F.lit(f"{seed}|"),
+            F.col(src_col).cast("string"),
+            F.lit("|"),
+            F.col(dst_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(src_col).orderBy("__h", F.asc(dst_col))
+    return (
+        edges.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__h", "__rn")
+    )
+
+
+def neighbor_sample_sql(
+    src_expr: str, dst_expr: str, k: int, seed: int = 4
+) -> str:
+    """DuckDB QUALIFY clause matching :func:`neighbor_sample` (keep in
+    lockstep!): append to a SELECT over the same edge set."""
+    h = hash60_sql(
+        f"'{seed}' || '|' || CAST({src_expr} AS VARCHAR) || '|' || "
+        f"CAST({dst_expr} AS VARCHAR)"
+    )
+    return (
+        f"QUALIFY row_number() OVER (PARTITION BY {src_expr} "
+        f"ORDER BY {h}, {dst_expr}) <= {k}"
+    )

@@ -311,6 +311,23 @@ class PropertyGraph:
                 cache[key] = 0
         return cache[key]
 
+    def edge_count_est(self, edge_type: str | None = None) -> int:
+        """Memoized per-type edge cardinality ESTIMATE for the pattern
+        planner (same catalog role as label_count_est; the reference
+        keeps per-predicate triple counts, src/graph/catalog.rs:63-140).
+        One metadata-count job per (graph, type), carried forward by
+        ``compacted()`` like the node cache."""
+        cache = self.__dict__.setdefault("_ecount_cache", {})
+        key = edge_type if edge_type is not None else "\x00ALL"
+        if key not in cache:
+            if edge_type is None:
+                cache[key] = sum(self.edge_count_est(t) for t in self.edges)
+            elif edge_type in self.edges:
+                cache[key] = self.edges[edge_type].count()
+            else:
+                cache[key] = 0
+        return cache[key]
+
     def edge_degree_est(
         self, edge_type: str | None, direction: str = "out"
     ) -> float:
@@ -348,7 +365,7 @@ class PropertyGraph:
     def _carry_stats_from(self, other: "PropertyGraph") -> "PropertyGraph":
         """Copy another graph's stats cache (id-preserving derivations:
         compaction, write deltas)."""
-        for attr in ("_count_cache", "_deg_cache"):
+        for attr in ("_count_cache", "_deg_cache", "_ecount_cache"):
             prior = other.__dict__.get(attr)
             if prior:
                 self.__dict__[attr] = dict(prior)

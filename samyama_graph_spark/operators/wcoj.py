@@ -52,53 +52,55 @@ def triangle_intersection(
     ``(a, b, c, mult)`` where ``mult`` is the number of distinct edge
     combinations realizing the binding.
 
-    Plan shape (all JVM-side, no Python boundary):
+    Plan shape — a pipeline of two BroadcastHashJoins:
 
-    - ``p2`` grouped to adjacency arrays keyed by its source vertex;
-    - ``p3`` grouped to a per-target-vertex hash map (closing edge);
-    - ``p1`` joins both on its endpoints, then the candidate set for
-      ``c`` is ``filter(adj(b), x -> element_at(map(a), x.v) != null)``
-      — an O(outdeg(b)) probe loop with O(1) hash lookups, fused into
-      whole-stage codegen.  Non-closing wedges die inside the loop;
-      they are never shuffled, never row-materialized.
+    - ``p2`` (the expansion index) and ``p3`` (the closing index) are
+      BROADCAST: each becomes an executor-resident hash table, the
+      LFTJ adjacency index re-expressed in Spark physical terms;
+    - ``p1`` streams past both inside one whole-stage-codegen pipeline:
+      the first BHJ emits wedge tuples, the second immediately probes
+      the closing (c, a) table.  Wedges exist only as transient codegen
+      rows BETWEEN the two joins — never shuffled, never materialized,
+      never spilled.  Total cost: O(|pairs| + #wedge-probes) with O(1)
+      hash lookups, memory O(|index sides|).
+
+    The broadcasts are load-bearing, not a tuning hint.  Two shapes
+    measured 2-3x WORSE on a 1.2M-pair / 49M-wedge co-order graph:
+    shuffle-joining grouped adjacency arrays re-serializes each array
+    once per probing pair (wedge-order bytes moved — the exact cost
+    WCOJ exists to avoid), and probing a Spark ``map`` column is a
+    LINEAR key scan (ArrayBasedMapData has no hash table) outside
+    codegen.  The compiler therefore only routes here when the
+    catalog's edge-count estimates say both index sides fit a
+    broadcast (``wcoj_broadcast_limit``); above that, cost-ordered
+    binary joins with AQE are the honest distributed plan.
     """
-    adj2 = p2.groupBy(F.col("u").alias("__b")).agg(
-        F.collect_list(F.struct(F.col("v").alias("w"), F.col("cnt").alias("c2"))).alias(
-            "__adj"
+    b2 = F.broadcast(
+        p2.select(
+            F.col("u").alias("__b2u"),
+            F.col("v").alias("__b2v"),
+            F.col("cnt").alias("__c2"),
         )
     )
-    # per (c, a) pairs are already distinct after pair_counts, so the
-    # map keys (c for a given a) are unique — map_from_entries is safe
-    close3 = p3.groupBy(F.col("v").alias("__a")).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("u"), F.col("cnt")))
-        ).alias("__close")
+    b3 = F.broadcast(
+        p3.select(
+            F.col("u").alias("__b3u"),
+            F.col("v").alias("__b3v"),
+            F.col("cnt").alias("__c3"),
+        )
     )
-    hits = (
-        p1.join(adj2, F.col("v") == F.col("__b"))
-        .join(close3, F.col("u") == F.col("__a"))
+    return (
+        p1.join(b2, F.col("v") == F.col("__b2u"))
+        .join(
+            b3,
+            (F.col("__b2v") == F.col("__b3u")) & (F.col("u") == F.col("__b3v")),
+        )
         .select(
             F.col("u").alias("a"),
             F.col("v").alias("b"),
-            F.col("cnt").alias("c1"),
-            F.col("__close"),
-            F.explode(
-                F.filter(
-                    F.col("__adj"),
-                    lambda x: F.element_at(F.col("__close"), x["w"]).isNotNull(),
-                )
-            ).alias("__hit"),
+            F.col("__b2v").alias("c"),
+            (F.col("cnt") * F.col("__c2") * F.col("__c3")).alias("mult"),
         )
-    )
-    return hits.select(
-        "a",
-        "b",
-        F.col("__hit.w").alias("c"),
-        (
-            F.col("c1")
-            * F.col("__hit.c2")
-            * F.element_at(F.col("__close"), F.col("__hit.w"))
-        ).alias("mult"),
     )
 
 

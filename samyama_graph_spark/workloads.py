@@ -566,7 +566,11 @@ GATE_ORDER: list[str] = [
     "cypher_var_length",
     "cypher_shortest_paths",
     "cypher_call_subquery",
-    "cypher_pattern_comprehension",
+    # WCOJ: the worst-case-optimal triangle plan (leapfrog.rs:265)
+    # through the full Cypher stack; replaced cypher_pattern_
+    # comprehension (expression forms keep the case_projection +
+    # exists gate rows; pattern comprehension stays pytest-oracled)
+    "cypher_wcoj_triangle",
     "cypher_write_pipeline",
     "cypher_knn",
     "cypher_introspection",

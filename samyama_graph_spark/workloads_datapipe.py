@@ -1388,3 +1388,104 @@ def rag_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_text_chunks(
         _docs(spark, sf_dir), "text", "doc_id", chunk_size=200, overlap=40
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data mixture resampling + GNN neighbor sampling
+# --------------------------------------------------------------------------
+
+_MIX_SHARES = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_SEED = 5
+
+
+def _mix_oracle() -> str:
+    from samyama_graph_spark.datapipe.sampling import hash_bucket_sql
+
+    total = sum(_MIX_SHARES.values())
+    values = ", ".join(
+        f"('{g}', {_MIX_SHARES[g] / total!r})" for g in sorted(_MIX_SHARES)
+    )
+    return f"""
+    WITH shares(source, share) AS (VALUES {values}),
+    counts AS (
+        SELECT d.source, count(*) AS n
+        FROM documents d JOIN shares s ON s.source = d.source
+        GROUP BY d.source
+    ),
+    feas AS (
+        SELECT MIN(c.n / s.share) AS total
+        FROM counts c JOIN shares s ON s.source = c.source
+    ),
+    rates AS (
+        SELECT c.source,
+               FLOOR(((s.share * f.total) / c.n) * 10000) AS thr
+        FROM counts c JOIN shares s ON s.source = c.source CROSS JOIN feas f
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {hash_bucket_sql('d.doc_id', _MIX_SEED)} < r.thr
+    """
+
+
+def _gnn_oracle() -> str:
+    from samyama_graph_spark.datapipe.sampling import neighbor_sample_sql
+
+    return f"""
+    WITH l1 AS (
+        SELECT o_custkey AS c, o_orderkey AS o FROM orders
+        {neighbor_sample_sql('o_custkey', 'o_orderkey', 3, seed=7)}
+    ),
+    e2 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+           WHERE l_orderkey IN (SELECT o FROM l1)),
+    l2 AS (SELECT o, p FROM e2 {neighbor_sample_sql('o', 'p', 2, seed=8)})
+    SELECT l1.c AS custkey, l1.o AS orderkey, l2.p AS partkey
+    FROM l1 JOIN l2 ON l2.o = l1.o
+    """
+
+
+@query("doc_mixture_resample", _mix_oracle())
+def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture resampling (Pile/DoReMi-style static
+    mixture): downsample each source to hit target shares at the
+    largest feasible corpus size (no upsampling).  The rates frame is a
+    tiny broadcast; the corpus pass is map-only; membership is a pure
+    function of (doc_id, seed, group counts) so the oracle replays the
+    identical FLOOR-bucket arithmetic.  New scope beyond the reference
+    (no sampling surface there), same layer as dedup/similarity."""
+    from samyama_graph_spark.datapipe.sampling import resample_mixture
+
+    return resample_mixture(
+        _docs(spark, sf_dir), "doc_id", "source", _MIX_SHARES, seed=_MIX_SEED
+    ).select("doc_id", "source")
+
+
+@query("gnn_neighbor_sample", _gnn_oracle())
+def gnn_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-layer GNN minibatch sampling (GraphSAGE fan-out) over the
+    customer->order->part bipartite chain: ≤3 orders per customer, then
+    ≤2 parts per sampled order.  Hash-ranked winners make the block
+    stable under repartitioning; block size is bounded by
+    seeds*3*2 regardless of hub degree — at 100 TB the frontier
+    semi-join keeps layer 2's window on sampled orders only.  Oracle:
+    the same seeded hash ranking via QUALIFY row_number()."""
+    from samyama_graph_spark.datapipe.sampling import neighbor_sample
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    l1 = neighbor_sample(
+        t["orders"].select(
+            F.col("o_custkey").alias("c"), F.col("o_orderkey").alias("o")
+        ),
+        "c", "o", k=3, seed=7,
+    )
+    edges2 = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .join(l1.select("o").distinct(), "o", "left_semi")
+    )
+    l2 = neighbor_sample(edges2, "o", "p", k=2, seed=8)
+    return l1.join(l2, "o").select(
+        F.col("c").alias("custkey"),
+        F.col("o").alias("orderkey"),
+        F.col("p").alias("partkey"),
+    )

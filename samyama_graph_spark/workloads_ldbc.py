@@ -1272,15 +1272,11 @@ def ldbc_ic14_trusted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ldbc_bi17_triangles",
-    """
-    WITH pairs AS (
-      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
-      FROM lineitem l1
-      JOIN lineitem l2
-        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
-    )
+def _bi17_oracle() -> str:
+    from samyama_graph_spark.workloads_cypher import COORDER_PAIRS_CTE
+
+    return f"""
+    WITH {COORDER_PAIRS_CTE}
     SELECT pa.p_brand AS brand, CAST(count(*) AS BIGINT) AS triangles
     FROM pairs p1
     JOIN pairs p2 ON p2.u = p1.v
@@ -1292,8 +1288,10 @@ def ldbc_ic14_trusted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY brand
     ORDER BY triangles DESC, brand
     LIMIT 10
-    """,
-)
+    """
+
+
+@query("ldbc_bi17_triangles", _bi17_oracle())
 def ldbc_bi17_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BI-17 Friend Triangles (ldbc_bi_benchmark.rs:330-352): count
     triangles whose three members all belong to one country.  TPC-H

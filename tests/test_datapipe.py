@@ -623,3 +623,60 @@ def test_split_text_chunks_vs_reference_walk(spark):
         for j, c in enumerate(ref_split(t, 20, 5))
     )
     assert rows == expect
+
+
+def test_resample_mixture_rates_and_determinism(spark):
+    """mixture_rates: the binding group (largest n/share deficit) keeps
+    everything; resample_mixture output is a pure function of
+    (id, seed, group counts) — repartitioning must not move a row."""
+    from samyama_graph_spark.datapipe.sampling import (
+        mixture_rates,
+        resample_mixture,
+    )
+
+    rows = [(i, "a" if i < 400 else ("b" if i < 500 else "c"))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    shares = {"a": 0.5, "b": 0.25, "c": 0.25}
+    # feasible total = min(400/0.5, 100/0.25, 100/0.25) = 400
+    # -> a keeps 200/400 (thr 5000), b and c keep all (thr 10000)
+    thr = {r["grp"]: r["__thr"] for r in mixture_rates(df, "grp", shares).collect()}
+    assert thr == {"a": 5000, "b": 10000, "c": 10000}, thr
+    out = resample_mixture(df, "id", "grp", shares, seed=11)
+    got = sorted(map(tuple, out.select("id", "grp").collect()))
+    again = sorted(
+        map(
+            tuple,
+            resample_mixture(df.repartition(7), "id", "grp", shares, seed=11)
+            .select("id", "grp")
+            .collect(),
+        )
+    )
+    assert got == again
+    counts = {g: sum(1 for _, gg in got if gg == g) for g in shares}
+    assert counts["b"] == 100 and counts["c"] == 100
+    # hash-thinned group: close to the 200 target, never above threshold
+    assert 160 <= counts["a"] <= 240, counts
+
+
+def test_neighbor_sample_bounds_and_stability(spark):
+    """neighbor_sample: at most k rows per source, selection stable
+    under repartitioning, and hub degree never inflates the block."""
+    from samyama_graph_spark.datapipe.sampling import neighbor_sample
+
+    edges = spark.createDataFrame(
+        [(s, d) for s in range(20) for d in range(s % 7 + 1)],
+        "src long, dst long",
+    )
+    out = neighbor_sample(edges, "src", "dst", k=3, seed=9)
+    per_src = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= 3 for n in per_src.values())
+    # sources with degree < k keep their full neighborhood
+    assert per_src[0] == 1 and per_src[1] == 2 and per_src[6] == 3
+    again = neighbor_sample(edges.repartition(5), "src", "dst", k=3, seed=9)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )

@@ -512,3 +512,29 @@ def test_wcoj_fallback_when_not_equivalent(spark):
         assert not any(
             "worst-case-optimal" in t for t in eng.last_plan_trace
         ), (q, eng.last_plan_trace)
+
+
+def test_wcoj_broadcast_limit_falls_back(spark):
+    """The intersection route is only taken when the catalog's edge
+    count estimates fit the broadcast budget; above it, the plan must
+    fall back to binary joins (shuffle-shipping adjacency would move
+    wedge-order bytes)."""
+    from samyama_graph_spark.cypher.compiler import Compiler
+    from samyama_graph_spark.cypher.parser import parse
+    from samyama_graph_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    g = PropertyGraph(spark, {"P": nodes}, {"E": edges})
+    ast = parse(
+        "MATCH (a)-[:E]->(b)-[:E]->(c)-[:E]->(a) RETURN count(*) AS n"
+    )
+    comp = Compiler(g)
+    comp.wcoj_broadcast_limit = 2  # below |E| = 3
+    out = comp.compile_query(ast)
+    trace = " | ".join(comp.plan_trace)
+    assert "exceeds wcoj_broadcast_limit" in trace, trace
+    assert not any("worst-case-optimal" in t for t in comp.plan_trace)
+    assert out.collect()[0]["n"] == 3
