@@ -404,9 +404,12 @@ class Compiler:
         distinct edge pairs + output.
 
         Applies only when the rewrite is provably equivalent to the
-        binary plan it replaces — all three edges anonymous single-hop
-        without inline properties, node variables distinct and not yet
-        bound, no named path — and falls back silently otherwise.
+        binary plan it replaces AND enumeration is the right strategy —
+        all three edges anonymous single-hop without inline properties,
+        node variables distinct, not yet bound, and property-free (an
+        inline property marks a selective anchor better served by the
+        anchored binary expansion), no named path — and falls back
+        silently otherwise.
         Exact multiset parity: multi-edge multiplicity is restored
         multiplicatively (cnt1*cnt2*cnt3 per binding), matching the
         one-row-per-edge-combination semantics of the join plan.
@@ -437,26 +440,40 @@ class Compiler:
         node_pats = list(path.nodes[:3])
         if any(len(np.labels) > 1 for np in node_pats):
             return False
+        # inline properties signal a SELECTIVE anchor: the binary plan
+        # filters that node's scan to a handful of rows before any
+        # expansion, while the intersection route would enumerate every
+        # triangle first and filter after — a point query paying
+        # whole-graph cost.  Let the anchored binary plan have these.
+        if any(np_.properties for np_ in node_pats):
+            return False
         # the intersection plan keeps the adjacency index RESIDENT
-        # (broadcast) — the LFTJ execution model.  If either index side
-        # exceeds the broadcast budget, shipping arrays through a
+        # (broadcast) — the LFTJ execution model.  triangle_intersection
+        # is rotation-symmetric, so rotate the cycle to stream the
+        # LARGEST edge and broadcast the other two; if either index
+        # side still exceeds the budget, shipping arrays through a
         # shuffle join would move wedge-order bytes (worse than binary
         # joins; see operators/wcoj.py), so fall back to the
         # cost-ordered binary plan and let AQE pick join strategies.
-        for ep in path.edges[1:]:
+        ests = []
+        for ep in path.edges:
             if ep.types:
                 est = sum(self.g.edge_count_est(t) for t in ep.types)
             else:
                 est = self.g.edge_count_est(None)
             if ep.direction == "both":
                 est *= 2
-            if est > self.wcoj_broadcast_limit:
-                self.plan_trace.append(
-                    "triangle: intersection index side "
-                    f"~{est} rows exceeds wcoj_broadcast_limit "
-                    f"{self.wcoj_broadcast_limit} -> binary joins"
-                )
-                return False
+            ests.append(est)
+        r = max(range(3), key=lambda i: ests[i])
+        worst = max(ests[(r + 1) % 3], ests[(r + 2) % 3])
+        if worst > self.wcoj_broadcast_limit:
+            self.plan_trace.append(
+                "triangle: intersection index side "
+                f"~{worst} rows exceeds wcoj_broadcast_limit "
+                f"{self.wcoj_broadcast_limit} -> binary joins"
+            )
+            return False
+        order = [r, (r + 1) % 3, (r + 2) % 3]
 
         from samyama_graph_spark.operators import wcoj
 
@@ -495,24 +512,27 @@ class Compiler:
                 p = p.join(idsets[j], F.col("v") == F.col("__lid"), "left_semi")
             pairs.append(p)
 
-        tri = wcoj.expand_multiplicity(wcoj.triangle_intersection(*pairs))
-        tri = tri.select(
-            F.col("a").alias("__wa"),
-            F.col("b").alias("__wb"),
-            F.col("c").alias("__wc"),
+        tri = wcoj.expand_multiplicity(
+            wcoj.triangle_intersection(
+                pairs[order[0]], pairs[order[1]], pairs[order[2]]
+            )
         )
-        for var, np_, idcol in zip(vars_, node_pats, ["__wa", "__wb", "__wc"]):
+        # triangle_intersection's (a, b, c) follow the ROTATED cycle:
+        # its column k binds pattern node order[k]
+        colmap = {order[k]: c for k, c in enumerate("abc")}
+        tri = tri.select(
+            *[F.col(colmap[j]).alias(f"__w{j}") for j in range(3)]
+        )
+        for j, (var, np_) in enumerate(zip(vars_, node_pats)):
             label = np_.labels[0] if np_.labels else None
             nsrc = self._node_source(label, var)
-            tri = tri.join(nsrc, F.col(f"{var}.id") == F.col(idcol))
-        tri = tri.drop("__wa", "__wb", "__wc")
+            tri = tri.join(nsrc, F.col(f"{var}.id") == F.col(f"__w{j}"))
+        tri = tri.drop("__w0", "__w1", "__w2")
         st.frame = tri if st.frame is None else st.frame.crossJoin(tri)
         for var, np_ in zip(vars_, node_pats):
             st.scope.vars[var] = VarInfo(
                 "node", var, np_.labels[0] if np_.labels else None
             )
-        for var, np_ in zip(vars_, node_pats):
-            self._inline_props(st, var, np_.properties)
         self.plan_trace.append(
             f"path {vars_[0]}-{vars_[1]}-{vars_[2]}-{vars_[0]}: "
             "worst-case-optimal intersection join (leapfrog.rs:265) — "

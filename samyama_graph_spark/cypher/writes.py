@@ -157,7 +157,7 @@ class WriteExecutor:
         # post-write MATCH would re-run label-count jobs per statement
         return PropertyGraph(
             self.g.spark, self.nodes, self.edges, self.edge_meta
-        )._carry_stats_from(self.g)
+        )._carry_stats_from(self.g, edge_counts=False)
 
     # -------------------------------------------------------------- utils
     def _next_id_base(self) -> int:

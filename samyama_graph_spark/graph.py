@@ -362,10 +362,22 @@ class PropertyGraph:
         out_deg, in_deg = cache[key]
         return out_deg if direction == "out" else in_deg
 
-    def _carry_stats_from(self, other: "PropertyGraph") -> "PropertyGraph":
+    def _carry_stats_from(
+        self, other: "PropertyGraph", edge_counts: bool = True
+    ) -> "PropertyGraph":
         """Copy another graph's stats cache (id-preserving derivations:
-        compaction, write deltas)."""
-        for attr in ("_count_cache", "_deg_cache", "_ecount_cache"):
+        compaction, write deltas).
+
+        ``edge_counts=False`` for derivations that may CHANGE edge
+        cardinalities (write deltas): node/degree estimates only steer
+        join ordering and tolerate staleness, but ``edge_count_est``
+        gates the WCOJ broadcast (a memory-safety decision) — a stale
+        low estimate after bulk CREATEs could authorize broadcasting a
+        multi-GB adjacency side."""
+        attrs = ["_count_cache", "_deg_cache"]
+        if edge_counts:
+            attrs.append("_ecount_cache")
+        for attr in attrs:
             prior = other.__dict__.get(attr)
             if prior:
                 self.__dict__[attr] = dict(prior)

@@ -106,7 +106,11 @@ def triangle_intersection(
 
 def expand_multiplicity(tri: DataFrame) -> DataFrame:
     """Restore the exact Cypher row multiset from (a, b, c, mult):
-    one output row per realizing edge combination."""
+    one output row per realizing edge combination.  ``mult`` stays a
+    long end to end — a cnt1*cnt2*cnt3 product over dense parallel-edge
+    bundles can clear 2^31, and a narrowing cast would wrap silently
+    (negative bound -> sequence infers step -1 and explodes a
+    descending array; small positive -> silently wrong row counts)."""
     return tri.withColumn(
-        "__dup", F.explode(F.sequence(F.lit(1), F.col("mult").cast("int")))
+        "__dup", F.explode(F.sequence(F.lit(1).cast("long"), F.col("mult")))
     ).drop("mult", "__dup")

@@ -14,14 +14,21 @@ from samyama_graph_spark.graph import PropertyGraph
 from samyama_graph_spark.loaders import ID_BASE, load_tables, tpch_graph
 from samyama_graph_spark.workloads import query
 
-_ENGINES: dict[tuple[int, str], CypherEngine] = {}
+# weakly keyed on the live session (loaders.py convention): id(spark)
+# can be recycled by a new session after the old one is collected,
+# which would hand out engines bound to a dead context
+import weakref
+
+_ENGINES: "weakref.WeakKeyDictionary[SparkSession, dict[str, CypherEngine]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
-    key = (id(spark), sf_dir)
-    if key not in _ENGINES:
-        _ENGINES[key] = CypherEngine(tpch_graph(spark, sf_dir))
-    return _ENGINES[key]
+    per = _ENGINES.setdefault(spark, {})
+    if sf_dir not in per:
+        per[sf_dir] = CypherEngine(tpch_graph(spark, sf_dir))
+    return per[sf_dir]
 
 
 @query(
@@ -784,7 +791,9 @@ def cypher_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Worst-case-optimal triangle join over the co-order part graph
 # --------------------------------------------------------------------------
 
-_COORDER_ENGINES: dict[tuple[int, str], CypherEngine] = {}
+_COORDER_ENGINES: "weakref.WeakKeyDictionary[SparkSession, dict[str, CypherEngine]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _coorder_engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
@@ -796,8 +805,10 @@ def _coorder_engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
     threshold is the standard association-mining noise cut and keeps
     the edge set proportional to genuinely-correlated pairs rather
     than one-off co-occurrences."""
-    key = (id(spark), sf_dir)
-    if key not in _COORDER_ENGINES:
+    per = _COORDER_ENGINES.setdefault(spark, {})
+    if sf_dir not in per:
+        from samyama_graph_spark.workloads_graph import coorder_pairs
+
         t = load_tables(spark, sf_dir)
         parts = t["part"].select(
             F.col("p_partkey").alias("id"),
@@ -805,26 +816,8 @@ def _coorder_engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
             F.col("p_name").alias("name"),
             F.col("p_brand").alias("brand"),
         )
-        # per-order combination arrays: ONE shuffle, local quadratic
-        # expansion over bounded order size (same shape as
-        # workloads_graph._coorder_closure), then support counting
-        pairs = (
-            t["lineitem"]
-            .groupBy("l_orderkey")
-            .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-            .select(
-                F.explode(
-                    F.expr(
-                        "flatten(transform(ps, (x, i) -> "
-                        "transform(slice(ps, i + 2, size(ps)), "
-                        "y -> struct(x AS src, y AS dst))))"
-                    )
-                ).alias("p")
-            )
-            .groupBy("p.src", "p.dst")
-            .agg(F.count(F.lit(1)).alias("support"))
-            .filter(F.col("support") >= 2)
-            .select("src", "dst")
+        pairs = coorder_pairs(
+            t["lineitem"], "l_orderkey", "l_partkey", min_support=2
         )
         # reliable checkpoint: the triangle pattern scans CO once per
         # pattern edge (three subtrees), and the heavy pair-generation
@@ -836,8 +829,8 @@ def _coorder_engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
         ensure_checkpoint_dir(spark)
         pairs = pairs.checkpoint()
         g = PropertyGraph(spark, {"Part": parts}, {"CO": pairs})
-        _COORDER_ENGINES[key] = CypherEngine(g)
-    return _COORDER_ENGINES[key]
+        per[sf_dir] = CypherEngine(g)
+    return per[sf_dir]
 
 
 # oracle twin of _coorder_engine's CO derivation (keep in lockstep!):

@@ -323,6 +323,42 @@ _TRI_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple[DataFrame, 
 )
 
 
+def coorder_pairs(
+    li: DataFrame,
+    order_col: str,
+    part_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """(src, dst) co-occurrence part pairs (src < dst) appearing in at
+    least ``min_support`` shared orders.
+
+    Built via per-order combination arrays: ONE shuffle (groupBy order)
+    + the support count, instead of a fact-table self-join that
+    shuffles twice.  Per-order part lists are tiny (order size is
+    bounded), so the quadratic expansion is local.  Shared by the
+    lcc/triangle-count closure (min_support=1) and the
+    frequently-co-ordered graph behind the WCOJ entries
+    (min_support=2, workloads_cypher._coorder_engine) — one derivation
+    to keep in lockstep with the DuckDB oracle CTEs."""
+    return (
+        li.groupBy(F.col(order_col).alias("__o"))
+        .agg(F.sort_array(F.collect_set(part_col)).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.src", "p.dst")
+        .agg(F.count(F.lit(1)).alias("__support"))
+        .filter(F.col("__support") >= min_support)
+        .select("src", "dst")
+    )
+
+
 def _coorder_closure(spark: SparkSession, sf_dir: str):
     """(co-order degrees, triangle closure), computed ONCE per
     (session, sf_dir) and RELIABLY checkpointed so both the lcc and
@@ -341,25 +377,7 @@ def _coorder_closure(spark: SparkSession, sf_dir: str):
     li = g.edge_df("CONTAINS").select(
         F.col("src").alias("order_id"), F.col("dst").alias("part_id")
     )
-    # co-order pairs via per-order combination arrays: ONE shuffle
-    # (groupBy order) + the dedup, instead of a lineitem self-join that
-    # shuffles the fact table twice.  Per-order part lists are tiny
-    # (order size is bounded), so the quadratic expansion is local.
-    pairs = (
-        li.groupBy("order_id")
-        .agg(F.sort_array(F.collect_set("part_id")).alias("ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS src, y AS dst))))"
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
-        .distinct()
-    )
+    pairs = coorder_pairs(li, "order_id", "part_id")
     ensure_checkpoint_dir(spark)
     deg, te = closure_edges(pairs, canonical=True)
     deg = deg.checkpoint()

@@ -470,8 +470,6 @@ def test_wcoj_triangle_intersection_parity(spark):
         "MATCH (a)-[:E]->(b)-[:E]->(c)<-[:E]-(a) "
         "RETURN a.name AS an, c.name AS cn",
         "MATCH (a)-[:E]-(b)-[:E]-(c)-[:E]-(a) RETURN count(*) AS n",
-        "MATCH (a {name:'n2'})-[:E]->(b)-[:E]->(c)-[:E]->(a) "
-        "RETURN b.name AS bn",
     ]
     for q in queries:
         ast = parse(q)
@@ -492,7 +490,9 @@ def test_wcoj_fallback_when_not_equivalent(spark):
     from samyama_graph_spark.cypher import CypherEngine
     from samyama_graph_spark.graph import PropertyGraph
 
-    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    nodes = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(1, 5)], "id long, name string"
+    )
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1)], "src long, dst long"
     )
@@ -505,10 +505,14 @@ def test_wcoj_fallback_when_not_equivalent(spark):
         "RETURN count(*) AS n",
         # closing occurrence carries a label constraint
         "MATCH (a)-[:E]->(b)-[:E]->(c)-[:E]->(a:P) RETURN count(*) AS n",
+        # inline property = selective anchor -> anchored binary plan
+        "MATCH (a {name:'n1'})-[:E]->(b)-[:E]->(c)-[:E]->(a) "
+        "RETURN count(*) AS n",
     ]
-    for q in fallbacks:
+    expected = [3, 3, 3, 1]
+    for q, want in zip(fallbacks, expected):
         n = eng.query(q).collect()[0]["n"]
-        assert n == 3, (q, n)
+        assert n == want, (q, n)
         assert not any(
             "worst-case-optimal" in t for t in eng.last_plan_trace
         ), (q, eng.last_plan_trace)
@@ -538,3 +542,81 @@ def test_wcoj_broadcast_limit_falls_back(spark):
     assert "exceeds wcoj_broadcast_limit" in trace, trace
     assert not any("worst-case-optimal" in t for t in comp.plan_trace)
     assert out.collect()[0]["n"] == 3
+
+
+def test_wcoj_plan_is_broadcast_pipeline(spark):
+    """The triangle route's physical plan must carry the LFTJ shape:
+    the two pair-frame indexes arrive as BroadcastHashJoins so wedge
+    tuples stream between them instead of being shuffled.  (The outer
+    node-binding joins stay strategy-free on purpose — at scale the
+    node tables are big and AQE picks; only the intersection core is
+    pinned.)"""
+    from samyama_graph_spark.cypher.compiler import Compiler
+    from samyama_graph_spark.cypher.parser import parse
+    from samyama_graph_spark.graph import PropertyGraph
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2)], "src long, dst long"
+    )
+    g = PropertyGraph(spark, {"P": nodes}, {"E": edges})
+    comp = Compiler(g)
+    df = comp.compile_query(
+        parse("MATCH (a)-[:E]->(b)-[:E]->(c)-[:E]->(a) RETURN count(*) AS n")
+    )
+    assert any("worst-case-optimal" in t for t in comp.plan_trace)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_wcoj_rotation_streams_largest_edge(spark):
+    """With heterogeneous edge types the cycle must be rotated so the
+    LARGEST edge streams and the two smaller ones broadcast — and the
+    rotated binding must stay variable-correct (a/b/c keep their
+    pattern roles)."""
+    from samyama_graph_spark.cypher.compiler import Compiler
+    from samyama_graph_spark.cypher.parser import parse
+    from samyama_graph_spark.graph import PropertyGraph
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    # BIG: dense ring-ish type; SMALL1/SMALL2: sparse closing types
+    big = spark.createDataFrame(
+        [(i, (i * 7 + j) % n) for i in range(n) for j in range(1, 6)],
+        "src long, dst long",
+    )
+    s1 = spark.createDataFrame(
+        [((i * 7 + 2) % n, (i + 3) % n) for i in range(0, n, 2)],
+        "src long, dst long",
+    )
+    s2 = spark.createDataFrame(
+        [((i + 3) % n, i) for i in range(0, n, 2)], "src long, dst long"
+    )
+    g = PropertyGraph(
+        spark, {"P": nodes}, {"BIG": big, "S1": s1, "S2": s2}
+    )
+    # BIG is edges[0] here; with a tight budget the gate only passes
+    # because rotation puts BIG on the streamed side
+    q = (
+        "MATCH (a)-[:BIG]->(b)-[:S1]->(c)-[:S2]->(a) "
+        "RETURN id(a) AS a, id(b) AS b, id(c) AS c"
+    )
+    ast = parse(q)
+    on = Compiler(g, wcoj=True)
+    on.wcoj_broadcast_limit = 50  # < |BIG| = 200, >= |S1|,|S2| = 20
+    off = Compiler(g, wcoj=False)
+    got = sorted(map(tuple, on.compile_query(ast).collect()))
+    want = sorted(map(tuple, off.compile_query(ast).collect()))
+    assert any("worst-case-optimal" in t for t in on.plan_trace), on.plan_trace
+    assert got == want and len(got) > 0, (len(got), len(want))
+    # and with BIG written in a broadcast position the same budget
+    # still routes through WCOJ (rotation is spelling-independent)
+    q2 = (
+        "MATCH (b)-[:S1]->(c)-[:S2]->(a)-[:BIG]->(b) "
+        "RETURN id(a) AS a, id(b) AS b, id(c) AS c"
+    )
+    on2 = Compiler(g, wcoj=True)
+    on2.wcoj_broadcast_limit = 50
+    got2 = sorted(map(tuple, on2.compile_query(parse(q2)).collect()))
+    assert any("worst-case-optimal" in t for t in on2.plan_trace)
+    assert got2 == want
