@@ -580,6 +580,35 @@ class Compiler:
             if evar in st.scope.vars:
                 raise CompileError(f"edge variable {evar} bound twice")
             esrc = self._edge_source(ep.types, evar, ep.direction)
+            # Cycle-closing hop (ExpandInto ahead: the right endpoint is
+            # already bound): under the broadcast budget, pin the edge
+            # side as a resident hash table so the existence check is a
+            # streamed BroadcastHashJoin — the k-cycle cousin of the
+            # triangle WCOJ route (wedge-equivalents probe in place,
+            # never reshuffled on the closing key).  A hint only; above
+            # budget the join strategy stays AQE's call.
+            if right_np.var is not None and right_np.var in st.scope.vars:
+                # consult the estimate only on a CACHE HIT: unlike the
+                # triangle rewrite (which needs the bound to be safe),
+                # this is a pure hint, and computing a fresh count at
+                # compile time would run a real job on layered
+                # post-write graphs.  ANALYZE / any prior WCOJ compile
+                # warms the cache; cold engines just leave AQE to it.
+                cache = self.g.__dict__.get("_ecount_cache", {})
+                keys = ep.types if ep.types else ["\x00ALL"]
+                if all(k in cache for k in keys):
+                    est = sum(cache[k] for k in keys)
+                else:
+                    est = None
+                if est is not None and ep.direction == "both":
+                    est *= 2
+                if est is not None and est <= self.wcoj_broadcast_limit:
+                    esrc = F.broadcast(esrc)
+                    self.plan_trace.append(
+                        f"edge {evar}: cycle-closing broadcast "
+                        f"(~{est} rows resident) — closing existence "
+                        "check streams, no reshuffle"
+                    )
             st.frame = st.frame.join(
                 esrc, F.col(f"{left}.id") == F.col(f"{evar}.src")
             )

@@ -155,6 +155,13 @@ class CypherEngine:
             # for label-less/untyped pattern hops.
             self.graph.__dict__.pop("_count_cache", None)
             self.graph.__dict__.pop("_deg_cache", None)
+            self.graph.__dict__.pop("_ecount_cache", None)
+            # pre-warm the per-type edge counts too: they gate the WCOJ
+            # broadcast route, so an ANALYZE'd session compiles cyclic
+            # patterns without extra count jobs
+            for t in self.graph.edges:
+                self.graph.edge_count_est(t)
+            self.graph.edge_count_est(None)
             rows = [
                 (f":{lbl}", "label", float(self.graph.label_count_est(lbl)),
                  None)

@@ -552,8 +552,14 @@ def cypher_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     honor the declared metric (descending similarity vs ascending
     distance)."""
     embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    qc = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
-    q2 = [float(x) for x in embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    # both query vectors in ONE scan (they are query parameters — the
+    # sole driver-side values this entry moves)
+    qrows = {
+        r["vec_id"]: r["embedding"]
+        for r in embs.filter(F.col("vec_id").isin(0, 7)).collect()
+    }
+    qc = [float(x) for x in qrows[0]]
+    q2 = [float(x) for x in qrows[7]]
     cos = _engine(spark, sf_dir).query(
         "CALL db.index.vector.queryNodes('Document', 'embedding', $q, 10)",
         {"q": qc},

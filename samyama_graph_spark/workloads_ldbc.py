@@ -1300,7 +1300,10 @@ def ldbc_bi17_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the worst-case-optimal intersection join (compiler
     _try_wcoj_triangle, leapfrog.rs:265) — the in-country restriction
     arrives as a WHERE over the bound corners, applied after the
-    intersection with no wedge ever shuffled."""
+    intersection with no wedge ever shuffled.  Exceeds the reference:
+    its own benchmark run TIMES OUT on BI-17+ at SF1 ("heavy global
+    analytics", docs/ldbc/SNB_BI.md:7) while this route executes it in
+    about a second on the association graph."""
     from samyama_graph_spark.workloads_cypher import _coorder_engine
 
     eng = _coorder_engine(spark, sf_dir)

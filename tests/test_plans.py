@@ -620,3 +620,38 @@ def test_wcoj_rotation_streams_largest_edge(spark):
     got2 = sorted(map(tuple, on2.compile_query(parse(q2)).collect()))
     assert any("worst-case-optimal" in t for t in on2.plan_trace)
     assert got2 == want
+
+
+def test_cycle_closing_edge_broadcasts(spark):
+    """k-cycles beyond triangles: the closing ExpandInto hop must pin
+    its edge side as a broadcast hash table (under the budget), so the
+    wedge stream probes in place instead of reshuffling on the closing
+    key — and an over-budget edge must stay unhinted."""
+    from samyama_graph_spark.cypher.compiler import Compiler
+    from samyama_graph_spark.cypher.parser import parse
+    from samyama_graph_spark.graph import PropertyGraph
+
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + j) % n) for i in range(n) for j in range(1, 4)],
+        "src long, dst long",
+    )
+    g = PropertyGraph(spark, {"P": nodes}, {"E": edges})
+    g.edge_count_est("E")  # ANALYZE-warmed stats: the hint is cache-hit-only
+    q = (
+        "MATCH (a)-[:E]->(b)-[:E]->(c)-[:E]->(d)-[:E]->(a) "
+        "RETURN count(*) AS n"
+    )
+    comp = Compiler(g)
+    df = comp.compile_query(parse(q))
+    trace = " | ".join(comp.plan_trace)
+    assert "cycle-closing broadcast" in trace, trace
+    assert "BroadcastHashJoin" in _plan(df)
+    want = df.collect()[0]["n"]
+    # unhinted (over budget) plan must agree
+    comp2 = Compiler(g)
+    comp2.wcoj_broadcast_limit = 1
+    got = comp2.compile_query(parse(q)).collect()[0]["n"]
+    assert "cycle-closing broadcast" not in " | ".join(comp2.plan_trace)
+    assert got == want and want > 0
