@@ -23,6 +23,7 @@ from samyama_graph_spark.datapipe.corpus import (
     pii_scrub,
     repetition_metrics,
     tfidf_top_terms,
+    unigram_logprob,
 )
 from samyama_graph_spark.datapipe.dedup import (
     apply_dedup,
@@ -40,6 +41,9 @@ from samyama_graph_spark.datapipe.dedup import (
 )
 from samyama_graph_spark.datapipe.sampling import (
     assign_split,
+    mixture_rates,
+    neighbor_sample,
+    resample_mixture,
     sample_exact_k,
     stratified_sample,
 )
@@ -99,11 +103,15 @@ __all__ = [
     "repetition_metrics",
     "length_buckets",
     "tfidf_top_terms",
+    "unigram_logprob",
     "corpus_filter",
-    # sampling / splits
+    # sampling / splits / mixing
     "stratified_sample",
     "assign_split",
     "sample_exact_k",
+    "mixture_rates",
+    "resample_mixture",
+    "neighbor_sample",
     # skew
     "salted_join",
     "salted_agg",

@@ -307,3 +307,41 @@ def corpus_filter(
         reason.isNull().alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document unigram language-model score — the CCNet-style
+    perplexity proxy for quality filtering: ``(id, n_tokens,
+    avg_logprob)`` where avg_logprob is the mean natural-log
+    probability of the document's tokens under the corpus's own
+    unigram distribution.  Documents far below the corpus mode are
+    boilerplate / garbled / wrong-language outliers; a pipeline drops
+    or downweights the tail.
+
+    Plan: one vocabulary aggregation (term-keyed, partial-aggregated
+    map-side), a token->logprob equi-join, one per-doc aggregation —
+    two shuffles regardless of corpus size, no Python.  The corpus
+    total is the sole driver scalar (same convention as
+    tfidf_top_terms' N).  Scores round to 6 decimals for cross-engine
+    hash stability; the oracle replays LN(cnt/total) exactly.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt")).first()[0]
+    logp = counts.select(
+        "term",
+        F.log(F.col("cnt") / F.lit(float(total))).alias("logp"),
+    )
+    return (
+        tok.join(logp, "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )

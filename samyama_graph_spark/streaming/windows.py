@@ -326,3 +326,40 @@ def enriched_windows(
         )
         .select("grp", F.col("w.start").alias("window_start"), "n", "total")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join with event-time interval bounds:
+    left row l matches right rows r with the same key and
+    ``l.ts < r.ts <= l.ts + within`` — the canonical conversion-funnel
+    join (view followed by purchase within N minutes).
+
+    Both sides are watermarked and the time-range condition is part of
+    the join predicate, so the engine can bound per-side join state:
+    buffered rows age out once the watermark passes their eligibility
+    window (state O(rate x (within + watermark)), never O(stream) —
+    the 100 TB property).  Expressed on plain DataFrames, so the same
+    function runs in batch mode for the oracle twin.
+    """
+    l = left.withWatermark("ts", watermark) if left.isStreaming else left
+    r = right.withWatermark("ts", watermark) if right.isStreaming else right
+    l = l.alias("l")
+    r = r.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )

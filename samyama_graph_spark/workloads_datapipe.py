@@ -1489,3 +1489,33 @@ def gnn_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o").alias("orderkey"),
         F.col("p").alias("partkey"),
     )
+
+
+@query(
+    "text_lm_quality",
+    """
+    WITH tok AS (
+        SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    t2 AS (SELECT id, term FROM tok WHERE term <> ''),
+    counts AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY term),
+    total AS (SELECT SUM(cnt) AS tot FROM counts),
+    logp AS (
+        SELECT term, LN(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS logp
+        FROM counts, total
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(logp), 6) AS avg_logprob
+    FROM t2 JOIN logp USING (term)
+    GROUP BY id
+    """,
+)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (CCNet-style perplexity proxy) over
+    the documents corpus: vocabulary agg + logprob join + per-doc
+    mean, all JVM-side — the deterministic stand-in for the external
+    KenLM scoring stage of a real filtering pipeline."""
+    from samyama_graph_spark.datapipe.corpus import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir), "text", "doc_id")

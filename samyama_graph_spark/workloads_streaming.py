@@ -324,3 +324,42 @@ def streaming_enriched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "grp", "window_start", F.col("n").cast("long"), "total"
     )
+
+
+@query(
+    "streaming_interval_join",
+    """
+    SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (conversion funnel): views joined to
+    purchases by the same user within 30 minutes, both sides
+    watermarked so join state stays bounded.  The oracle is the same
+    interval join over the batch table — stream-vs-batch parity, the
+    Structured Streaming correctness contract."""
+    from samyama_graph_spark.streaming.windows import interval_join
+
+    path = f"{sf_dir}/events.parquet"
+    views = events_stream(spark, path).filter(F.col("event_type") == "view")
+    buys = events_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join(views, buys, key="user_id", within="30 minutes")
+    got = run_stream_to_memory(
+        joined, _qname("wl_ivjoin"), "append"
+    )
+    return got.select(
+        "user_id",
+        "left_id",
+        "right_id",
+        (F.unix_timestamp("right_ts") - F.unix_timestamp("left_ts"))
+        .cast("long")
+        .alias("gap_s"),
+    )

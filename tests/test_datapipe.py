@@ -680,3 +680,21 @@ def test_neighbor_sample_bounds_and_stability(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_unigram_logprob_ranks_outliers_low(spark):
+    """The CCNet-style proxy must score a garbled document (rare
+    tokens only) below documents written from the corpus's common
+    vocabulary, and weight repeated tokens by frequency."""
+    from samyama_graph_spark.datapipe.corpus import unigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "zxqv wkjh qqpl mnbv"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r["avg_logprob"]
+        for r in unigram_logprob(df, "text", "doc_id").collect()
+    }
+    normal = [v for k, v in out.items() if k != 99]
+    assert all(abs(v - normal[0]) < 1e-9 for v in normal)
+    assert out[99] < min(normal) - 1.0, out
