@@ -655,3 +655,39 @@ def test_cycle_closing_edge_broadcasts(spark):
     got = comp2.compile_query(parse(q)).collect()[0]["n"]
     assert "cycle-closing broadcast" not in " | ".join(comp2.plan_trace)
     assert got == want and want > 0
+
+
+def test_wcoj_randomized_multigraph_parity(spark):
+    """Seeded random multigraphs (self-loops, parallel edges, mixed
+    directions): the intersection route must return the exact row
+    multiset of the binary plan on every draw — the randomized lock on
+    the rewrite's equivalence conditions."""
+    import random
+
+    from samyama_graph_spark.cypher.compiler import Compiler
+    from samyama_graph_spark.cypher.parser import parse
+    from samyama_graph_spark.graph import PropertyGraph
+
+    rng = random.Random(1234)
+    for trial in range(2):
+        n = 6
+        es = [(rng.randint(1, n), rng.randint(1, n)) for _ in range(18)]
+        es += [(2, 2), (3, 3)]  # self-loops stay in scope
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, n + 1)], "id long"
+        )
+        edges = spark.createDataFrame(es, "src long, dst long")
+        g = PropertyGraph(spark, {"P": nodes}, {"E": edges})
+        for q in [
+            "MATCH (a)-[:E]->(b)-[:E]->(c)-[:E]->(a) "
+            "RETURN id(a) AS a, id(b) AS b, id(c) AS c",
+            "MATCH (a)-[:E]-(b)-[:E]->(c)<-[:E]-(a) "
+            "RETURN id(a) AS a, id(c) AS c",
+        ]:
+            ast = parse(q)
+            on = Compiler(g, wcoj=True)
+            off = Compiler(g, wcoj=False)
+            got = sorted(map(tuple, on.compile_query(ast).collect()))
+            want = sorted(map(tuple, off.compile_query(ast).collect()))
+            assert any("worst-case-optimal" in t for t in on.plan_trace)
+            assert got == want, (trial, q, len(got), len(want))
