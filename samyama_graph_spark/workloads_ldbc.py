@@ -1318,3 +1318,229 @@ def ldbc_bi17_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert any("worst-case-optimal" in s for s in eng.last_plan_trace)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Final corpus batch: IS4 + BI-5, BI-8, BI-13, BI-18, BI-19 — with these
+# every IS/IC/BI shape in benches/ldbc_benchmark.rs and
+# ldbc_bi_benchmark.rs (reads; INS/DEL are exercised by the write
+# pipeline) executes end-to-end with a DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ldbc_is4_content",
+    """
+    SELECT o_orderdate AS created, o_orderpriority AS content
+    FROM orders WHERE o_orderkey = 1
+    """,
+)
+def ldbc_is4_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS4 Post Content (ldbc_benchmark.rs:92-97): message-anchored
+    point lookup projecting creationDate plus
+    coalesce(content, imageFile).  The binding keeps the coalesce over
+    a MISSING property (Order carries no `content` key -> typed NULL,
+    Cypher missing-property semantics) falling through to the real
+    one, exactly the Post/ImagePost split the LDBC schema encodes."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (m:Order) WHERE id(m) = $oid
+        RETURN m.orderdate AS created,
+               coalesce(m.content, m.orderpriority) AS content
+        """,
+        {"oid": _OB + 1},
+    )
+
+
+@query(
+    "ldbc_bi5_active_posters",
+    f"""
+    SELECT c_custkey + {_CB} AS person_id, c_name AS name,
+           count(*) AS post_count
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY person_id, name
+    ORDER BY post_count DESC, person_id
+    LIMIT 20
+    """,
+)
+def ldbc_bi5_active_posters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-5 Most Active Posters (ldbc_bi_benchmark.rs:146-156):
+    unanchored whole-graph creator aggregation, top 20 by post count.
+    One expansion shuffle + partial/final count; at 100 TB the person
+    side broadcasts and the message scan streams.  (HAS_CREATOR points
+    message->person; the PLACED binding is the reversed edge, so the
+    pattern arrow flips.)"""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (person:Customer)-[:PLACED]->(p:Order)
+        RETURN id(person) AS person_id, person.name AS name,
+               count(p) AS post_count
+        ORDER BY post_count DESC, person_id
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "ldbc_bi8_related_topics",
+    """
+    WITH tagged AS (
+        SELECT DISTINCT l_orderkey AS ok FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+    )
+    SELECT p2.p_brand AS related_tag, count(*) AS reply_count
+    FROM tagged
+    JOIN lineitem l2 ON l2.l_orderkey = tagged.ok
+    JOIN part p2 ON p2.p_partkey = l2.l_partkey
+    WHERE p2.p_brand <> 'Brand#13'
+    GROUP BY related_tag
+    ORDER BY reply_count DESC, related_tag
+    LIMIT 20
+    """,
+)
+def ldbc_bi8_related_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-8 Related Topics (ldbc_bi_benchmark.rs:197-209): tags
+    co-occurring with an anchor tag on the same message thread, the
+    anchor itself excluded.  TPC-H binding: brands of the other parts
+    in orders containing the anchor brand (order = thread, lineitem =
+    reply).  The anchor-tag filter reduces the left side to a small
+    order set before the re-expansion join — selectivity-first
+    ordering, the same plan the reference's cost model picks.  WITH
+    DISTINCT post keeps reply multiplicity tied to the REPLY side, as
+    in the reference shape (a thread tagged k times still counts each
+    reply once)."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (post:Order)-[:CONTAINS]->(t:Part)
+        WHERE t.brand = 'Brand#13'
+        WITH DISTINCT post
+        MATCH (post)-[:CONTAINS]->(related:Part)
+        WHERE related.brand <> 'Brand#13'
+        RETURN related.brand AS related_tag, count(*) AS reply_count
+        ORDER BY reply_count DESC, related_tag
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "ldbc_bi13_popular_months",
+    f"""
+    SELECT c_custkey + {_CB} AS person_id, c_name AS name,
+           count(*) AS message_count
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderdate >= DATE '1994-01-01'
+      AND o_orderdate < DATE '1996-01-01'
+    GROUP BY person_id, name
+    ORDER BY message_count DESC, person_id
+    LIMIT 20
+    """,
+)
+def ldbc_bi13_popular_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-13 Popular Months (ldbc_bi_benchmark.rs:286-298): per-person
+    message count restricted to a creation-date window, top 20.  The
+    date predicate belongs on the message SCAN (parquet min/max
+    pruning), not after the join — the window is the only thing
+    distinguishing this from BI-5, and it is exactly the part that
+    must push down at 100 TB.  (PLACED is the reversed HAS_CREATOR,
+    so the pattern arrow flips.)"""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (person:Customer)-[:PLACED]->(p:Order)
+        WHERE p.orderdate >= date('1994-01-01')
+          AND p.orderdate < date('1996-01-01')
+        RETURN id(person) AS person_id, person.name AS name,
+               count(p) AS message_count
+        ORDER BY message_count DESC, person_id
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "ldbc_bi18_friend_recommendation",
+    f"""
+    WITH {KNOWS_CTES}
+    SELECT k2.dst AS person_id, c_name AS name,
+           count(DISTINCT k1.dst) AS mutual_friends
+    FROM knows_u k1
+    JOIN knows_u k2 ON k2.src = k1.dst
+    JOIN customer ON c_custkey + {_CB} = k2.dst
+    WHERE k1.src = {_ME} AND k2.dst <> {_ME}
+      AND NOT EXISTS (
+          SELECT 1 FROM knows_u d
+          WHERE d.src = {_ME} AND d.dst = k2.dst
+      )
+    GROUP BY person_id, name
+    ORDER BY mutual_friends DESC, person_id
+    LIMIT 20
+    """,
+)
+def ldbc_bi18_friend_recommendation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BI-18 Friend Recommendation (ldbc_bi_benchmark.rs:370-378):
+    friends-of-friends who are NOT already friends, ranked by mutual
+    friend count — the two-hop expansion composed with a NOT EXISTS
+    anti-join against the direct edge and a count(DISTINCT) per
+    candidate.  On the ring graph the recommendation set is the
+    2-hop frontier minus the 1-hop neighbors."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (p1:Customer)-[:KNOWS]-(mutual:Customer)-[:KNOWS]-(p2:Customer)
+        WHERE id(p1) = $me AND id(p2) <> $me
+          AND NOT EXISTS { MATCH (p1)-[:KNOWS]-(p2) }
+        RETURN id(p2) AS person_id, p2.name AS name,
+               count(DISTINCT id(mutual)) AS mutual_friends
+        ORDER BY mutual_friends DESC, person_id
+        LIMIT 20
+        """,
+        {"me": _ME},
+    )
+
+
+@query(
+    "ldbc_bi19_interaction_path",
+    f"""
+    WITH RECURSIVE {KNOWS_CTES},
+    paths(id, d, ns) AS (
+        SELECT CAST({_ME} AS BIGINT), 0,
+               [CAST({_ME} AS VARCHAR)]
+        UNION ALL
+        SELECT k.dst, p.d + 1, list_append(p.ns, CAST(k.dst AS VARCHAR))
+        FROM paths p JOIN knows_u k ON k.src = p.id
+        WHERE p.d < 4 AND NOT list_contains(p.ns, CAST(k.dst AS VARCHAR))
+    ),
+    target AS (SELECT ns, d FROM paths WHERE id = {_CB + 15}),
+    best AS (SELECT MIN(d) AS l FROM target)
+    SELECT CAST(d AS BIGINT) AS path_length,
+           list_aggregate(ns, 'string_agg', ',') AS path_nodes
+    FROM target, best WHERE d = l
+    """,
+)
+def ldbc_bi19_interaction_path(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BI-19 Interaction Path (ldbc_bi_benchmark.rs:389-397):
+    shortestPath between two anchored persons RETURNING the path
+    itself — length(p) + nodes(p).  The pair (customer 1 -> 15) sits
+    two ring hops apart in nation 19's ring (1-13-15-... at every
+    shipped SF) while the other way round is >= 11 hops, so the
+    shortest path is UNIQUE and nodes(p) is deterministic; the oracle
+    enumerates simple paths with a list-carrying recursive CTE and
+    keeps the minimum-length one."""
+    out = _engine(spark, sf_dir).query(
+        """
+        MATCH p = shortestPath((a:Customer)-[:KNOWS*..4]-(b:Customer))
+        WHERE id(a) = $me AND id(b) = $other
+        RETURN length(p) AS path_length, nodes(p) AS ns
+        """,
+        {"me": _ME, "other": _CB + 15},
+    )
+    return out.select(
+        F.col("path_length").cast("long").alias("path_length"),
+        F.array_join(
+            F.transform("ns", lambda x: x.cast("string")), ","
+        ).alias("path_nodes"),
+    )
