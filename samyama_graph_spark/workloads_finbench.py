@@ -14,6 +14,28 @@ deterministically from the driver's events table:
                       multiplicity would explode the pattern join
     Account.is_blocked -> id % 7 = 0 (deterministic analog of the
                       fixture's isBlocked flag)
+    Account.account_type -> id % 3 -> checking/saving/business
+
+The rest of the FinBench entity schema (docs/ldbc/FINBENCH.md: Person,
+Company, Medium, Loan and the OWN / INVEST / GUARANTEE / SIGN_IN /
+DEPOSIT edges) derives from the remaining event types, one entity per
+type so every derivation is a single filtered projection:
+
+    Person   + OWN       -> account grouping: person (id mod 50) owns
+                            each account (every account exactly one
+                            owner, the FinBench ownership invariant)
+    Medium   + SIGN_IN    -> signup events: account user_id signs in
+                            with medium (k mod 20); DISTINCT edges
+    Loan     + DEPOSIT    -> click events: loan per clicking user
+                            (loanAmount = sum of click values,
+                            balance = half), one DEPOSIT per click
+                            into account k
+    Company  + INVEST     -> error events: person (user_id mod 50)
+                            invests in company (k mod 25),
+                            ratio = value/100
+    Company  + GUARANTEE  -> view events: company (user_id mod 25)
+                            guarantees company (k mod 25), DISTINCT,
+                            self-loops dropped
 
 Each entry has a DuckDB oracle replaying the same derivation
 (json props extraction included) on the raw parquet.
@@ -30,6 +52,10 @@ from samyama_graph_spark.loaders import BASE, load_tables
 from samyama_graph_spark.workloads import query
 
 _AB = 9 * BASE  # Account id base (module-local; not a tpch label)
+_PB = 10 * BASE  # Person
+_COB = 11 * BASE  # Company
+_MB = 12 * BASE  # Medium
+_LB = 13 * BASE  # Loan
 
 # shared oracle CTEs: raw transfers + the aggregated simple-edge view
 TRANSFER_CTES = f"""
@@ -44,6 +70,55 @@ transfer_agg AS (
     SELECT src, dst, round(sum(amount), 2) AS total,
            count(*) AS n
     FROM transfer GROUP BY src, dst
+)
+"""
+
+# shared oracle CTEs for the rest of the entity schema.  Must stay
+# derivation-identical to finbench_graph below; `accounts` is the node
+# set (transfer endpoints + signup users + deposit targets) with the
+# derived flags.
+ENTITY_CTES = f"""
+signin AS (
+    SELECT DISTINCT user_id + {_AB} AS acct,
+           CAST(props->>'k' AS BIGINT) % 20 + {_MB} AS medium
+    FROM events WHERE event_type = 'signup'
+),
+deposit AS (
+    SELECT user_id + {_LB} AS loan,
+           CAST(props->>'k' AS BIGINT) + {_AB} AS acct,
+           value AS amount, event_id AS eid
+    FROM events WHERE event_type = 'click'
+),
+loans AS (
+    SELECT loan, round(sum(amount), 2) AS loan_amount,
+           round(sum(amount) / 2, 2) AS balance
+    FROM deposit GROUP BY loan
+),
+invest AS (
+    SELECT user_id % 50 + {_PB} AS person,
+           CAST(props->>'k' AS BIGINT) % 25 + {_COB} AS company,
+           round(value / 100, 4) AS ratio, event_id AS eid
+    FROM events WHERE event_type = 'error'
+),
+guarantee AS (
+    SELECT DISTINCT user_id % 25 + {_COB} AS src,
+           CAST(props->>'k' AS BIGINT) % 25 + {_COB} AS dst
+    FROM events WHERE event_type = 'view'
+    AND user_id % 25 <> CAST(props->>'k' AS BIGINT) % 25
+),
+accounts AS (
+    SELECT id,
+           (id - {_AB}) % 7 = 0 AS is_blocked,
+           CASE (id - {_AB}) % 3 WHEN 0 THEN 'checking'
+                WHEN 1 THEN 'saving' ELSE 'business' END AS account_type
+    FROM (
+        SELECT DISTINCT id FROM (
+            SELECT src AS id FROM transfer
+            UNION SELECT dst FROM transfer
+            UNION SELECT acct FROM signin
+            UNION SELECT acct FROM deposit
+        )
+    )
 )
 """
 
@@ -64,11 +139,14 @@ def finbench_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     per = _GRAPHS.setdefault(spark, {})
     if sf_dir not in per:
         ev = load_tables(spark, sf_dir, ["events"])["events"]
-        tr = ev.filter(F.col("event_type") == "purchase").select(
+        k_col = F.get_json_object("props", "$.k").cast("long")
+
+        def of_type(t: str) -> DataFrame:
+            return ev.filter(F.col("event_type") == t)
+
+        tr = of_type("purchase").select(
             (F.col("user_id") + F.lit(_AB)).cast("long").alias("src"),
-            (
-                F.get_json_object("props", "$.k").cast("long") + F.lit(_AB)
-            ).alias("dst"),
+            (k_col + F.lit(_AB)).alias("dst"),
             F.col("value").alias("amount"),
             F.col("event_id").alias("eid"),
             F.substring(F.col("ts").cast("string"), 1, 10).alias("day"),
@@ -77,22 +155,106 @@ def finbench_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
             F.round(F.sum("amount"), 2).alias("total"),
             F.count(F.lit(1)).alias("n"),
         )
+        signin = (
+            of_type("signup")
+            .select(
+                (F.col("user_id") + F.lit(_AB)).cast("long").alias("src"),
+                (k_col % 20 + F.lit(_MB)).alias("dst"),
+            )
+            .distinct()
+        )
+        deposit = of_type("click").select(
+            (F.col("user_id") + F.lit(_LB)).cast("long").alias("src"),
+            (k_col + F.lit(_AB)).alias("dst"),
+            F.col("value").alias("amount"),
+            F.col("event_id").alias("eid"),
+        )
+        loans = (
+            deposit.groupBy(F.col("src").alias("id"))
+            .agg(
+                F.round(F.sum("amount"), 2).alias("loanAmount"),
+                F.round(F.sum("amount") / 2, 2).alias("balance"),
+            )
+        )
+        invest = of_type("error").select(
+            (F.col("user_id") % 50 + F.lit(_PB)).cast("long").alias("src"),
+            (k_col % 25 + F.lit(_COB)).alias("dst"),
+            F.round(F.col("value") / 100, 4).alias("ratio"),
+            F.col("event_id").alias("eid"),
+        )
+        guarantee = (
+            of_type("view")
+            .select(
+                (F.col("user_id") % 25 + F.lit(_COB)).cast("long").alias("src"),
+                (k_col % 25 + F.lit(_COB)).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
         accts = (
             tr.select(F.col("src").alias("id"))
             .unionByName(tr.select(F.col("dst").alias("id")))
+            .unionByName(signin.select(F.col("src").alias("id")))
+            .unionByName(deposit.select(F.col("dst").alias("id")))
             .distinct()
             .select(
                 "id",
                 ((F.col("id") - _AB) % 7 == 0).alias("is_blocked"),
+                F.when((F.col("id") - _AB) % 3 == 0, "checking")
+                .when((F.col("id") - _AB) % 3 == 1, "saving")
+                .otherwise("business")
+                .alias("account_type"),
             )
+        )
+        own = accts.select(
+            ((F.col("id") - _AB) % 50 + F.lit(_PB)).alias("src"),
+            F.col("id").alias("dst"),
+        )
+        persons = own.select(F.col("src").alias("id")).distinct().select(
+            "id", F.concat(F.lit("P"), (F.col("id") - _PB)).alias("name")
+        )
+        companies = (
+            invest.select(F.col("dst").alias("id"))
+            .unionByName(guarantee.select(F.col("src").alias("id")))
+            .unionByName(guarantee.select(F.col("dst").alias("id")))
+            .distinct()
+            .select(
+                "id", F.concat(F.lit("C"), (F.col("id") - _COB)).alias("name")
+            )
+        )
+        mediums = signin.select(F.col("dst").alias("id")).distinct().select(
+            "id",
+            F.when((F.col("id") - _MB) % 3 == 0, "phone")
+            .when((F.col("id") - _MB) % 3 == 1, "pc")
+            .otherwise("tablet")
+            .alias("mediumType"),
         )
         per[sf_dir] = PropertyGraph(
             spark,
-            {"Account": accts},
-            {"TRANSFER": tr, "TRANSFER_AGG": agg},
+            {
+                "Account": accts,
+                "Person": persons,
+                "Company": companies,
+                "Medium": mediums,
+                "Loan": loans,
+            },
+            {
+                "TRANSFER": tr,
+                "TRANSFER_AGG": agg,
+                "OWN": own,
+                "SIGN_IN": signin,
+                "DEPOSIT": deposit,
+                "INVEST": invest,
+                "GUARANTEE": guarantee,
+            },
             {
                 "TRANSFER": EdgeMeta("Account", "Account"),
                 "TRANSFER_AGG": EdgeMeta("Account", "Account"),
+                "OWN": EdgeMeta("Person", "Account"),
+                "SIGN_IN": EdgeMeta("Account", "Medium"),
+                "DEPOSIT": EdgeMeta("Loan", "Account"),
+                "INVEST": EdgeMeta("Person", "Company"),
+                "GUARANTEE": EdgeMeta("Company", "Company"),
             },
         )
     return per[sf_dir]
@@ -225,4 +387,394 @@ def finbench_cr7_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """,
         {"acct": _AB + 7},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining Complex Reads (CR-3, CR-5, CR-6, CR-8..CR-12) + Simple Reads
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "finbench_cr3_shortest_path",
+    f"""
+    WITH RECURSIVE {TRANSFER_CTES},
+    und AS (
+        SELECT src, dst FROM transfer_agg
+        UNION SELECT dst, src FROM transfer_agg
+    ),
+    walk(id, d) AS (
+        SELECT CAST({_AB + 1} AS BIGINT), 0
+        UNION ALL
+        SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.id
+        WHERE w.d < 4
+    )
+    SELECT CAST(MIN(d) AS BIGINT) AS path_length
+    FROM walk WHERE id = {_AB + 50}
+    HAVING MIN(d) IS NOT NULL
+    """,
+)
+def finbench_cr3_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinBench CR-3 Shortest Transfer Path (finbench_benchmark.rs:
+    79-85): undirected shortestPath between two anchored accounts over
+    TRANSFER edges.  Runs on the aggregated view (path existence is
+    identical; raw multi-edges only multiply route counts) with the
+    depth-capped BFS the reference's *..N semantics imply; the oracle
+    walks the same undirected edge set with a recursive CTE."""
+    return (
+        _engine(spark, sf_dir)
+        .query(
+            """
+            MATCH p = shortestPath((a1:Account)-[:TRANSFER_AGG*..4]-(a2:Account))
+            WHERE id(a1) = $a AND id(a2) = $b
+            RETURN length(p) AS path_length
+            """,
+            {"a": _AB + 1, "b": _AB + 50},
+        )
+        .select(F.col("path_length").cast("long").alias("path_length"))
+    )
+
+
+@query(
+    "finbench_cr5_owner_accounts",
+    f"""
+    WITH {TRANSFER_CTES}
+    SELECT 'P1' AS owner, src AS account,
+           count(*) AS transfer_count, round(sum(amount), 2) AS total_amount
+    FROM transfer
+    WHERE (src - {_AB}) % 50 = 1
+    GROUP BY account
+    ORDER BY total_amount DESC, account
+    LIMIT 20
+    """,
+)
+def finbench_cr5_owner_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinBench CR-5 Owner Account Transfer Patterns
+    (finbench_benchmark.rs:101-111): hop from an anchored account to
+    its owner, then fan back out over ALL the owner's accounts and
+    aggregate their outgoing transfers.  The WITH barrier between the
+    two patterns is the distinctive feature — the owner frame is one
+    row, so the re-expansion is a broadcast."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (owner:Person)-[:OWN]->(a:Account)
+        WHERE id(a) = $acct
+        WITH owner
+        MATCH (owner)-[:OWN]->(other:Account)-[t:TRANSFER]->(dst:Account)
+        RETURN owner.name AS owner, id(other) AS account,
+               count(*) AS transfer_count,
+               round(sum(t.amount), 2) AS total_amount
+        ORDER BY total_amount DESC, account
+        LIMIT 20
+        """,
+        {"acct": _AB + 1},
+    )
+
+
+@query(
+    "finbench_cr6_loan_trace",
+    f"""
+    WITH {TRANSFER_CTES}, {ENTITY_CTES}
+    SELECT d.acct AS account, d.amount AS deposit_amount,
+           t.dst AS transfer_target, t.amount AS transfer_amount,
+           d.eid AS deposit_eid, t.eid AS transfer_eid
+    FROM deposit d JOIN transfer t ON t.src = d.acct
+    WHERE d.loan = {_LB + 1}
+    ORDER BY deposit_amount DESC, deposit_eid, transfer_eid
+    LIMIT 20
+    """,
+)
+def finbench_cr6_loan_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinBench CR-6 Loan Deposit Tracing (finbench_benchmark.rs:
+    116-124): where loan money went — anchored loan, its deposits into
+    accounts, and those accounts' onward transfers, biggest deposit
+    first.  Two chained expansions with edge-property projection from
+    BOTH hops."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (l:Loan)-[d:DEPOSIT]->(a:Account)-[t:TRANSFER]->(dst:Account)
+        WHERE id(l) = $loan
+        RETURN id(a) AS account, d.amount AS deposit_amount,
+               id(dst) AS transfer_target, t.amount AS transfer_amount,
+               d.eid AS deposit_eid, t.eid AS transfer_eid
+        ORDER BY deposit_amount DESC, deposit_eid, transfer_eid
+        LIMIT 20
+        """,
+        {"loan": _LB + 1},
+    )
+
+
+@query(
+    "finbench_cr8_loan_distribution",
+    f"""
+    WITH {TRANSFER_CTES}, {ENTITY_CTES}
+    SELECT d.loan AS loan, l.loan_amount AS loan_amount,
+           d.acct AS target_account, d.amount AS deposit_amount,
+           d.eid AS eid
+    FROM deposit d JOIN loans l ON l.loan = d.loan
+    WHERE d.amount > 80.0
+    ORDER BY deposit_amount DESC, eid
+    LIMIT 20
+    """,
+)
+def finbench_cr8_loan_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FinBench CR-8 Loan Deposit Distribution (finbench_benchmark.rs:
+    140-148): unanchored scan of ALL loans' deposits above a threshold,
+    largest first — the BI-style counterpoint to the anchored CR-6;
+    the amount predicate pushes to the event scan."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (l:Loan)-[d:DEPOSIT]->(a:Account)
+        WHERE d.amount > 80.0
+        RETURN id(l) AS loan, l.loanAmount AS loan_amount,
+               id(a) AS target_account, d.amount AS deposit_amount,
+               d.eid AS eid
+        ORDER BY deposit_amount DESC, eid
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "finbench_cr9_guarantee_chain",
+    f"""
+    WITH RECURSIVE {TRANSFER_CTES}, {ENTITY_CTES},
+    reach(id, d) AS (
+        SELECT CAST({_COB + 1} AS BIGINT), 0
+        UNION ALL
+        SELECT g.dst, r.d + 1 FROM reach r JOIN guarantee g ON g.src = r.id
+        WHERE r.d < 3
+    )
+    SELECT DISTINCT id AS company_id, 'C' || (id - {_COB}) AS name
+    FROM reach WHERE d >= 1 AND id <> {_COB + 1}
+    ORDER BY company_id
+    LIMIT 20
+    """,
+)
+def finbench_cr9_guarantee_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FinBench CR-9 Guarantee Chain (finbench_benchmark.rs:153-160):
+    companies transitively guaranteed by an anchored company within 3
+    hops — directed var-length expansion with DISTINCT endpoints (the
+    BFS visited-set, not path enumeration: guarantee graphs are
+    cyclic and path counts explode).  The anchor never re-emits even
+    on a cycle back to it: the reference's BFS marks the source
+    visited before expanding (operator.rs:3108 visited.insert(source))
+    and our traversal mirrors that, so the oracle excludes it too."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (c:Company)-[:GUARANTEE*1..3]->(g:Company)
+        WHERE id(c) = $cid
+        RETURN DISTINCT id(g) AS company_id, g.name AS name
+        ORDER BY company_id
+        LIMIT 20
+        """,
+        {"cid": _COB + 1},
+    )
+
+
+@query(
+    "finbench_cr10_investment",
+    f"""
+    WITH {TRANSFER_CTES}, {ENTITY_CTES}
+    SELECT company AS company_id, 'C' || (company - {_COB}) AS name,
+           count(*) AS investor_count, round(sum(ratio), 4) AS total_ratio
+    FROM invest
+    GROUP BY company
+    ORDER BY investor_count DESC, company_id
+    LIMIT 20
+    """,
+)
+def finbench_cr10_investment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinBench CR-10 Investment Network (finbench_benchmark.rs:
+    164-172): whole-graph aggregation of investors per company with
+    summed investment ratios — unanchored one-hop scan + two-phase
+    aggregate, companies broadcast at scale."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (investor:Person)-[inv:INVEST]->(target:Company)
+        RETURN id(target) AS company_id, target.name AS name,
+               count(*) AS investor_count,
+               round(sum(inv.ratio), 4) AS total_ratio
+        ORDER BY investor_count DESC, company_id
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "finbench_cr11_shared_medium",
+    f"""
+    WITH {TRANSFER_CTES}, {ENTITY_CTES}
+    SELECT DISTINCT s2.acct AS account_id, a.account_type,
+           CASE (s1.medium - {_MB}) % 3 WHEN 0 THEN 'phone'
+                WHEN 1 THEN 'pc' ELSE 'tablet' END AS medium_type
+    FROM signin s1
+    JOIN signin s2 ON s2.medium = s1.medium AND s2.acct <> s1.acct
+    JOIN accounts a ON a.id = s2.acct
+    WHERE s1.acct = {_AB + 1}
+    ORDER BY account_id, medium_type
+    LIMIT 20
+    """,
+)
+def finbench_cr11_shared_medium(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FinBench CR-11 Shared Medium Sign-In (finbench_benchmark.rs:
+    176-184): accounts that signed in through the same medium as the
+    anchored account — the classic fraud-ring wedge (a)->(m)<-(other)
+    with DISTINCT projection over node properties of both far ends."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (a:Account)-[:SIGN_IN]->(m:Medium)<-[:SIGN_IN]-(other:Account)
+        WHERE id(a) = $acct AND id(other) <> $acct
+        RETURN DISTINCT id(other) AS account_id,
+               other.account_type AS account_type,
+               m.mediumType AS medium_type
+        ORDER BY account_id, medium_type
+        LIMIT 20
+        """,
+        {"acct": _AB + 1},
+    )
+
+
+@query(
+    "finbench_cr12_person_transfers",
+    f"""
+    WITH {TRANSFER_CTES}
+    SELECT src AS account, count(*) AS transfer_count,
+           round(sum(amount), 2) AS total_amount
+    FROM transfer
+    WHERE (src - {_AB}) % 50 = 1
+    GROUP BY account
+    ORDER BY total_amount DESC, account
+    """,
+)
+def finbench_cr12_person_transfers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FinBench CR-12 Person Account Transfer Stats
+    (finbench_benchmark.rs:189-196): per-account outgoing transfer
+    stats over the accounts an anchored person owns — person-anchored
+    ownership expansion feeding an edge aggregate, no LIMIT (the
+    result set is bounded by the person's account count)."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (p:Person)-[:OWN]->(a:Account)-[t:TRANSFER]->(dst:Account)
+        WHERE id(p) = $pid
+        RETURN id(a) AS account, count(*) AS transfer_count,
+               round(sum(t.amount), 2) AS total_amount
+        ORDER BY total_amount DESC, account
+        """,
+        {"pid": _PB + 1},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simple Reads (SR-1, SR-3, SR-4, SR-6; SR-2/SR-5 are the same shape as
+# SR-4 with the direction flipped — the out-direction twin is covered by
+# the CR-2 window scan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "finbench_sr1_account",
+    f"""
+    WITH {TRANSFER_CTES}, {ENTITY_CTES}
+    SELECT id AS account_id, is_blocked, account_type
+    FROM accounts WHERE id = {_AB + 1}
+    """,
+)
+def finbench_sr1_account(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinBench SR-1 Account by ID (finbench_benchmark.rs:205-211):
+    anchored point lookup projecting the account's derived flags."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (a:Account) WHERE id(a) = $acct
+        RETURN id(a) AS account_id, a.is_blocked AS is_blocked,
+               a.account_type AS account_type
+        """,
+        {"acct": _AB + 1},
+    )
+
+
+@query(
+    "finbench_sr3_person_accounts",
+    f"""
+    WITH {TRANSFER_CTES}, {ENTITY_CTES}
+    SELECT id AS account_id, account_type, is_blocked
+    FROM accounts WHERE (id - {_AB}) % 50 = 1
+    ORDER BY account_id
+    """,
+)
+def finbench_sr3_person_accounts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FinBench SR-3 Person's Accounts (finbench_benchmark.rs:227-234):
+    all accounts owned by an anchored person, sorted — one OWN
+    expansion projecting node properties."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (p:Person)-[:OWN]->(a:Account)
+        WHERE id(p) = $pid
+        RETURN id(a) AS account_id, a.account_type AS account_type,
+               a.is_blocked AS is_blocked
+        ORDER BY account_id
+        """,
+        {"pid": _PB + 1},
+    )
+
+
+@query(
+    "finbench_sr4_transfer_in",
+    f"""
+    WITH {TRANSFER_CTES}
+    SELECT src AS from_account, amount, day, eid
+    FROM transfer
+    WHERE dst = {_AB + 7}
+      AND day >= '2024-01-05' AND day < '2024-01-20'
+    ORDER BY day DESC, eid
+    LIMIT 10
+    """,
+)
+def finbench_sr4_transfer_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinBench SR-4 Transfer-In Accounts (finbench_benchmark.rs:
+    238-247): recent incoming transfers for an anchored account within
+    a time window, newest first, top 10 — reverse expand + windowed
+    top-k (TakeOrderedAndProject)."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (src:Account)-[t:TRANSFER]->(a:Account)
+        WHERE id(a) = $acct
+          AND t.day >= '2024-01-05' AND t.day < '2024-01-20'
+        RETURN id(src) AS from_account, t.amount AS amount,
+               t.day AS day, t.eid AS eid
+        ORDER BY day DESC, eid
+        LIMIT 10
+        """,
+        {"acct": _AB + 7},
+    )
+
+
+@query(
+    "finbench_sr6_loan",
+    f"""
+    WITH {TRANSFER_CTES}, {ENTITY_CTES}
+    SELECT loan AS loan_id, loan_amount, balance
+    FROM loans WHERE loan = {_LB + 1}
+    """,
+)
+def finbench_sr6_loan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinBench SR-6 Loan by ID (finbench_benchmark.rs:264-270):
+    anchored loan point lookup projecting amount and balance."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (l:Loan) WHERE id(l) = $loan
+        RETURN id(l) AS loan_id, l.loanAmount AS loan_amount,
+               l.balance AS balance
+        """,
+        {"loan": _LB + 1},
     )
