@@ -231,7 +231,13 @@ class WriteExecutor:
                     spark,
                     {"src": node_ids[src_i], "dst": node_ids[dst_i], **props},
                 )
-                self._append_edges(et, row, n=1)
+                self._append_edges(
+                    et,
+                    row,
+                    n=1,
+                    src_label=path.nodes[src_i].labels[0],
+                    dst_label=path.nodes[dst_i].labels[0],
+                )
             return
 
         # frame-bound CREATE: edges between bound nodes, plus per-row
@@ -317,7 +323,12 @@ class WriteExecutor:
             ]
             for k, v in ep.properties.items():
                 cols.append(compile_expr(v, scope).alias(k))
-            self._append_edges(et, frame.select(*cols))
+            self._append_edges(
+                et,
+                frame.select(*cols),
+                src_label=scope.vars[src].label,
+                dst_label=scope.vars[dst].label,
+            )
 
     def _append_nodes(
         self, label: str, rows: DataFrame, n: int | None = None
@@ -336,19 +347,67 @@ class WriteExecutor:
             self._pending_counts.append(("nodes_created", rows))
 
     def _append_edges(
-        self, etype: str, rows: DataFrame, n: int | None = None
+        self,
+        etype: str,
+        rows: DataFrame,
+        n: int | None = None,
+        src_label: str | None = None,
+        dst_label: str | None = None,
     ) -> None:
+        pair_known = src_label is not None and dst_label is not None
         if etype in self.edges:
             self.edges[etype] = self.edges[etype].unionByName(
                 rows, allowMissingColumns=True
             )
+            m = self.edge_meta.get(etype)
+            if m is not None and (
+                m.pairs is not None or m.src_label or m.dst_label
+            ):
+                # keep the endpoint-label declaration truthful: node ids
+                # are only unique per label for session-created nodes
+                # (the user's `id` prop wins over the minted one), so
+                # DETACH DELETE scopes its edge scrub by these labels.
+                if m.pairs is not None:
+                    known = set(m.pairs)
+                elif m.src_label is not None and m.dst_label is not None:
+                    known = {(m.src_label, m.dst_label)}
+                else:
+                    known = None  # partially known: can't enumerate
+                if not pair_known or known is None:
+                    self.edge_meta[etype] = EdgeMeta()  # widen: unconstrained
+                else:
+                    known.add((src_label, dst_label))
+                    if len(known) == 1:
+                        s, d = next(iter(known))
+                        self.edge_meta[etype] = EdgeMeta(s, d)
+                    else:
+                        self.edge_meta[etype] = EdgeMeta(
+                            pairs=tuple(sorted(known))
+                        )
         else:
             self.edges[etype] = rows
-            self.edge_meta.setdefault(etype, EdgeMeta())
+            self.edge_meta[etype] = (
+                EdgeMeta(src_label, dst_label) if pair_known else EdgeMeta()
+            )
         if n is not None:
             self.counters["edges_created"] += n
         else:
             self._pending_counts.append(("edges_created", rows))
+
+    def _endpoint_label_sets(
+        self, etype: str
+    ) -> tuple[set[str] | None, set[str] | None]:
+        """(possible src labels, possible dst labels) of an edge type,
+        None on a side that is not statically known (=> any label)."""
+        m = self.edge_meta.get(etype)
+        if m is None:
+            return None, None
+        if m.pairs is not None:
+            return {s for s, _ in m.pairs}, {d for _, d in m.pairs}
+        return (
+            {m.src_label} if m.src_label is not None else None,
+            {m.dst_label} if m.dst_label is not None else None,
+        )
 
     # -------------------------------------------------------------- merge
     def _merge(self, st: State, clause: A.MergeClause) -> None:
@@ -420,7 +479,12 @@ class WriteExecutor:
             out = out.withColumn(
                 k, F.lit(v.value if isinstance(v, A.Literal) else self.params[v.name])
             )
-        self._append_edges(et, out)
+        self._append_edges(
+            et,
+            out,
+            src_label=st.scope.vars[src].label,
+            dst_label=st.scope.vars[dst].label,
+        )
 
     # ---------------------------------------------------------- set/remove
     def _set(self, st: State, items: list[A.SetItem]) -> None:
@@ -565,10 +629,25 @@ class WriteExecutor:
                 )
                 self._pending_counts.append(("nodes_deleted", ids))
                 if clause.detach:
+                    # scrub only edge types whose declared endpoint
+                    # labels admit the deleted label: ids are unique
+                    # per label (a session CREATE with a user `id`
+                    # prop can collide across labels), so an unscoped
+                    # scrub would also drop edges of same-id nodes of
+                    # OTHER labels.  Unknown labels scrub conservatively.
                     for et, edf in list(self.edges.items()):
-                        self.edges[et] = edf.join(
-                            ids, edf["src"] == ids["id"], "left_anti"
-                        ).join(ids, F.col("dst") == ids["id"], "left_anti")
+                        srcs, dsts = self._endpoint_label_sets(et)
+                        out = edf
+                        if srcs is None or info.label in srcs:
+                            out = out.join(
+                                ids, out["src"] == ids["id"], "left_anti"
+                            )
+                        if dsts is None or info.label in dsts:
+                            out = out.join(
+                                ids, F.col("dst") == ids["id"], "left_anti"
+                            )
+                        if out is not edf:
+                            self.edges[et] = out
             elif info.kind == "edge":
                 raise CompileError(
                     "DELETE of edge variables lands with edge identity support"

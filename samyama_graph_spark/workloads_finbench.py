@@ -778,3 +778,126 @@ def finbench_sr6_loan(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"loan": _LB + 1},
     )
+
+
+# ---------------------------------------------------------------------------
+# Read-Writes (RW-1..RW-3) + Writes (W-1..W-19): the full write suite
+# executed as one pipeline against a session graph, then verified with
+# a deterministic aggregate readout.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "finbench_write_suite",
+    """
+    SELECT 2::BIGINT AS n_accounts, 1::BIGINT AS blocked_accounts,
+           2::BIGINT AS n_persons, 1::BIGINT AS blocked_persons,
+           3::BIGINT AS n_companies, 2::BIGINT AS n_mediums,
+           1::BIGINT AS blocked_mediums, 2::BIGINT AS n_loans,
+           1::BIGINT AS n_own, 2::BIGINT AS n_apply,
+           2::BIGINT AS n_invest, 0.2::DOUBLE AS total_ratio,
+           2::BIGINT AS n_guarantee
+    """,
+)
+def finbench_write_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinBench write suite RW-1..RW-3 + W-1..W-19
+    (finbench_benchmark.rs:275-429): the full CREATE/SET/DELETE corpus
+    over every FinBench node and edge type, run in order against a
+    fresh session graph seeded with the fixture anchors the reference
+    queries assume (Account 1/2, Person 2, Company 1/2, Loan 1,
+    Medium 2).  W-19's `DELETE a` targets a node with six incident
+    edges; adapted to DETACH DELETE (the reference executor removes
+    incident edges on node delete, operator.rs DeleteOperator).
+    Oracle = the analytically-known final state: Account 999001 and
+    its six edges are gone, the three RW blocks stick, and the
+    non-account-incident edges (OWN W-7, APPLY x2, INVEST x2 with
+    ratio 0.15+0.05, GUARANTEE x2) survive."""
+    eng = CypherEngine(PropertyGraph(spark, {}, {}))
+    for stmt in [
+        # fixture anchors
+        "CREATE (a:Account {id: 1, isBlocked: false, accountType: 'saving'})",
+        "CREATE (a:Account {id: 2, isBlocked: false, accountType: 'checking'})",
+        "CREATE (p:Person {id: 2, name: 'Fixture Person', isBlocked: false})",
+        "CREATE (c:Company {id: 1, name: 'Fixture Corp 1', isBlocked: false})",
+        "CREATE (c:Company {id: 2, name: 'Fixture Corp 2', isBlocked: false})",
+        "CREATE (l:Loan {id: 1, loanAmount: 10000.0, balance: 8000.0})",
+        "CREATE (m:Medium {id: 2, mediumType: 'pc', isBlocked: false})",
+        # RW-1..RW-3: block account / medium / person
+        "MATCH (a:Account {id: 2}) SET a.isBlocked = true",
+        "MATCH (m:Medium {id: 2}) SET m.isBlocked = true",
+        "MATCH (p:Person {id: 2}) SET p.isBlocked = true",
+        # W-1..W-5: node creation, one per entity type
+        "CREATE (p:Person {id: 999001, name: 'Benchmark Person', isBlocked: false})",
+        "CREATE (c:Company {id: 999001, name: 'Benchmark Corp', isBlocked: false})",
+        "CREATE (a:Account {id: 999001, createTime: 1709251200000, "
+        "isBlocked: false, accountType: 'checking'})",
+        "CREATE (l:Loan {id: 999001, loanAmount: 50000.0, balance: 50000.0})",
+        "CREATE (m:Medium {id: 999001, mediumType: 'phone', isBlocked: false})",
+        # W-6..W-18: edge creation, one per edge type
+        "MATCH (p:Person {id: 999001}), (a:Account {id: 999001}) "
+        "CREATE (p)-[:OWN {timestamp: 1709251200000}]->(a)",
+        "MATCH (c:Company {id: 999001}), (a:Account {id: 1}) "
+        "CREATE (c)-[:OWN {timestamp: 1709251200000}]->(a)",
+        "MATCH (src:Account {id: 999001}), (dst:Account {id: 1}) "
+        "CREATE (src)-[:TRANSFER {timestamp: 1709251200000, amount: 1500.0}]->(dst)",
+        "MATCH (src:Account {id: 999001}), (dst:Account {id: 2}) "
+        "CREATE (src)-[:WITHDRAW {timestamp: 1709251200000, amount: 500.0}]->(dst)",
+        "MATCH (l:Loan {id: 999001}), (a:Account {id: 999001}) "
+        "CREATE (l)-[:DEPOSIT {timestamp: 1709251200000, amount: 50000.0}]->(a)",
+        "MATCH (a:Account {id: 999001}), (l:Loan {id: 999001}) "
+        "CREATE (a)-[:REPAY {timestamp: 1709251200000, amount: 5000.0}]->(l)",
+        "MATCH (a:Account {id: 999001}), (m:Medium {id: 999001}) "
+        "CREATE (a)-[:SIGN_IN {timestamp: 1709251200000}]->(m)",
+        "MATCH (p:Person {id: 999001}), (l:Loan {id: 999001}) "
+        "CREATE (p)-[:APPLY {timestamp: 1709251200000}]->(l)",
+        "MATCH (c:Company {id: 999001}), (l:Loan {id: 1}) "
+        "CREATE (c)-[:APPLY {timestamp: 1709251200000}]->(l)",
+        "MATCH (c1:Company {id: 999001}), (c2:Company {id: 1}) "
+        "CREATE (c1)-[:INVEST {timestamp: 1709251200000, ratio: 0.15}]->(c2)",
+        "MATCH (p:Person {id: 999001}), (c:Company {id: 1}) "
+        "CREATE (p)-[:INVEST {timestamp: 1709251200000, ratio: 0.05}]->(c)",
+        "MATCH (c1:Company {id: 999001}), (c2:Company {id: 2}) "
+        "CREATE (c1)-[:GUARANTEE {timestamp: 1709251200000}]->(c2)",
+        "MATCH (p1:Person {id: 999001}), (p2:Person {id: 2}) "
+        "CREATE (p1)-[:GUARANTEE {timestamp: 1709251200000}]->(p2)",
+        # W-19: delete the benchmark account (+ its six incident edges)
+        "MATCH (a:Account {id: 999001}) DETACH DELETE a",
+    ]:
+        eng.query(stmt)
+    return eng.query(
+        """
+        MATCH (a:Account)
+        WITH count(*) AS n_accounts,
+             sum(CASE WHEN a.isBlocked THEN 1 ELSE 0 END) AS blocked_accounts
+        MATCH (p:Person)
+        WITH n_accounts, blocked_accounts, count(*) AS n_persons,
+             sum(CASE WHEN p.isBlocked THEN 1 ELSE 0 END) AS blocked_persons
+        MATCH (c:Company)
+        WITH n_accounts, blocked_accounts, n_persons, blocked_persons,
+             count(*) AS n_companies
+        MATCH (m:Medium)
+        WITH n_accounts, blocked_accounts, n_persons, blocked_persons,
+             n_companies, count(*) AS n_mediums,
+             sum(CASE WHEN m.isBlocked THEN 1 ELSE 0 END) AS blocked_mediums
+        MATCH (l:Loan)
+        WITH n_accounts, blocked_accounts, n_persons, blocked_persons,
+             n_companies, n_mediums, blocked_mediums, count(*) AS n_loans
+        MATCH ()-[o:OWN]->()
+        WITH n_accounts, blocked_accounts, n_persons, blocked_persons,
+             n_companies, n_mediums, blocked_mediums, n_loans,
+             count(*) AS n_own
+        MATCH ()-[ap:APPLY]->()
+        WITH n_accounts, blocked_accounts, n_persons, blocked_persons,
+             n_companies, n_mediums, blocked_mediums, n_loans, n_own,
+             count(*) AS n_apply
+        MATCH ()-[i:INVEST]->()
+        WITH n_accounts, blocked_accounts, n_persons, blocked_persons,
+             n_companies, n_mediums, blocked_mediums, n_loans, n_own,
+             n_apply, count(*) AS n_invest,
+             round(sum(i.ratio), 2) AS total_ratio
+        MATCH ()-[g:GUARANTEE]->()
+        RETURN n_accounts, blocked_accounts, n_persons, blocked_persons,
+               n_companies, n_mediums, blocked_mediums, n_loans, n_own,
+               n_apply, n_invest, total_ratio, count(*) AS n_guarantee
+        """
+    )

@@ -1544,3 +1544,31 @@ def ldbc_bi19_interaction_path(
             F.transform("ns", lambda x: x.cast("string")), ","
         ).alias("path_nodes"),
     )
+
+
+@query(
+    "ldbc_bi1_posting_summary",
+    """
+    SELECT 'Post' AS message_type, count(*) AS message_count
+    FROM orders WHERE o_orderdate < DATE '1995-06-17'
+    UNION
+    SELECT 'Comment' AS message_type, count(*) AS message_count
+    FROM part WHERE p_size < 25
+    """,
+)
+def ldbc_bi1_posting_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-1 Posting Summary (ldbc_bi_benchmark.rs:74-84): counts of two
+    message types under a creation-date predicate, combined with UNION
+    — the reference's adapted form is two counted label scans unioned
+    (Post / Comment; here Order-by-date / Part-by-size).  Exercises
+    UNION between two complete single-row aggregate queries, which the
+    reference parses but cannot execute (executor/mod.rs:2828)."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (p:Order) WHERE p.orderdate < date('1995-06-17')
+        RETURN 'Post' AS message_type, count(p) AS message_count
+        UNION
+        MATCH (c:Part) WHERE c.size < 25
+        RETURN 'Comment' AS message_type, count(c) AS message_count
+        """
+    )

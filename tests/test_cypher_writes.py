@@ -195,3 +195,41 @@ def test_engine_graph_swap_invalidates_id_watermark(spark):
     eng.query("CREATE (n:P {name: 'z'})")
     ids = [r["i"] for r in eng.query("MATCH (p:P) RETURN id(p) AS i").collect()]
     assert len(ids) == len(set(ids)) == 51  # no collision
+
+
+def test_detach_delete_scoped_by_endpoint_label(spark):
+    """DETACH DELETE must scrub only edge types whose declared
+    endpoint labels admit the deleted node's label: node ids collide
+    across labels when a session CREATE supplies its own `id` prop
+    (FinBench fixtures give Person/Company/Account the same id), and
+    an unscoped by-id scrub would drop OTHER labels' same-id edges."""
+    eng = CypherEngine(PropertyGraph(spark, {}, {}))
+    for stmt in [
+        "CREATE (a:Account {id: 7})",
+        "CREATE (p:Person {id: 7})",
+        "CREATE (c:Company {id: 7})",
+        "CREATE (b:Account {id: 1})",
+        # same-id endpoints on three different edge types
+        "MATCH (p:Person {id: 7}), (a:Account {id: 7}) "
+        "CREATE (p)-[:OWN]->(a)",
+        "MATCH (p:Person {id: 7}), (c:Company {id: 7}) "
+        "CREATE (p)-[:INVEST]->(c)",
+        "MATCH (a:Account {id: 7}), (b:Account {id: 1}) "
+        "CREATE (a)-[:TRANSFER]->(b)",
+        "MATCH (a:Account {id: 7}) DETACH DELETE a",
+    ]:
+        eng.query(stmt)
+    # Account 7 and its incident edges (OWN dst, TRANSFER src) are gone
+    assert eng.query(
+        "MATCH ()-[o:OWN]->() RETURN count(*) AS n"
+    ).first()["n"] == 0
+    assert eng.query(
+        "MATCH ()-[t:TRANSFER]->() RETURN count(*) AS n"
+    ).first()["n"] == 0
+    # Person 7 -> Company 7 INVEST is between OTHER labels: must survive
+    assert eng.query(
+        "MATCH ()-[i:INVEST]->() RETURN count(*) AS n"
+    ).first()["n"] == 1
+    assert eng.query(
+        "MATCH (p:Person) RETURN count(*) AS n"
+    ).first()["n"] == 1
