@@ -626,6 +626,50 @@ def or_solve_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "or_solve_portfolio",
+    "SELECT * FROM (VALUES"
+    " ('BMR', CAST(0.0 AS DOUBLE)), ('BWR', CAST(0.0 AS DOUBLE)),"
+    " ('BMWR', CAST(0.0 AS DOUBLE)), ('EHR-Jaya', CAST(0.0 AS DOUBLE)),"
+    " ('GOTLBO', CAST(0.0 AS DOUBLE)), ('GSA', CAST(0.0 AS DOUBLE)),"
+    " ('ITLBO', CAST(0.0 AS DOUBLE)), ('Jaya', CAST(0.0 AS DOUBLE)),"
+    " ('PSO', CAST(0.0 AS DOUBLE)), ('QO-Rao', CAST(0.0 AS DOUBLE)),"
+    " ('QOJaya', CAST(0.0 AS DOUBLE)), ('SAPHR', CAST(0.0 AS DOUBLE))"
+    ") AS t(algorithm, fitness) ORDER BY algorithm",
+)
+def or_solve_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extended or.solve algorithm surface end-to-end: one
+    CALL algo.or.solve per solver family member (reference dispatch
+    operator.rs:6729-6744 + the Rao-family extensions its bench runs,
+    benches/rao_family_benchmark.rs) on the convex bound-clamped
+    instance whose optimum is exactly 0.0 (see or_solve_convex), so
+    every algorithm's stochastic search is value-checked against the
+    same closed form.  Only the members that provably clamp to the
+    exact optimum at this budget participate; the slow-converging
+    swarm members (Bat, Cuckoo, Firefly, FPA, ABC, HS, DE) are
+    covered by tests/test_optimize.py tolerance tests instead."""
+    from functools import reduce
+
+    from samyama_graph_spark.cypher import CypherEngine
+
+    g = tpch_graph(spark, sf_dir)
+    eng = CypherEngine(g)
+    algos = [
+        "BMR", "BWR", "BMWR", "EHR-Jaya", "GOTLBO", "GSA", "ITLBO",
+        "Jaya", "PSO", "QO-Rao", "QOJaya", "SAPHR",
+    ]
+    outs = [
+        eng.query(
+            "CALL algo.or.solve({algorithm: $a, label: 'Nation', "
+            "property: 'or_x', min: 0.0, max: 1.0, population_size: 30, "
+            "max_iterations: 60, seed: 42}) YIELD fitness, algorithm",
+            {"a": a},
+        ).select("algorithm", "fitness")
+        for a in algos
+    ]
+    return reduce(lambda x, y: x.unionByName(y), outs).orderBy("algorithm")
+
+
 @query("or_solve_budget", None)  # stochastic metaheuristic: rows-only check
 def or_solve_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CALL algo.or.solve: Jaya allocation over Part nodes — minimize

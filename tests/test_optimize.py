@@ -119,3 +119,122 @@ def test_or_solve_cypher_surface(spark):
     assert set(allocs) == {1, 2, 3}
     assert all(0.0 <= v <= 10.0 for v in allocs.values())
     assert sum(allocs.values()) >= 5.5
+
+
+# ---------------------------------------------------------------------------
+# Extended solver family (benches/rao_family_benchmark.rs + the full
+# or.solve dispatch surface, operator.rs:6729-6744)
+# ---------------------------------------------------------------------------
+
+_EXTENDED = [
+    "PSO", "DE", "Firefly", "Cuckoo", "GWO", "Bat", "ABC", "GSA", "HS",
+    "FPA", "BMR", "BWR", "BMWR", "QOJaya", "QO-Rao", "ITLBO", "GOTLBO",
+    "SAMP-Jaya", "EHR-Jaya", "SAPHR",
+]
+
+
+def _sphere(X):
+    return (X**2).sum(axis=1)
+
+
+def _rastrigin(X):
+    return 10.0 * X.shape[1] + (
+        X**2 - 10.0 * np.cos(2 * np.pi * X)
+    ).sum(axis=1)
+
+
+@pytest.mark.parametrize("algorithm", _EXTENDED)
+def test_extended_solver_sphere(algorithm):
+    """Every extended solver reaches the sphere optimum basin on the
+    bench's own test function (rao_family_benchmark.rs:20-22) and is
+    bit-deterministic under a fixed seed."""
+    def make():
+        return ORProblem(
+            costs=np.zeros(6), lower=-5.0, upper=5.0, fitness_fn=_sphere
+        )
+
+    r1 = solve(make(), algorithm, pop=50, iters=150, seed=42)
+    r2 = solve(make(), algorithm, pop=50, iters=150, seed=42)
+    assert r1.best_fitness == r2.best_fitness  # deterministic
+    assert r1.best_fitness < 0.5  # sphere optimum is 0
+    assert len(r1.history) == 150
+    assert r1.history[-1] <= r1.history[0] + 1e-9
+
+
+@pytest.mark.parametrize(
+    "algorithm,bound",
+    [("BMR", 2.0), ("BWR", 2.0), ("BMWR", 2.0), ("SAPHR", 5.0)],
+)
+def test_rao_family_rastrigin(algorithm, bound):
+    """The parameter-free Rao-family solvers escape rastrigin's local
+    minima on the bench's multimodal function
+    (rao_family_benchmark.rs:24-30).  BMR/BWR/BMWR's restart branch
+    reliably clears the ~4 local shelf; SAPHR's epsilon-greedy variant
+    lock-in leaves it one shelf up at this budget, so its bound only
+    rules out the far basins."""
+    p = ORProblem(
+        costs=np.zeros(4), lower=-5.12, upper=5.12, fitness_fn=_rastrigin
+    )
+    res = solve(p, algorithm, pop=60, iters=300, seed=7)
+    assert res.best_fitness < bound
+
+
+def _zdt(variant):
+    def f(X):
+        f1 = X[:, 0]
+        g = 1 + 9 * X[:, 1:].mean(axis=1)
+        r = np.sqrt(np.clip(f1, 0, None) / g)
+        if variant == 1:
+            f2 = g * (1 - r)
+        elif variant == 2:
+            f2 = g * (1 - (f1 / g) ** 2)
+        else:  # ZDT3
+            f2 = g * (1 - r - (f1 / g) * np.sin(10 * np.pi * f1))
+        return np.stack([f1, f2], axis=1)
+
+    return f
+
+
+@pytest.mark.parametrize(
+    "algorithm", ["MOTLBO", "MO-BMR", "MO-BWR", "MO-BMWR", "MO-Rao-DE"]
+)
+def test_multi_objective_zdt1(algorithm):
+    """MO solvers (mo_bmwr_family.rs, mo_rao_de.rs, motlbo.rs) reach
+    the analytic ZDT1 front f2 = 1 - sqrt(f1) with full spread."""
+    p = ORProblem(
+        costs=np.zeros(8), lower=0.0, upper=1.0, objective_fn=_zdt(1)
+    )
+    res = solve(p, algorithm, pop=60, iters=200, seed=42)
+    assert isinstance(res, ParetoResult)
+    F = res.front_fitness
+    dev = np.abs(F[:, 1] - (1 - np.sqrt(np.clip(F[:, 0], 0, None))))
+    assert dev.mean() < 0.05  # on the true front (g ~= 1)
+    assert F[:, 0].max() - F[:, 0].min() > 0.5  # spread, not collapsed
+
+
+def test_mo_bmwr_dtlz1_three_objectives():
+    """3-objective DTLZ1 (rao_family_benchmark.rs bench set): rank-0
+    front of MO-BMWR approaches the f1+f2+f3 = 0.5 simplex."""
+
+    def dtlz1(X):
+        g = 100 * (
+            X.shape[1] - 2
+            + (
+                (X[:, 2:] - 0.5) ** 2
+                - np.cos(20 * np.pi * (X[:, 2:] - 0.5))
+            ).sum(axis=1)
+        )
+        f1 = 0.5 * X[:, 0] * X[:, 1] * (1 + g)
+        f2 = 0.5 * X[:, 0] * (1 - X[:, 1]) * (1 + g)
+        f3 = 0.5 * (1 - X[:, 0]) * (1 + g)
+        return np.stack([f1, f2, f3], axis=1)
+
+    # one distance variable (dim=3) keeps the 100x-weighted g term
+    # tractable at a unit-test budget; the front condition is unchanged
+    p = ORProblem(
+        costs=np.zeros(3), lower=0.0, upper=1.0, objective_fn=dtlz1
+    )
+    res = solve(p, "MO-BMWR", pop=80, iters=400, seed=42)
+    sums = res.front_fitness.sum(axis=1)
+    # true front satisfies sum = 0.5; allow slack for the g term
+    assert np.median(sums) < 1.0
