@@ -36,6 +36,12 @@ def main() -> None:
     # bench the driver-facing 50-entry gate window (merged queries cover
     # their REGISTRY twins' plans; benching both would double-count)
     bench_set = {n: REGISTRY[n] for n in GATE_ORDER}
+    # debugging hook: restrict to a comma-separated subset to isolate a
+    # query's timing from the rest of the suite's session history
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        bench_set = {n: bench_set[n] for n in names}
 
     spark = get_spark(app_name="samyama-bench")
 
@@ -70,18 +76,19 @@ def main() -> None:
         # Python gc first: py4j proxies on the driver are what keep the
         # superseded checkpoint RDDs alive JVM-side — without it the
         # ContextCleaner never sees them unreferenced.
-        import gc
+        if os.environ.get("SPARK_GRAFT_BENCH_NO_CLEANUP") != "1":
+            import gc
 
-        gc.collect()
-        for _rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
-            rdd.unpersist()
-        # memory-sink temp views (streaming entries) hold their full
-        # result in driver memory; a suite run otherwise accumulates
-        # dozens of ~100k-row tables and late queries pay the GC bill
-        for t in spark.catalog.listTables():
-            if t.isTemporary:
-                spark.catalog.dropTempView(t.name)
-        spark.sparkContext._jvm.System.gc()
+            gc.collect()
+            for _rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+                rdd.unpersist()
+            # memory-sink temp views (streaming entries) hold their full
+            # result in driver memory; a suite run otherwise accumulates
+            # dozens of ~100k-row tables and late queries pay the GC bill
+            for t in spark.catalog.listTables():
+                if t.isTemporary:
+                    spark.catalog.dropTempView(t.name)
+            spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -43,6 +43,24 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Long-lived-session hygiene.  The status store ingests every
+        # job/stage/task event even with the UI off and its in-memory
+        # eviction is O(retained); a many-query session (this engine's
+        # normal shape — bench suites, notebooks, services) otherwise
+        # degrades ~3x by the late queries.  Whole-stage codegen also
+        # emits one class per distinct plan: the JVM's default 240MB
+        # code cache fills mid-session and JIT stops compiling, so give
+        # it headroom (driver == executor in local mode; on a cluster
+        # the same flag belongs in executor.extraJavaOptions).
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "5000")
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.appStateStore.asyncTracking.enable", "true")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
