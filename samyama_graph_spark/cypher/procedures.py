@@ -337,30 +337,45 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
     iters = int(cfg.get("max_iterations", 100))
 
     nodes = g.node_df(label)
-    sel = [F.col("id").cast("long").alias("id")] + [
-        F.coalesce(F.col(c).cast("double"), F.lit(1.0)).alias(f"c{i}")
-        for i, c in enumerate(cost_props)
-    ]
     # deterministic variable order (the reference iterates store order;
     # we sort by id) — gathered to the driver like the reference's
-    # Vec<f64>, Arrow-batched, with an explicit size guard
-    pdf = nodes.select(*sel).orderBy("id").toPandas()
-    if pdf.empty:
-        return spark.createDataFrame(
-            [], "fitness double, algorithm string, iterations long"
-        )
-    if len(pdf) > MAX_DIM:
-        raise ValueError(
-            f"algo.or.solve: label {label} has {len(pdf)} nodes; "
-            f"driver-side solver capped at {MAX_DIM}"
-        )
-    ids = pdf["id"].to_numpy()
-    if cost_props:
-        cost_mat = np.stack(
-            [pdf[f"c{i}"].to_numpy() for i in range(len(cost_props))]
-        )
+    # Vec<f64>, Arrow-batched, with an explicit size guard.  Memoized
+    # per graph instance: a solver portfolio (several algorithms over
+    # the same problem) gathers once — the only mutation this graph
+    # object ever sees in place is our own write-back, which changes
+    # neither the id set nor the cost columns unless prop is a cost
+    # (that case invalidates below); engine WRITES copy the graph, so
+    # a stale cache cannot survive a data change.
+    memo = getattr(g, "_or_gather_memo", None)
+    if memo is None:
+        memo = {}
+        object.__setattr__(g, "_or_gather_memo", memo)
+    key = (label, tuple(cost_props))
+    if key in memo:
+        ids, cost_mat = memo[key]
     else:
-        cost_mat = np.ones((1, len(ids)))
+        sel = [F.col("id").cast("long").alias("id")] + [
+            F.coalesce(F.col(c).cast("double"), F.lit(1.0)).alias(f"c{i}")
+            for i, c in enumerate(cost_props)
+        ]
+        pdf = nodes.select(*sel).orderBy("id").toPandas()
+        if pdf.empty:
+            return spark.createDataFrame(
+                [], "fitness double, algorithm string, iterations long"
+            )
+        if len(pdf) > MAX_DIM:
+            raise ValueError(
+                f"algo.or.solve: label {label} has {len(pdf)} nodes; "
+                f"driver-side solver capped at {MAX_DIM}"
+            )
+        ids = pdf["id"].to_numpy()
+        if cost_props:
+            cost_mat = np.stack(
+                [pdf[f"c{i}"].to_numpy() for i in range(len(cost_props))]
+            )
+        else:
+            cost_mat = np.ones((1, len(ids)))
+        memo[key] = (ids, cost_mat)
     problem = ORProblem(
         costs=cost_mat[0],
         lower=float(cfg.get("min", 0.0)),
@@ -381,39 +396,54 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
         res.front_variables[0] if isinstance(res, ParetoResult)
         else res.best_variables
     )
-    import pandas as pd
-
-    sol = spark.createDataFrame(
-        pd.DataFrame(
-            {"id": ids.astype("int64"), "__orv": best.astype("float64")}
-        )
-    )
     tbl = g.nodes[label]
     if prop in tbl.columns:
         tbl = tbl.drop(prop)
-    g.nodes[label] = tbl.join(sol, "id", "left").withColumnRenamed(
-        "__orv", prop
-    )
-
-    if isinstance(res, ParetoResult):
-        return spark.createDataFrame(
-            [
-                (
-                    [float(x) for x in res.front_fitness[0]],
-                    algorithm,
-                    int(len(res.front_variables)),
-                )
-            ],
-            "fitness array<double>, algorithm string, front_size long",
+    if len(ids) <= 65536:
+        # small-dim write-back as a literal-map projection: no join, no
+        # extra job, and repeated or.solve calls on one label (solver
+        # portfolios) add one thin Project each instead of stacking a
+        # join per call onto the shared node table
+        m = F.create_map(
+            *[
+                F.lit(v)
+                for pair in zip(ids.tolist(), best.tolist())
+                for v in pair
+            ]
         )
-    return spark.createDataFrame(
-        [
-            (
-                float(res.best_fitness),
-                algorithm,
-                iters,
-                [float(h) for h in res.history],
+        g.nodes[label] = tbl.withColumn(prop, m[F.col("id")])
+    else:
+        import pandas as pd
+
+        sol = spark.createDataFrame(
+            pd.DataFrame(
+                {"id": ids.astype("int64"), "__orv": best.astype("float64")}
             )
-        ],
-        "fitness double, algorithm string, iterations long, history array<double>",
+        )
+        g.nodes[label] = tbl.join(sol, "id", "left").withColumnRenamed(
+            "__orv", prop
+        )
+    # the write-back changed `prop`: any gather that read it as a cost
+    # column is now stale
+    memo_del = [k for k in memo if prop in k[1]]
+    for k in memo_del:
+        del memo[k]
+
+    # summary record as a PURE-JVM literal projection: createDataFrame
+    # pickles through a Python RDD and costs a py4j round trip per call
+    # (~0.2s), which dominates a solver-portfolio loop
+    one = spark.range(1)
+    if isinstance(res, ParetoResult):
+        return one.select(
+            F.array(
+                *[F.lit(float(x)) for x in res.front_fitness[0]]
+            ).alias("fitness"),
+            F.lit(algorithm).alias("algorithm"),
+            F.lit(int(len(res.front_variables))).alias("front_size"),
+        )
+    return one.select(
+        F.lit(float(res.best_fitness)).alias("fitness"),
+        F.lit(algorithm).alias("algorithm"),
+        F.lit(iters).cast("long").alias("iterations"),
+        F.array(*[F.lit(float(h)) for h in res.history]).alias("history"),
     )

@@ -558,7 +558,11 @@ GATE_ORDER: list[str] = [
     "cypher_two_hop_agg",
     "cypher_optional_match",
     "cypher_exists",
-    "cypher_union",
+    # UNION family: BI-1 unions two COMPLETE aggregate queries (the
+    # richer exercise of the same executor path — the reference parses
+    # but cannot execute it, executor/mod.rs:2828); the plain
+    # cypher_union row stays pytest-oracled
+    "ldbc_bi1_posting_summary",
     "cypher_with_unwind",
     "order_skip_limit",
     "agg_stats",
@@ -615,7 +619,10 @@ GATE_ORDER: list[str] = [
     "scc_nation_rings",
     "mst_nation_rings",
     "max_flow_layered",
-    "or_solve_convex",
+    # or.solve: the portfolio row value-checks TWELVE solver family
+    # members (incl. Jaya at or_solve_convex's exact config) against
+    # the same analytic optimum; the single-algorithm row stays pytest
+    "or_solve_portfolio",
     # RDF / SPARQL (§2 #62)
     "rdf_sparql_bgp",
     # structured streaming
