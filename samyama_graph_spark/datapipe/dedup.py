@@ -438,6 +438,133 @@ def embedding_near_dups(
     return out
 
 
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 16,
+    threshold: float = 0.95,
+    iters: int = 0,
+    seed_ids: "list[int] | None" = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then EXACT cosine dedup within each cluster and
+    keep one representative per semantic-duplicate group.
+
+    Differs from ``embedding_near_dups`` (LSH-bucketed pair mining):
+    here candidate scope is a learned partition of the space, the
+    within-cluster search is exhaustive, and the output is a per-row
+    keep/drop verdict rather than raw pairs — the shape used for
+    pruning web-scale corpora before LLM training.
+
+    Clustering: centroids seeded from the ``k`` lowest-id vectors
+    (deterministic, so the whole operator replays bit-for-bit in the
+    DuckDB oracle when ``iters=0``), optionally refined by ``iters``
+    Lloyd rounds — each round is ONE map-side assignment pass plus one
+    (cluster, dim)-grid aggregate; centroids live on the driver like
+    the reference's PQ codebooks (vector/index.rs), k*dim floats.
+
+    Scale shape: assignment broadcasts k centroids and is map-only;
+    the dedup join is an equi-join on cluster id (never all-pairs);
+    the survivor rule (lowest id of each within-cluster near-dup
+    group) is a connected-components pass over pairs bounded by dup
+    volume.  Returns ``(id, cluster, keep)``.
+    """
+    from samyama_graph_spark.datapipe.similarity import dot, norm
+
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        vec.alias("v"),
+        norm(vec).alias("nrm"),
+    )
+
+    if seed_ids is None:
+        seeds = base.orderBy("id").limit(k).collect()
+    else:
+        want = base.filter(F.col("id").isin([int(s) for s in seed_ids]))
+        seeds = sorted(want.collect(), key=lambda r: r["id"])
+    cents = [list(r["v"]) for r in seeds]
+
+    def assign(frame: DataFrame, centroids: "list[list[float]]") -> DataFrame:
+        # nearest centroid by cosine, ties to the LOWER cluster id
+        # (replayable): one struct-max over k broadcast literals
+        sims = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(
+                            F.col("v"),
+                            F.array(*[F.lit(float(x)) for x in c]),
+                        )
+                        / (
+                            F.col("nrm")
+                            * F.lit(
+                                float(sum(x * x for x in c) ** 0.5) or 1.0
+                            )
+                        )
+                    ).alias("cos"),
+                    F.lit(-ci).alias("negc"),
+                )
+                for ci, c in enumerate(centroids)
+            ]
+        )
+        return frame.withColumn(
+            "cluster", (-F.array_max(sims)["negc"]).cast("int")
+        )
+
+    for _ in range(iters):
+        assigned = assign(base, cents)
+        grid = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_c: dict = {}
+        for r in grid:
+            by_c.setdefault(r["cluster"], {})[r["pos"]] = r["s"] / r["n"]
+        cents = [
+            [m[p] for p in sorted(m)] if (m := by_c.get(ci)) else c
+            for ci, c in enumerate(cents)
+        ]
+    assigned = assign(base, cents)
+
+    a = assigned.select(
+        F.col("id").alias("x"), F.col("v").alias("vx"),
+        F.col("nrm").alias("nx"), "cluster",
+    )
+    b = assigned.select(
+        F.col("id").alias("y"), F.col("v").alias("vy"),
+        F.col("nrm").alias("ny"), "cluster",
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            "x",
+            "y",
+            (
+                dot(F.col("vx"), F.col("vy")) / (F.col("nx") * F.col("ny"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    comp = _components_from_pairs(pairs)  # (id, component=min id)
+    return (
+        assigned.select("id", "cluster")
+        .join(comp.select(F.col("id"), F.col("component")), "id", "left")
+        .select(
+            "id",
+            "cluster",
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("id"))
+            ).alias("keep"),
+        )
+    )
+
+
 def _components_from_pairs(
     pairs: DataFrame, max_iterations: int = 50
 ) -> DataFrame:

@@ -943,6 +943,70 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semdedup_verdicts",
+    """
+    WITH RECURSIVE
+    ee AS (SELECT vec_id AS id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    nrm AS (SELECT id, sqrt(sum(v * v)) AS nrm FROM ee GROUP BY id),
+    sd AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cidx
+           FROM (SELECT DISTINCT id FROM ee ORDER BY id LIMIT 16)),
+    sv AS (SELECT sd.cidx, ee.i, ee.v FROM sd JOIN ee ON ee.id = sd.id),
+    sn AS (SELECT cidx, sqrt(sum(v * v)) AS snrm FROM sv GROUP BY cidx),
+    sims AS (SELECT ee.id, sv.cidx, sum(ee.v * sv.v) AS dp
+             FROM ee JOIN sv ON sv.i = ee.i
+             GROUP BY ee.id, sv.cidx),
+    best AS (SELECT id, CAST(cidx AS BIGINT) AS cluster FROM (
+                 SELECT s.id, s.cidx,
+                        row_number() OVER (
+                            PARTITION BY s.id
+                            ORDER BY s.dp / (n.nrm * sn.snrm) DESC, s.cidx
+                        ) AS rn
+                 FROM sims s
+                 JOIN nrm n ON n.id = s.id
+                 JOIN sn ON sn.cidx = s.cidx) t
+             WHERE rn = 1),
+    cand AS (SELECT a.id AS x, b.id AS y
+             FROM best a JOIN best b
+             ON b.cluster = a.cluster AND b.id > a.id),
+    pc AS (SELECT c.x, c.y, sum(ea.v * eb.v) AS dp
+           FROM cand c
+           JOIN ee ea ON ea.id = c.x
+           JOIN ee eb ON eb.id = c.y AND eb.i = ea.i
+           GROUP BY c.x, c.y),
+    pairs AS (SELECT pc.x, pc.y FROM pc
+              JOIN nrm na ON na.id = pc.x
+              JOIN nrm nb ON nb.id = pc.y
+              WHERE pc.dp / (na.nrm * nb.nrm) >= 0.35),
+    e(a, b) AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+    vn(id) AS (SELECT a FROM e UNION SELECT b FROM e),
+    reach(a, b) AS (SELECT id, id FROM vn
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b),
+    comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+    SELECT b.id, b.cluster,
+           (c.component IS NULL OR c.component = b.id) AS keep
+    FROM best b LEFT JOIN comp c ON c.id = b.id
+    """,
+)
+def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-partitioned semantic
+    dedup over the embeddings table — nearest-seed-centroid partition
+    (k=16, deterministic lowest-id seeds so the oracle replays the
+    clustering bit-for-bit), exact within-cluster cosine pairs at the
+    data-calibrated tau=0.35, connected-component survivor rule.  The
+    oracle replays assignment, pair mining AND the closure, so every
+    per-row (cluster, keep) verdict is hash-checked."""
+    from samyama_graph_spark.datapipe.dedup import semdedup
+
+    out = semdedup(
+        _embs(spark, sf_dir), "embedding", "vec_id", k=16, threshold=0.35
+    )
+    return out.select("id", F.col("cluster").cast("long"), "keep")
+
+
 # -------------------------------------------------- corpus hygiene (r4)
 # Benchmark decontamination, PII scrubbing, repetition filters, length
 # bucketing, tf-idf terms — REGISTRY/pytest-oracled (the 50-entry gate

@@ -698,3 +698,65 @@ def test_unigram_logprob_ranks_outliers_low(spark):
     normal = [v for k, v in out.items() if k != 99]
     assert all(abs(v - normal[0]) < 1e-9 for v in normal)
     assert out[99] < min(normal) - 1.0, out
+
+
+def test_semdedup_lloyd_matches_numpy(spark):
+    """semdedup with Lloyd refinement (iters>0) against a pure-numpy
+    reference on planted clusters: same assignments, same drop set."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 10, (3, 8))
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(20):
+            rows.append((vid, (centers[c] + rng.normal(0, 0.05, 8)).tolist()))
+            vid += 1
+    # plant one exact-ish duplicate pair inside cluster 0
+    rows.append((vid, (np.array(rows[0][1]) + 1e-6).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from samyama_graph_spark.datapipe.dedup import semdedup
+
+    out = {
+        r["id"]: (r["cluster"], r["keep"])
+        for r in semdedup(
+            df, "embedding", "vec_id", k=3, threshold=0.9999, iters=2
+        ).collect()
+    }
+
+    # numpy reference: identical seed init (3 lowest ids), 2 Lloyd
+    # rounds with cosine assignment (ties -> lower cluster), then
+    # within-cluster cosine pairs >= threshold, min-id survivor
+    X = np.array([r[1] for r in rows])
+    ids = np.array([r[0] for r in rows])
+    C = X[:3].copy()
+
+    def assign(C):
+        sims = (X @ C.T) / (
+            np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)
+        )
+        # argmax with ties to the lower index (numpy argmax already is)
+        return sims.argmax(1)
+
+    for _ in range(2):
+        a = assign(C)
+        for c in range(3):
+            if (a == c).any():
+                C[c] = X[a == c].mean(0)
+    a = assign(C)
+    drop = set()
+    for c in range(3):
+        members = ids[a == c]
+        M = X[a == c]
+        n = np.linalg.norm(M, axis=1)
+        S = (M @ M.T) / np.outer(n, n)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if S[i, j] >= 0.9999:
+                    drop.add(int(max(members[i], members[j])))
+    for vid_, (cl, keep) in out.items():
+        assert cl == int(a[list(ids).index(vid_)])
+        assert keep == (vid_ not in drop)
+    assert drop, "test must exercise the drop path"
