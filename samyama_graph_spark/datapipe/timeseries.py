@@ -61,3 +61,140 @@ def reaggregate(
         )
         .select(*keys, F.col("w.start").alias("bucket_start"), "n", "total")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: list[str],
+    tolerance: str | None = None,
+    direction: str = "backward",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: attach to each left row the temporally NEAREST
+    right row per ``by`` key — backward (latest right.ts <= left.ts,
+    the market-data/point-in-time-feature semantics) or forward
+    (earliest right.ts >= left.ts).
+
+    Spark-first plan: tag the two sides, union them, and carry the
+    right payload across the timeline with one
+    last_value(ignorenulls)/first_value window per key — ONE shuffle
+    on the key, sequential scan within each partition, regardless of
+    how many left rows share a right row.  This is the shape that
+    survives 100 TB: the naive alternative (range join + max-per-left
+    dedup) explodes candidate pairs quadratically inside hot keys.
+    Equal timestamps match (right sorts before left at the same ts).
+
+    ``tolerance`` (an INTERVAL string, e.g. ``'2 hours'``) voids
+    matches farther than that from the left timestamp, like the
+    reference-adjacent pandas/QuestDB semantics.
+    """
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    rcols = right_cols or [
+        c for c in right.columns if c not in by and c != ts_col
+    ]
+    payload = F.struct(
+        F.col(ts_col).alias("__rts"), *[F.col(c) for c in rcols]
+    )
+    r = right.select(
+        *by,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__r"),
+    )
+    lcols = [c for c in left.columns if c not in by and c != ts_col]
+    l = left.select(
+        *by,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        *lcols,
+    )
+    u = r.select(*by, "__ts", "__side", "__r", *[
+        F.lit(None).cast(l.schema[c].dataType).alias(c) for c in lcols
+    ]).unionByName(l)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("__r", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = F.first("__r", ignorenulls=True).over(w)
+    out = (
+        u.withColumn("__match", carried)
+        .filter(F.col("__side") == 1)
+        .drop("__side", "__r")
+    )
+    if tolerance is not None:
+        gap = (
+            F.col("__ts") - F.col("__match.__rts")
+            if direction == "backward"
+            else F.col("__match.__rts") - F.col("__ts")
+        )
+        out = out.withColumn(
+            "__match",
+            F.when(
+                gap <= F.expr(f"INTERVAL {tolerance}"), F.col("__match")
+            ),
+        )
+    return out.select(
+        *by,
+        F.col("__ts").alias(ts_col),
+        *lcols,
+        F.col("__match.__rts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in rcols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: list[str],
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-point range join: pair each left interval
+    ``[start, end)`` with the right rows whose ``ts`` falls inside it,
+    per ``key``.
+
+    Spark-first plan: quantize time into ``bucket_seconds``-sized
+    cells, explode each left interval into the cells it covers,
+    equi-join on (key, cell), then apply the exact residual predicate.
+    Catalyst would otherwise plan the pure-inequality join as a
+    broadcast nested loop / cartesian — the classic range-join
+    scale-killer.  Each right row lives in exactly ONE cell, so no
+    post-join dedup is needed.  Pick the bucket near the typical
+    interval length: cells per interval ~= interval/bucket + 1.
+    """
+    def cell(c: str):
+        # timestamp -> fractional epoch seconds -> cell ordinal (via
+        # TIMESTAMP: NTZ has no direct double cast; the session runs
+        # UTC so the instant is unchanged)
+        return F.floor(
+            F.col(c).cast("timestamp").cast("double")
+            / F.lit(float(bucket_seconds))
+        )
+
+    l = left.withColumn(
+        "__cell",
+        F.explode(F.sequence(cell(start_col), cell(end_col))),
+    )
+    r = right.withColumn("__cell", cell(ts_col))
+    resid = (F.col(ts_col) >= F.col(start_col)) & (
+        F.col(ts_col) < F.col(end_col)
+    )
+    return l.join(r, key + ["__cell"]).filter(resid).drop("__cell")

@@ -60,6 +60,10 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["events"])["events"]
+
+
 # ------------------------------------------------------------- exact dedup
 
 
@@ -1005,6 +1009,102 @@ def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _embs(spark, sf_dir), "embedding", "vec_id", k=16, threshold=0.35
     )
     return out.select("id", F.col("cluster").cast("long"), "keep")
+
+
+@query(
+    "events_asof_join",
+    """
+    WITH v AS (
+        SELECT user_id, ts, max(value) AS r_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT user_id, event_id AS eid, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.eid, p.ts, p.value,
+           v.ts AS ts_r, v.r_value AS r_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time enrichment): every purchase event
+    gets the LATEST view event at-or-before it for the same user —
+    the market-data / feature-store lookup shape.  One shuffle per
+    key via a tagged-union window (datapipe/timeseries.asof_join), no
+    candidate-pair explosion; the oracle is DuckDB's native ASOF
+    JOIN, so the semantics (per-key latest, ties-at-equal-ts match)
+    are checked against an independent implementation."""
+    from samyama_graph_spark.datapipe.timeseries import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("r_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("eid"), "ts", "value"
+    )
+    return asof_join(
+        purchases, views, ts_col="ts", by=["user_id"]
+    ).select(
+        "user_id", "eid", "ts", "value", "ts_r",
+        F.col("r_value_r").alias("r_value"),
+    )
+
+
+@query(
+    "events_range_join",
+    """
+    WITH e AS (
+        SELECT user_id, event_id AS eid, ts AS start_ts,
+               ts + INTERVAL 30 MINUTE AS end_ts
+        FROM events WHERE event_type = 'error'
+    ),
+    c AS (
+        SELECT user_id, ts, value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT e.user_id, e.eid, e.start_ts,
+           count(*) AS n_clicks, round(sum(c.value), 4) AS click_value
+    FROM e JOIN c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.start_ts AND c.ts < e.end_ts
+    GROUP BY e.user_id, e.eid, e.start_ts
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-point range join: clicks landing inside the 30-minute
+    window after each error event, per user, aggregated per interval.
+    The bucketed plan (datapipe/timeseries.range_join) quantizes time
+    into cells and equi-joins on (user, cell) + residual predicate —
+    never the BroadcastNestedLoop cartesian Catalyst would pick for a
+    pure inequality join (plan-asserted in tests/test_plans.py)."""
+    from samyama_graph_spark.datapipe.timeseries import range_join
+
+    ev = _events(spark, sf_dir)
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("eid"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + half_hour).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = range_join(
+        errors, clicks,
+        key=["user_id"], start_col="start_ts", end_col="end_ts",
+        ts_col="ts", bucket_seconds=1800,
+    )
+    return joined.groupBy("user_id", "eid", "start_ts").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 4).alias("click_value"),
+    )
 
 
 # -------------------------------------------------- corpus hygiene (r4)

@@ -760,3 +760,56 @@ def test_semdedup_lloyd_matches_numpy(spark):
         assert cl == int(a[list(ids).index(vid_)])
         assert keep == (vid_ not in drop)
     assert drop, "test must exercise the drop path"
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    """asof_join against hand-computed expectations: backward picks
+    the latest right at-or-before, forward the earliest at-or-after,
+    tolerance voids matches beyond the horizon, equal ts matches."""
+    import datetime as dt
+
+    from samyama_graph_spark.datapipe.timeseries import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(30), "b"), (2, t(5), "c"), (3, t(1), "d")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 1.0), (1, t(25), 2.0), (2, t(50), 3.0)],
+        "k long, ts timestamp, quote double",
+    )
+    back = {
+        (r["k"], r["tag"]): r["quote_r"]
+        for r in asof_join(left, right, "ts", by=["k"]).collect()
+    }
+    assert back == {
+        (1, "a"): 1.0,   # equal ts matches
+        (1, "b"): 2.0,   # latest at-or-before
+        (2, "c"): None,  # right is later only
+        (3, "d"): None,  # key has no right rows
+    }
+    fwd = {
+        (r["k"], r["tag"]): r["quote_r"]
+        for r in asof_join(
+            left, right, "ts", by=["k"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {
+        (1, "a"): 1.0,
+        (1, "b"): None,
+        (2, "c"): 3.0,
+        (3, "d"): None,
+    }
+    tol = {
+        (r["k"], r["tag"]): r["quote_r"]
+        for r in asof_join(
+            left, right, "ts", by=["k"], tolerance="4 minutes"
+        ).collect()
+    }
+    assert tol == {
+        (1, "a"): 1.0,   # gap 0 <= 4min
+        (1, "b"): None,  # gap 5min > 4min -> voided
+        (2, "c"): None,
+        (3, "d"): None,
+    }

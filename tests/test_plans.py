@@ -691,3 +691,30 @@ def test_wcoj_randomized_multigraph_parity(spark):
             want = sorted(map(tuple, off.compile_query(ast).collect()))
             assert any("worst-case-optimal" in t for t in on.plan_trace)
             assert got == want, (trial, q, len(got), len(want))
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """range_join must plan as an equi-join on (key, cell) + residual
+    filter — never the BroadcastNestedLoopJoin/Cartesian Catalyst
+    picks for a pure inequality join (the range-join scale-killer)."""
+    import datetime as dt
+
+    from samyama_graph_spark.datapipe.timeseries import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 10, t0, t0 + dt.timedelta(hours=1))],
+        "k long, iv long, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=30), 5.0)],
+        "k long, ts timestamp, v double",
+    )
+    out = range_join(
+        left, right, key=["k"], start_col="s", end_col="e",
+        ts_col="ts", bucket_seconds=1800,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert out.count() == 1
