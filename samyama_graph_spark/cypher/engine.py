@@ -243,7 +243,22 @@ class CypherEngine:
             wx = WriteExecutor(
                 self.graph, params, id_hint=getattr(self, "_id_hint", None)
             )
+            old_graph = self.graph
             new_graph, summary = wx.execute(ast.parts[0])
+            # frame-identity diff -> which tables this statement
+            # actually rewrote (feeds touched-only compaction below)
+            touched = getattr(self, "_touched_tables", set())
+            touched.update(
+                ("n", k)
+                for k, v in new_graph.nodes.items()
+                if old_graph.nodes.get(k) is not v
+            )
+            touched.update(
+                ("e", k)
+                for k, v in new_graph.edges.items()
+                if old_graph.edges.get(k) is not v
+            )
+            self._touched_tables = touched
             self.graph = new_graph
             # writes invalidate at-rest vector layouts: the parquet
             # snapshot no longer reflects the live graph, so queryNodes
@@ -266,7 +281,10 @@ class CypherEngine:
             # without running an extra job per write.
             self._writes = getattr(self, "_writes", 0) + 1
             if self._writes % 4 == 0:
-                self.graph = self.graph.compacted()
+                self.graph = self.graph.compacted(
+                    touched=self._touched_tables
+                )
+                self._touched_tables = set()
                 # compaction preserves every id -> the watermark stays
                 # valid (the setter cleared it for the general case)
                 self._id_hint = wx.id_hint

@@ -439,22 +439,37 @@ class WriteExecutor:
                 c = F.col(k) == F.lit(v)
                 cond = c if cond is None else (cond & c)
             match_df = existing.filter(cond) if cond is not None else existing
-        matched = match_df is not None and match_df.limit(1).count() > 0
-        if matched:
-            if clause.on_match and np.var:
-                ids = match_df.select("id")
-                self._apply_set_to_ids(label, ids, clause.on_match, scope)
-        else:
-            nid = self._next_id_base()
-            self.id_hint = nid + 1
-            all_props = dict(props)
-            for item in clause.on_create:
-                v = item.value
-                all_props[item.target.key] = (
-                    v.value if isinstance(v, A.Literal) else self.params[v.name]
-                )
-            row = _literal_row(self.g.spark, {"id": nid, **all_props})
-            self._append_nodes(label, row, n=1)
+        # FULLY LAZY merge — no existence-check job per statement (an
+        # interactive fixture build is otherwise one blocking driver
+        # round-trip per MERGE):
+        #   ON MATCH SET applies to whatever matches (empty -> no-op),
+        #   and the ON CREATE literal row survives an anti-join against
+        #   the first match, so exactly one branch is live at execution
+        #   time.  The minted id is wasted when the node existed — ids
+        #   are internal and gaps are fine (same as a rolled-back
+        #   sequence).  Created-count defers to the lazy summary.
+        if match_df is not None and clause.on_match:
+            self._apply_set_to_ids(
+                label, match_df.select("id"), clause.on_match, scope
+            )
+        nid = self._next_id_base()
+        self.id_hint = nid + 1
+        all_props = dict(props)
+        for item in clause.on_create:
+            v = item.value
+            all_props[item.target.key] = (
+                v.value if isinstance(v, A.Literal) else self.params[v.name]
+            )
+        row = _literal_row(self.g.spark, {"id": nid, **all_props})
+        if match_df is not None:
+            row = row.join(
+                F.broadcast(
+                    match_df.limit(1).select(F.lit(1).alias("__m"))
+                ),
+                F.lit(True),
+                "left_anti",
+            )
+        self._append_nodes(label, row, n=None if match_df is not None else 1)
 
     def _merge_edge(self, st: State, path: A.PatternPath, clause: A.MergeClause) -> None:
         ep = path.edges[0]

@@ -169,21 +169,33 @@ class PropertyGraph:
                 out = out.unionByName(pairs)
         return out
 
-    def compacted(self, partitions: int = 8) -> "PropertyGraph":
+    def compacted(
+        self,
+        partitions: int = 8,
+        touched: "set[tuple[str, str]] | None" = None,
+    ) -> "PropertyGraph":
         """Collapse accumulated write deltas: coalesce each table and
         truncate lineage with a lazy localCheckpoint (materialized by
         the next action).  Interactive write sessions call this every
-        few statements; bulk loads never need it."""
+        few statements; bulk loads never need it.
 
-        def c(df: DataFrame) -> DataFrame:
+        ``touched`` (keys ``("n", label)`` / ``("e", edge_type)``)
+        restricts checkpointing to the tables writes actually changed
+        since the last compaction — untouched tables keep their frame
+        identity, so their existing checkpoints/caches carry over and
+        no materialization job is spent on them."""
+
+        def c(kind: str, name: str, df: DataFrame) -> DataFrame:
+            if touched is not None and (kind, name) not in touched:
+                return df
             if df.rdd.getNumPartitions() > partitions:
                 df = df.coalesce(partitions)
             return df.localCheckpoint(eager=False)
 
         return PropertyGraph(
             self.spark,
-            {k: c(v) for k, v in self.nodes.items()},
-            {k: c(v) for k, v in self.edges.items()},
+            {k: c("n", k, v) for k, v in self.nodes.items()},
+            {k: c("e", k, v) for k, v in self.edges.items()},
             dict(self.edge_meta),
             # the reverse-adjacency copies are bucketed table reads, not
             # delta chains — carry them as-is (dropping them would
