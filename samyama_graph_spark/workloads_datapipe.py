@@ -1107,6 +1107,104 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_oracle() -> str:
+    from samyama_graph_spark.datapipe.sampling import split_case_sql
+
+    # the MinHash pair CTEs rebased from the raw table onto the
+    # post-exact-dedup survivor set (docs2)
+    mh = _minhash_pair_ctes().replace(
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)",
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs2)",
+    )
+    assert "FROM docs2" in mh, "shingle CTE rebase failed"
+    split_case = split_case_sql("doc_id", _SPLIT_WEIGHTS, 0)
+    return f"""
+    WITH RECURSIVE
+    gtok AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+             FROM documents),
+    gbase AS (SELECT id, len(ws) AS n_tokens,
+                     len(list_distinct(ws)) AS n_distinct, ws
+              FROM gtok),
+    gbgi AS (SELECT id, ws, unnest(range(1, len(ws))) AS i
+             FROM gbase WHERE len(ws) >= 2),
+    gcnt AS (SELECT id, ws[i] || ' ' || ws[i+1] AS bg, count(*) AS c
+             FROM gbgi GROUP BY id, 2),
+    gtop AS (SELECT id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS total
+             FROM gcnt GROUP BY id),
+    gsig AS (SELECT b.id, b.n_tokens,
+                    CASE WHEN b.n_tokens > 0
+                         THEN b.n_distinct * 1.0 / b.n_tokens
+                         ELSE 0.0 END AS dr,
+                    CASE WHEN COALESCE(t.total, 0) > 0
+                         THEN t.top_c * 1.0 / t.total
+                         ELSE 0.0 END AS tb
+             FROM gbase b LEFT JOIN gtop t ON t.id = b.id),
+    keepers AS (SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens FROM gsig
+                WHERE n_tokens >= 20 AND n_tokens <= 100000
+                  AND dr >= 0.3 AND tb <= 0.2),
+    docs1 AS (SELECT d.doc_id, d.text, d.lang, k.n_tokens
+              FROM documents d JOIN keepers k ON k.id = d.doc_id),
+    ex AS (SELECT min(doc_id) AS keep_id
+           FROM docs1 GROUP BY {hash60_sql('text')}),
+    docs2 AS (SELECT d.* FROM docs1 d JOIN ex ON ex.keep_id = d.doc_id),
+    {mh},
+    e(a, b) AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+    vn(id) AS (SELECT a FROM e UNION SELECT b FROM e),
+    reach(a, b) AS (SELECT id, id FROM vn
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b),
+    comp AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+    drops AS (SELECT id FROM comp WHERE component <> id),
+    docs3 AS (SELECT d.* FROM docs2 d
+              LEFT JOIN drops ON drops.id = d.doc_id
+              WHERE drops.id IS NULL)
+    SELECT lang, {split_case} AS split,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+    FROM docs3 GROUP BY lang, split
+    """
+
+
+@query("corpus_pipeline_e2e", _pipeline_oracle())
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline END-TO-END in one entry: hygiene
+    gate (Gopher-style length + repetition rules) -> exact dedup ->
+    MinHash-LSH near-dup removal with transitive-closure survivor
+    selection -> deterministic train/val/test split, reporting doc
+    and token counts per (lang, split).  Every stage is the same
+    operator the standalone entries check; the composed oracle
+    replays the entire chain — gate, content-hash, shingles, banding,
+    verification, closure, split hash — so stage INTERACTIONS (e.g.
+    dedup running on the filtered set, splits assigned post-dedup)
+    are value-checked, not just each stage in isolation."""
+    from samyama_graph_spark.datapipe.corpus import corpus_filter
+    from samyama_graph_spark.datapipe.dedup import apply_dedup, exact_dedup
+    from samyama_graph_spark.datapipe.sampling import assign_split
+
+    docs = _docs(spark, sf_dir)
+    gate = corpus_filter(docs)
+    kept = docs.select("doc_id", "text", "lang").join(
+        gate.filter(F.col("keep")).select(
+            F.col("id").alias("doc_id"), "n_tokens"
+        ),
+        "doc_id",
+    )
+    survivors = exact_dedup(kept, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    d2 = kept.join(survivors, "doc_id")
+    pairs = minhash_lsh_pairs(
+        d2, "text", "doc_id",
+        k=3, num_hashes=_MH_HASHES, bands=_MH_BANDS,
+        threshold=_MH_THRESHOLD,
+    )
+    d3 = apply_dedup(d2, pairs, "doc_id")
+    out = assign_split(d3, "doc_id", _SPLIT_WEIGHTS, 0)
+    return out.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+
+
 # -------------------------------------------------- corpus hygiene (r4)
 # Benchmark decontamination, PII scrubbing, repetition filters, length
 # bucketing, tf-idf terms — REGISTRY/pytest-oracled (the 50-entry gate
