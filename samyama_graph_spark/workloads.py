@@ -593,17 +593,24 @@ GATE_ORDER: list[str] = [
     "minhash_lsh_dedup",
     "ngram_jaccard_block",
     "simhash_dedup",
-    "embedding_near_dup",
+    # embedding-dedup family: SemDeDup is the richer row (deterministic
+    # clustering + exact within-cluster cosine + survivor verdicts, all
+    # replayed); the LSH-bucketed pair miner stays pytest-oracled
+    "semdedup_verdicts",
     "knn_lsh_top10",
     "knn_ivf_top10",
     # text analysis (metrics entry also carries normalization columns;
     # fingerprints entry also carries the BPE pre-tokenizer counts)
     "text_metrics",
     "text_fingerprints",
-    # sampling / packing / transitive dedup (training-data pipeline)
-    "doc_split_sample",
+    # training-data pipeline end-to-end: gate -> exact dedup -> MinHash
+    # near-dup closure -> split, composed oracle (subsumes the
+    # dedup_clusters closure row and the doc_split_sample split row,
+    # both of which stay pytest-oracled)
+    "corpus_pipeline_e2e",
     "sequence_packing",
-    "dedup_clusters",
+    # temporal joins (as-of; the range-join twin stays pytest-oracled)
+    "events_asof_join",
     # multimodal
     "multimodal_png_stats",
     # PCA (§2 #59) — the oracled slot; full-dim twin is pytest-checked
