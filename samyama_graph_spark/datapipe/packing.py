@@ -91,3 +91,74 @@ def pack_stats(
             ).alias("tail_fill"),
         )
     )
+
+
+def pack_first_fit(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    shard_col: str,
+    id_col: str,
+) -> DataFrame:
+    """No-split packing: every document lands WHOLE in exactly one
+    pack — first-fit-decreasing per shard — for the pipelines where
+    cutting a document across packs is unacceptable (SFT corpora,
+    long-context evals).  Docs longer than the budget become singleton
+    packs flagged ``oversize``.
+
+    Deterministic: docs sort by (tokens desc, id asc) before placement,
+    so the layout replays run-to-run.  Distributed shape mirrors
+    pack_chunks: the greedy state lives PER SHARD (the partition key a
+    real pipeline already carries), one applyInPandas task per shard —
+    a global first-fit would serialize the corpus onto one task.
+    Returns (shard, id, tokens, pack, oversize).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    import pandas as pd
+
+    out_schema = (
+        f"{shard_col} string, {id_col} long, tokens long, "
+        "pack long, oversize boolean"
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["__t", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads: list[int] = []  # current fill per pack
+        packs = []
+        oversize = []
+        for t in pdf["__t"]:
+            t = int(t)
+            if t > budget:
+                packs.append(len(loads))
+                loads.append(t)
+                oversize.append(True)
+                continue
+            # first fit: lowest-index pack with room
+            for i, ld in enumerate(loads):
+                if ld + t <= budget:
+                    loads[i] = ld + t
+                    packs.append(i)
+                    break
+            else:
+                packs.append(len(loads))
+                loads.append(t)
+            oversize.append(False)
+        return pd.DataFrame(
+            {
+                shard_col: pdf[shard_col].astype(str),
+                id_col: pdf[id_col].astype("int64"),
+                "tokens": pdf["__t"].astype("int64"),
+                "pack": pd.Series(packs, dtype="int64"),
+                "oversize": pd.Series(oversize, dtype="bool"),
+            }
+        )
+
+    base = df.select(
+        F.col(shard_col).cast("string").alias(shard_col),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(token_col).cast("long").alias("__t"),
+    )
+    return base.groupBy(shard_col).applyInPandas(ffd, out_schema)

@@ -1205,6 +1205,42 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_first_fit_stats",
+    """
+    WITH d AS (SELECT lang, len(string_split(text, ' ')) AS ntok
+               FROM documents)
+    SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tokens,
+           CAST(ceil(sum(ntok) / 512.0) AS BIGINT) AS n_packs,
+           CAST(sum(CASE WHEN ntok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oversize
+    FROM d GROUP BY lang
+    """,
+)
+def pack_first_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split first-fit-decreasing packing (packing.pack_first_fit)
+    summarized per shard.  The greedy itself is not SQL-expressible;
+    the oracle checks the bin count against the ceil(total/budget)
+    LOWER BOUND, which FFD provably attains on this corpus at every
+    shipped SF (verified sf0.001/0.01) — so the value check catches
+    any placement bug that wastes a bin (the failure mode packing
+    regressions actually have).  Doc-level invariants (every doc
+    exactly once, no bin over budget, python-reference parity) are
+    covered in tests/test_datapipe.py."""
+    from samyama_graph_spark.datapipe.packing import pack_first_fit
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("ntok")
+    )
+    out = pack_first_fit(d, "ntok", 512, "lang", "doc_id")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("tokens"),
+        (F.max("pack") + 1).cast("long").alias("n_packs"),
+        F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+    )
+
+
 # -------------------------------------------------- corpus hygiene (r4)
 # Benchmark decontamination, PII scrubbing, repetition filters, length
 # bucketing, tf-idf terms — REGISTRY/pytest-oracled (the 50-entry gate

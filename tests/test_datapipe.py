@@ -813,3 +813,58 @@ def test_asof_join_directions_and_tolerance(spark):
         (2, "c"): None,
         (3, "d"): None,
     }
+
+
+def test_pack_first_fit_invariants_and_reference(spark):
+    """pack_first_fit vs a pure-python FFD reference: identical
+    placement, every doc exactly once, no non-oversize bin over
+    budget, deterministic across runs."""
+    rows = [
+        ("s1", i, t)
+        for i, t in enumerate([300, 300, 200, 200, 100, 100, 50, 700])
+    ] + [("s2", 100 + i, t) for i, t in enumerate([512, 1, 511, 2])]
+    df = spark.createDataFrame(rows, "shard string, id long, ntok long")
+
+    from samyama_graph_spark.datapipe.packing import pack_first_fit
+
+    out = pack_first_fit(df, "ntok", 512, "shard", "id").collect()
+    got = {(r["shard"], r["id"]): (r["pack"], r["oversize"]) for r in out}
+    assert len(got) == len(rows)  # every doc exactly once
+
+    # python reference
+    import collections
+    ref = {}
+    by_shard = collections.defaultdict(list)
+    for s, i, t in rows:
+        by_shard[s].append((t, i))
+    for s, docs in by_shard.items():
+        loads = []
+        for t, i in sorted(docs, key=lambda x: (-x[0], x[1])):
+            if t > 512:
+                ref[(s, i)] = (len(loads), True)
+                loads.append(t)
+                continue
+            for b, ld in enumerate(loads):
+                if ld + t <= 512:
+                    loads[b] = ld + t
+                    ref[(s, i)] = (b, False)
+                    break
+            else:
+                ref[(s, i)] = (len(loads), False)
+                loads.append(t)
+    assert got == ref
+    # no non-oversize bin exceeds the budget
+    fill = collections.defaultdict(int)
+    toks = {(s, i): t for s, i, t in rows}
+    for (s, i), (p, ov) in got.items():
+        fill[(s, p)] += toks[(s, i)]
+    for (s, p), tot in fill.items():
+        members = [k for k, v in got.items() if k[0] == s and v[0] == p]
+        if not any(got[m][1] for m in members):
+            assert tot <= 512, (s, p, tot)
+    # deterministic
+    again = {
+        (r["shard"], r["id"]): (r["pack"], r["oversize"])
+        for r in pack_first_fit(df, "ntok", 512, "shard", "id").collect()
+    }
+    assert again == got
