@@ -86,6 +86,11 @@ def asof_join(
     survives 100 TB: the naive alternative (range join + max-per-left
     dedup) explodes candidate pairs quadratically inside hot keys.
     Equal timestamps match (right sorts before left at the same ts).
+    A single pathologically hot key serializes its window into one
+    task — pre-split such keys by a coarse time epoch appended to
+    ``by`` (each epoch seeds from the previous one's tail), the
+    standard windowed-salting move; not automated here because the
+    epoch choice is data-owned.
 
     ``tolerance`` (an INTERVAL string, e.g. ``'2 hours'``) voids
     matches farther than that from the left timestamp, like the
