@@ -680,3 +680,35 @@ def test_anonymous_vars_not_shared_across_sibling_clauses(spark):
         "OPTIONAL MATCH (a)-[:S]->() RETURN count(*) AS n"
     ).collect()
     assert got2[0]["n"] == 3
+
+
+def test_reference_compatibility_gaps_execute(spark):
+    """Every 'Remaining Gap' in the reference's own compatibility
+    matrix (docs/CYPHER_COMPATIBILITY.md:77-84 — list slicing, pattern
+    comprehensions covered elsewhere, named paths, split/rand/log/exp/
+    timestamp, collect(DISTINCT)) executes here: the DataFrame
+    compilation gets them from Spark's function library for free."""
+    from samyama_graph_spark.cypher import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    eng = CypherEngine(PropertyGraph(spark, {}, {}))
+    eng.query("CREATE (a:P {name: 'x', v: 3})-[:R]->(b:P {name: 'y', v: 4})")
+    assert eng.query("RETURN [1,2,3,4,5][1..3] AS s").first()["s"] == [2, 3]
+    assert sorted(
+        eng.query(
+            "MATCH (p:P) RETURN collect(DISTINCT p.v % 2) AS c"
+        ).first()["c"]
+    ) == [0, 1]
+    assert eng.query("RETURN split('a,b,c', ',') AS s").first()["s"] == [
+        "a", "b", "c",
+    ]
+    assert eng.query(
+        "RETURN round(log(exp(2.0)), 6) AS v"
+    ).first()["v"] == 2.0
+    assert eng.query("RETURN timestamp() > 0 AS ok").first()["ok"]
+    assert eng.query("RETURN rand() >= 0 AS ok").first()["ok"]
+    row = eng.query(
+        "MATCH p = (a:P)-[:R]->(b:P) RETURN length(p) AS l, "
+        "size(nodes(p)) AS n"
+    ).first()
+    assert (row["l"], row["n"]) == (1, 2)
