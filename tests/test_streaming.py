@@ -86,3 +86,74 @@ def test_stream_dedup_matches_batch(spark, sf_dir):
         for r in batch.select("user_id", "event_type").distinct().collect()
     )
     assert stream_keys == batch_keys and len(stream_keys) > 0
+
+
+def test_watermark_append_finalization_contract(spark, tmp_path):
+    """The append-mode watermark CONTRACT (Structured Streaming
+    guarantees a lower bound, not eager dropping: data older than the
+    horizon is ELIGIBLE to be dropped, data within it never is):
+
+    - a window is emitted only once FINALIZED (window end <= final
+      watermark) — no unfinalized window ever reaches the sink;
+    - each finalized window is emitted exactly once;
+    - in-horizon rows are never lost.
+
+    Three parquet files force three micro-batches (maxFilesPerTrigger
+    = 1) with the watermark advancing between them.  Verified on this
+    Spark version: the beyond-horizon late row is retained and merged
+    (state not yet evicted) — which the contract permits — so the test
+    pins the guarantees, not the discretionary drop."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from samyama_graph_spark.streaming.windows import (
+        events_stream,
+        hourly_windows,
+        run_stream_to_memory,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    cols = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    files = [
+        [(1, t(0, 10), 1, "click", 1.0, "{}")],
+        [(2, t(5, 10), 1, "click", 1.0, "{}")],  # advances watermark
+        [
+            (3, t(4, 20), 1, "click", 1.0, "{}"),  # in-horizon late
+            (4, t(0, 20), 1, "click", 1.0, "{}"),  # beyond horizon
+            (5, t(5, 30), 1, "click", 1.0, "{}"),
+        ],
+    ]
+    src = str(tmp_path / "late_events")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/b{i}.parquet")
+        os.utime(
+            f"{src}/b{i}.parquet",
+            (time.time() + i * 10, time.time() + i * 10),
+        )
+        shutil.rmtree(f"{src}/f{i}")
+
+    got = run_stream_to_memory(
+        hourly_windows(events_stream(spark, src)), "wm_contract", "append"
+    ).collect()
+    emitted = [(r["window_start"].hour, r["n"]) for r in got]
+    hours = [h for h, _ in emitted]
+    # exactly-once per window
+    assert len(hours) == len(set(hours))
+    # final watermark = 05:30 - 2h = 03:30: ONLY the hour-0 window is
+    # finalized; hour-4/hour-5 must NOT appear (unfinalized)
+    assert set(hours) == {0}
+    # in-horizon data never lost: event 1 (00:10, on time) is in it;
+    # the beyond-horizon row may or may not have merged (permitted)
+    n0 = dict(emitted)[0]
+    assert n0 in (1, 2)
