@@ -1241,6 +1241,42 @@ def pack_first_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_length_profile",
+    """
+    WITH d AS (SELECT lang, len(string_split(text, ' ')) AS ntok
+               FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS tokens,
+           round(quantile_cont(ntok, 0.5), 4) AS p50,
+           round(quantile_cont(ntok, 0.9), 4) AS p90,
+           round(quantile_cont(ntok, 0.99), 4) AS p99,
+           CAST(max(ntok) AS BIGINT) AS max_tokens
+    FROM d GROUP BY lang
+    """,
+)
+def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: per-language token-length distribution
+    (exact interpolated p50/p90/p99 — Spark's percentile() and
+    DuckDB's quantile_cont share the linear-interpolation definition,
+    so values hash-match bit-for-bit).  The shape every pipeline runs
+    before choosing packing budgets and length filters; one shuffle,
+    map-side combined.  At 100 TB the same entry swaps percentile()
+    for percentile_approx() (t-digest sketch, still one pass) — exact
+    is kept here because the oracle contract demands value equality."""
+    d = _docs(spark, sf_dir).select(
+        "lang", F.size(F.split("text", " ")).alias("ntok")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("tokens"),
+        F.round(F.expr("percentile(ntok, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(ntok, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(ntok, 0.99)"), 4).alias("p99"),
+        F.max("ntok").cast("long").alias("max_tokens"),
+    )
+
+
 # -------------------------------------------------- corpus hygiene (r4)
 # Benchmark decontamination, PII scrubbing, repetition filters, length
 # bucketing, tf-idf terms — REGISTRY/pytest-oracled (the 50-entry gate
