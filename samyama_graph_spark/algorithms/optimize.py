@@ -12,8 +12,10 @@ history) is returned.
 The solvers are implemented from the published formulations — Jaya
 (R.V. Rao 2016), Rao-1/2/3 (R.V. Rao 2020), TLBO (Rao, Savsani &
 Vakharia 2011), real-coded GA, simulated annealing, the swarm classics
-the reference dispatch accepts (PSO, DE, Firefly, Cuckoo, GWO, Bat,
-ABC, GSA, HS, FPA — operator.rs:6729-6744), and the Rao-family
+the reference exposes (Firefly, Cuckoo, GWO, Bat, ABC, GSA, HS, FPA on
+the Cypher dispatch, operator.rs:6729-6744; PSO and DE only on the
+HTTP optimize surface, http/optimize.rs:610-611 — see solve() for the
+deliberate single-dispatch widening), and the Rao-family
 extensions its bench suite runs (BMR/BWR/BMWR, QO-Jaya, QO-Rao,
 ITLBO, GOTLBO, SAMP-Jaya, EHR-Jaya, SAPHR and the MO-BMWR / MO-Rao+DE
 / MOTLBO multi-objective solvers — benches/rao_family_benchmark.rs) —
@@ -1101,10 +1103,22 @@ MULTI_ALGORITHMS = set(_MULTI)
 
 
 def solve(problem: ORProblem, algorithm="Jaya", pop=50, iters=100, seed=42):
-    """Reference dispatch (operator.rs:6704-6745): multi-objective
-    algorithm names (or >1 cost vector) route to the named MO solver,
-    defaulting to NSGA-II; unknown single-objective names default to
-    Jaya.  Names are matched case-insensitively with -/_ stripped."""
+    """Solver dispatch: multi-objective algorithm names (or >1 cost
+    vector) route to the named MO solver, defaulting to NSGA-II;
+    unknown single-objective names default to Jaya (the reference's
+    fallback, operator.rs:6744).
+
+    DELIBERATE WIDENING vs the reference's Cypher-level dispatch
+    (operator.rs:6728-6744), which is exact-match on a smaller name
+    set: PSO/DE and the swarm classics exist only on the reference's
+    HTTP optimize surface (http/optimize.rs:610-611), so its Cypher
+    path would route 'PSO'/'DE' to Jaya.  Here ONE dispatch serves
+    both surfaces — names are matched case-insensitively with -/_
+    stripped, and every solver the reference exposes ANYWHERE is
+    reachable from CALL algo.or.solve.  A statement like
+    `algorithm: 'PSO'` therefore runs real PSO here but Jaya on the
+    reference's Cypher endpoint; callers wanting bit-compatible
+    routing should pass the reference's exact Cypher names."""
     name = algorithm.lower().replace("-", "").replace("_", "")
     if name in MULTI_ALGORITHMS or (
         problem.multi_costs is not None and len(problem.multi_costs) > 1

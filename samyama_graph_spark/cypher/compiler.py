@@ -229,7 +229,10 @@ class Compiler:
                 df = df.unionByName(p, allowMissingColumns=True)
         else:
             df = self.g.unified_edges().withColumnRenamed("type", "_type")
-        cols = df.columns
+        # "__"-prefixed columns are engine-internal (e.g. the
+        # __src_label/__dst_label DETACH-DELETE provenance on
+        # multi-pair edge types, writes.py) — never query-visible.
+        cols = [c for c in df.columns if not c.startswith("__")]
         fwd = F.struct(*[F.col(c).alias(c) for c in cols])
         if direction == "out":
             oriented = df.select(fwd.alias(var))

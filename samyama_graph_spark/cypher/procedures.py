@@ -350,9 +350,16 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
     if memo is None:
         memo = {}
         object.__setattr__(g, "_or_gather_memo", memo)
+    # each entry records the node DataFrame's object identity at
+    # gather time: any frame replacement this code didn't make itself
+    # (direct g.nodes[label] assignment outside the engine write
+    # path) misses the cache instead of serving stale ids/cost
+    # vectors; our own write-back below re-stamps the identity
+    # because it provably preserves the id set and cost columns
     key = (label, tuple(cost_props))
-    if key in memo:
-        ids, cost_mat = memo[key]
+    entry = memo.get(key)
+    if entry is not None and entry[0] == id(g.nodes[label]):
+        _, ids, cost_mat = entry
     else:
         sel = [F.col("id").cast("long").alias("id")] + [
             F.coalesce(F.col(c).cast("double"), F.lit(1.0)).alias(f"c{i}")
@@ -375,7 +382,7 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
             )
         else:
             cost_mat = np.ones((1, len(ids)))
-        memo[key] = (ids, cost_mat)
+        memo[key] = (id(g.nodes[label]), ids, cost_mat)
     problem = ORProblem(
         costs=cost_mat[0],
         lower=float(cfg.get("min", 0.0)),
@@ -403,13 +410,13 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
         # small-dim write-back as a literal-map projection: no join, no
         # extra job, and repeated or.solve calls on one label (solver
         # portfolios) add one thin Project each instead of stacking a
-        # join per call onto the shared node table
-        m = F.create_map(
-            *[
-                F.lit(v)
-                for pair in zip(ids.tolist(), best.tolist())
-                for v in pair
-            ]
+        # join per call onto the shared node table.  Two whole-list
+        # F.lit array literals (2 py4j calls) zipped via
+        # map_from_arrays — NOT per-element create_map, which costs
+        # 2*len(ids) py4j round trips and a len(ids)*2-child
+        # expression in every downstream plan analysis
+        m = F.map_from_arrays(
+            F.lit(ids.tolist()), F.lit([float(v) for v in best.tolist()])
         )
         g.nodes[label] = tbl.withColumn(prop, m[F.col("id")])
     else:
@@ -424,10 +431,16 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
             "__orv", prop
         )
     # the write-back changed `prop`: any gather that read it as a cost
-    # column is now stale
-    memo_del = [k for k in memo if prop in k[1]]
-    for k in memo_del:
-        del memo[k]
+    # column is now stale; other gathers of this label stay valid
+    # (ids/costs untouched) — re-stamp them onto the new frame so a
+    # solver portfolio still gathers exactly once
+    for k in list(memo):
+        if k[0] != label:
+            continue
+        if prop in k[1]:
+            del memo[k]
+        else:
+            memo[k] = (id(g.nodes[label]), memo[k][1], memo[k][2])
 
     # summary record as a PURE-JVM literal projection: createDataFrame
     # pickles through a Python RDD and costs a py4j round trip per call

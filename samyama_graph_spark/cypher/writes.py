@@ -356,9 +356,7 @@ class WriteExecutor:
     ) -> None:
         pair_known = src_label is not None and dst_label is not None
         if etype in self.edges:
-            self.edges[etype] = self.edges[etype].unionByName(
-                rows, allowMissingColumns=True
-            )
+            edf = self.edges[etype]
             m = self.edge_meta.get(etype)
             if m is not None and (
                 m.pairs is not None or m.src_label or m.dst_label
@@ -384,6 +382,26 @@ class WriteExecutor:
                         self.edge_meta[etype] = EdgeMeta(
                             pairs=tuple(sorted(known))
                         )
+                        # Multi-pair type: ids alone can no longer tell
+                        # which label an endpoint came from (the DETACH
+                        # DELETE collision scenario), so stamp per-row
+                        # provenance.  "__"-prefixed columns are hidden
+                        # from the query surface (_edge_source,
+                        # property_keys).  Backfill the pre-union rows
+                        # from the old single-pair declaration when
+                        # possible; rows whose provenance is unknowable
+                        # stay NULL and scrub conservatively by id.
+                        if "__src_label" not in edf.columns:
+                            if m.pairs is None:  # was single-pair: exact
+                                edf = edf.withColumn(
+                                    "__src_label", F.lit(m.src_label)
+                                ).withColumn("__dst_label", F.lit(m.dst_label))
+                        rows = rows.withColumn(
+                            "__src_label", F.lit(src_label)
+                        ).withColumn("__dst_label", F.lit(dst_label))
+            self.edges[etype] = edf.unionByName(
+                rows, allowMissingColumns=True
+            )
         else:
             self.edges[etype] = rows
             self.edge_meta[etype] = (
@@ -649,18 +667,33 @@ class WriteExecutor:
                     # per label (a session CREATE with a user `id`
                     # prop can collide across labels), so an unscoped
                     # scrub would also drop edges of same-id nodes of
-                    # OTHER labels.  Unknown labels scrub conservatively.
+                    # OTHER labels.  Multi-pair types carry per-row
+                    # hidden __src_label/__dst_label provenance
+                    # (_append_edges), so a mixed-label side scrubs
+                    # exactly its own label's rows; NULL provenance
+                    # (pre-existing rows of declared-multi-pair base
+                    # graphs, whose minted ids are globally unique)
+                    # scrubs conservatively by id.  Unknown labels
+                    # scrub conservatively.
                     for et, edf in list(self.edges.items()):
                         srcs, dsts = self._endpoint_label_sets(et)
                         out = edf
                         if srcs is None or info.label in srcs:
-                            out = out.join(
-                                ids, out["src"] == ids["id"], "left_anti"
-                            )
+                            cond = out["src"] == ids["id"]
+                            if "__src_label" in out.columns:
+                                cond = cond & (
+                                    out["__src_label"].isNull()
+                                    | (out["__src_label"] == F.lit(info.label))
+                                )
+                            out = out.join(ids, cond, "left_anti")
                         if dsts is None or info.label in dsts:
-                            out = out.join(
-                                ids, F.col("dst") == ids["id"], "left_anti"
-                            )
+                            cond = out["dst"] == ids["id"]
+                            if "__dst_label" in out.columns:
+                                cond = cond & (
+                                    out["__dst_label"].isNull()
+                                    | (out["__dst_label"] == F.lit(info.label))
+                                )
+                            out = out.join(ids, cond, "left_anti")
                         if out is not edf:
                             self.edges[et] = out
             elif info.kind == "edge":

@@ -103,6 +103,27 @@ def asof_join(
     rcols = right_cols or [
         c for c in right.columns if c not in by and c != ts_col
     ]
+    # internal scratch names + suffixed outputs must not collide with
+    # caller columns — fail loudly instead of silently misbehaving or
+    # throwing an ambiguous-column AnalysisException mid-plan
+    reserved = {"__ts", "__side", "__r", "__match", "__rts"}
+    clash = (set(left.columns) | set(right.columns)) & reserved
+    if clash:
+        raise ValueError(
+            f"asof_join: input columns {sorted(clash)} collide with "
+            f"internal names {sorted(reserved)}; rename them first"
+        )
+    out_suffixed = {f"{c}{suffix}" for c in [ts_col, *rcols]}
+    kept = set(by) | {ts_col} | {
+        c for c in left.columns if c not in by and c != ts_col
+    }
+    clash = kept & out_suffixed
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with "
+            f"suffixed right outputs (suffix={suffix!r}); pass a "
+            f"different suffix or rename them first"
+        )
     payload = F.struct(
         F.col(ts_col).alias("__rts"), *[F.col(c) for c in rcols]
     )

@@ -118,7 +118,10 @@ class PropertyGraph:
         for df in self.nodes.values():
             keys.update(c for c in df.columns if c != ID)
         for df in self.edges.values():
-            keys.update(c for c in df.columns if c not in (SRC, DST))
+            keys.update(
+                c for c in df.columns
+                if c not in (SRC, DST) and not c.startswith("__")
+            )
         return sorted(keys)
 
     def schema_visualization(self) -> DataFrame:

@@ -233,3 +233,38 @@ def test_detach_delete_scoped_by_endpoint_label(spark):
     assert eng.query(
         "MATCH (p:Person) RETURN count(*) AS n"
     ).first()["n"] == 1
+
+
+def test_detach_delete_multi_pair_edge_type(spark):
+    """A MULTI-pair edge type (OWN fed by both (Person,Account) and
+    (Company,Account)) carries per-row endpoint-label provenance, so
+    deleting Person id=N scrubs exactly Person-sourced OWN rows — the
+    Company-sourced OWN edge with the SAME colliding src id survives,
+    and the Person-sourced one does not."""
+    eng = CypherEngine(PropertyGraph(spark, {}, {}))
+    for stmt in [
+        "CREATE (p:Person {id: 999001})",
+        "CREATE (c:Company {id: 999001})",
+        "CREATE (a:Account {id: 999001})",
+        "CREATE (b:Account {id: 5})",
+        "MATCH (p:Person {id: 999001}), (a:Account {id: 999001}) "
+        "CREATE (p)-[:OWN {who: 'person'}]->(a)",
+        "MATCH (c:Company {id: 999001}), (b:Account {id: 5}) "
+        "CREATE (c)-[:OWN {who: 'company'}]->(b)",
+        "MATCH (p:Person {id: 999001}) DETACH DELETE p",
+    ]:
+        eng.query(stmt)
+    got = eng.query(
+        "MATCH ()-[o:OWN]->() RETURN o.who AS who"
+    ).collect()
+    assert [r["who"] for r in got] == ["company"]
+    # provenance columns never leak into the query surface
+    keys = {
+        r["propertyKey"]
+        for r in eng.query("CALL db.propertyKeys()").collect()
+    }
+    assert not any(k.startswith("__") for k in keys)
+    props = eng.query(
+        "MATCH ()-[o:OWN]->() RETURN properties(o) AS p"
+    ).first()["p"]
+    assert "__src_label" not in str(props)

@@ -3,6 +3,7 @@ guarantees, multimodal plumbing, determinism."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from samyama_graph_spark.datapipe.multimodal import extract_features, synthetic_media
@@ -813,6 +814,12 @@ def test_asof_join_directions_and_tolerance(spark):
         (2, "c"): None,
         (3, "d"): None,
     }
+    # reserved internal names and suffix collisions fail loudly
+    # instead of silently misbehaving (advice r5)
+    with pytest.raises(ValueError, match="internal names"):
+        asof_join(left.withColumnRenamed("tag", "__side"), right, "ts", by=["k"])
+    with pytest.raises(ValueError, match="suffixed right outputs"):
+        asof_join(left.withColumnRenamed("tag", "quote_r"), right, "ts", by=["k"])
 
 
 def test_pack_first_fit_invariants_and_reference(spark):
