@@ -43,6 +43,22 @@ def main() -> None:
         names = [n.strip() for n in only.split(",") if n.strip()]
         bench_set = {n: bench_set[n] for n in names}
 
+    # this box double-books CPUs easily (2-10x per-entry jitter under
+    # load): record the starting load average in the output so a hot
+    # run is identifiable after the fact, and warn loudly up front
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
+    ncpu = os.cpu_count() or 1
+    if load1 > ncpu / 4:
+        print(
+            f"# WARNING: loadavg {load1:.1f} > {ncpu}/4 at start — "
+            "timings will be inflated; rerun on a quiet box",
+            file=sys.stderr,
+            flush=True,
+        )
+
     spark = get_spark(app_name="samyama-bench")
 
     # warm the JVM + parquet footers with one cheap action
@@ -88,6 +104,22 @@ def main() -> None:
             for t in spark.catalog.listTables():
                 if t.isTemporary:
                     spark.catalog.dropTempView(t.name)
+            # streaming hygiene: every availableNow query leaves its
+            # state-store providers LOADED in the executor singleton
+            # (plus a maintenance thread scanning them) and a terminated
+            # handle in the StreamingQueryManager; across a 50-entry x
+            # 3-run suite the late streaming entries otherwise pay 2-3x
+            # their isolated time.  StateStore.stop() unloads all
+            # providers; the next streaming query reloads cleanly.
+            try:
+                spark.streams.resetTerminated()
+                jvm = spark.sparkContext._jvm
+                cls = jvm.java.lang.Class.forName(
+                    "org.apache.spark.sql.execution.streaming.state.StateStore$"
+                )
+                cls.getField("MODULE$").get(None).stop()
+            except Exception:  # noqa: BLE001 — hygiene only, never fail a run
+                pass
             spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -102,6 +134,7 @@ def main() -> None:
         "queries": timings,
         "cold_run": cold,
         "sf": sf_val,
+        "load1_at_start": round(load1, 2),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
@@ -121,6 +154,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": qs,
                 "sf": sf_val,
+                "load1_at_start": round(load1, 2),
             },
             separators=(",", ":"),
         )

@@ -995,6 +995,42 @@ class Compiler:
             list(reversed(path.nodes)), edges, path.path_var, path.shortest
         )
 
+    def _vl_broadcast_edges(self, ep: A.EdgePattern) -> bool:
+        """Should a bounded var-length traversal pin its edge side as a
+        broadcast-resident table (one BroadcastHashJoin per hop, one
+        stage for the whole BFS)?  Judged against wcoj_broadcast_limit
+        like the cycle-closing hint.  Estimates come from the memoized
+        per-type edge counts; on a cache miss they are computed ONLY
+        when the graph is a base (never-written) graph — post-write
+        union-chain graphs would pay a real materialization job at
+        compile time, so those stay cache-hit-only (ANALYZE warms
+        them).  Deep/unbounded traversals use the iterative loop and
+        ignore this."""
+        from samyama_graph_spark.operators.traversal import _UNROLL_MAX
+
+        max_hops = ep.max_hops if ep.max_hops is not None else 20
+        if max_hops > _UNROLL_MAX:
+            return False
+        cache = self.g.__dict__.get("_ecount_cache", {})
+        keys = ep.types if ep.types else ["\x00ALL"]
+        if not all(k in cache for k in keys):
+            if not self.g.__dict__.get("_stats_safe", False):
+                return False
+            for k in keys:
+                self.g.edge_count_est(None if k == "\x00ALL" else k)
+            cache = self.g.__dict__.get("_ecount_cache", {})
+        est = sum(cache[k] for k in keys)
+        if ep.direction == "both":
+            est *= 2
+        if est <= self.wcoj_broadcast_limit:
+            self.plan_trace.append(
+                f"var-length {'|'.join(ep.types) or '(any)'}: edge side "
+                f"broadcast-resident (~{est} rows) — one stage, "
+                "first-reach resolve is the only exchange"
+            )
+            return True
+        return False
+
     def _shortest_path(self, st: State, path: A.PatternPath) -> None:
         """MATCH p = shortestPath((a)-[:T*]->(b)): bind both endpoints,
         run the path-materializing multi-source BFS, join full paths.
@@ -1030,6 +1066,7 @@ class Compiler:
             max_depth,
             direction=ep.direction,
             all_shortest=path.shortest == "allShortest",
+            broadcast_edges=self._vl_broadcast_edges(ep),
         )
         # prune to bound targets before the join-back
         sp = sp.join(targets, sp["node"] == targets["id"], "left_semi")
@@ -1093,7 +1130,8 @@ class Compiler:
             rcol = st.fresh("__vlr")
             hcol = st.fresh("__vlh")
             reach = var_length_paths(
-                starts, edges, ep.min_hops, max_hops, direction=ep.direction
+                starts, edges, ep.min_hops, max_hops, direction=ep.direction,
+                broadcast_edges=self._vl_broadcast_edges(ep),
             ).select(
                 F.col("start").alias("__vl_start"),
                 F.col("node").alias("__vl_node"),
@@ -1105,7 +1143,8 @@ class Compiler:
                 path_info = (ncol, rcol, hcol)
         else:
             reach = var_length_expand(
-                starts, edges, ep.min_hops, max_hops, direction=ep.direction
+                starts, edges, ep.min_hops, max_hops, direction=ep.direction,
+                broadcast_edges=self._vl_broadcast_edges(ep),
             ).withColumnRenamed("start", "__vl_start").withColumnRenamed(
                 "node", "__vl_node"
             )

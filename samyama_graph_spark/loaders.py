@@ -224,6 +224,9 @@ def tpch_graph(spark: SparkSession, sf_dir: str | None = None) -> PropertyGraph:
         "SUPPLIED_BY": EdgeMeta("Part", "Supplier"),
     }
     g = PropertyGraph(spark, nodes, edges, meta)
+    # base parquet-backed graph: cardinality stats may be computed
+    # lazily at compile time (cheap columnless scans, no union chains)
+    g.__dict__["_stats_safe"] = True
     per[sf_dir] = g
     return g
 

@@ -62,6 +62,7 @@ def var_length_expand(
     max_hops: int,
     id_col: str = "id",
     direction: str = "out",
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """BFS ``*min..max`` from every start: ``(start, node, hops)``.
 
@@ -84,7 +85,13 @@ def var_length_expand(
         # AQE job count of the *1..2 gate entry).  Early-exit checks
         # only save work when the frontier can empty before a LARGE
         # bound; at depth <= 4 they cost a scheduled job per hop.
+        # broadcast_edges (caller-judged against the broadcast budget)
+        # pins the edge side resident: every hop becomes a streamed
+        # BroadcastHashJoin, so the whole unrolled BFS is ONE stage
+        # pipeline and the min-hops aggregation is the only exchange.
         e = _directed_view(edges, direction)
+        if broadcast_edges:
+            e = F.broadcast(e)
         frontier = starts.select(
             F.col(id_col).alias("start"), F.col(id_col).alias("node")
         ).distinct()
@@ -209,6 +216,7 @@ def var_length_paths(
     id_col: str = "id",
     direction: str = "out",
     all_shortest: bool = False,
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """Materialized BFS-tree paths: one row PER PATH with
     ``(start, node, hops, path_nodes: array<long>,
@@ -250,8 +258,14 @@ def var_length_paths(
     # enumeration frames hold simple paths rather than the (smaller)
     # BFS tree, which is why this shape is gated to depth <=
     # _UNROLL_MAX; the iterative loop below keeps frontier-pruned BFS
-    # for deep/unbounded traversals.
+    # for deep/unbounded traversals.  broadcast_edges (caller-judged
+    # against the broadcast budget) pins the edge side resident so
+    # every enumeration hop is a streamed BroadcastHashJoin — the
+    # whole bounded BFS collapses into one stage pipeline with the
+    # first-reach resolution as its only exchange.
     e = _typed_view(edges, direction)
+    if broadcast_edges:
+        e = F.broadcast(e)
     base = (
         starts.select(F.col(id_col).cast("long").alias("start"))
         .distinct()

@@ -257,6 +257,9 @@ def finbench_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 "GUARANTEE": EdgeMeta("Company", "Company"),
             },
         )
+        # parquet-derived, never written in place (write workloads use
+        # fresh session graphs): safe for lazy compile-time stats
+        per[sf_dir].__dict__["_stats_safe"] = True
     return per[sf_dir]
 
 
@@ -729,6 +732,39 @@ def finbench_sr3_person_accounts(
 
 
 @query(
+    "finbench_sr2_transfers_window",
+    f"""
+    WITH {TRANSFER_CTES}
+    SELECT dst AS to_account, amount, day, eid
+    FROM transfer
+    WHERE src = {_AB + 1}
+      AND day >= '2024-01-05' AND day < '2024-01-20'
+    ORDER BY day DESC, eid
+    LIMIT 10
+    """,
+)
+def finbench_sr2_transfers_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FinBench SR-2 Account Transfers in Window (finbench_benchmark.rs:
+    214-224): outgoing transfers from an anchored account within a time
+    window, newest first, top 10 — forward expand + windowed top-k
+    (TakeOrderedAndProject)."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (a:Account)-[t:TRANSFER]->(dst:Account)
+        WHERE id(a) = $acct
+          AND t.day >= '2024-01-05' AND t.day < '2024-01-20'
+        RETURN id(dst) AS to_account, t.amount AS amount,
+               t.day AS day, t.eid AS eid
+        ORDER BY day DESC, eid
+        LIMIT 10
+        """,
+        {"acct": _AB + 1},
+    )
+
+
+@query(
     "finbench_sr4_transfer_in",
     f"""
     WITH {TRANSFER_CTES}
@@ -751,6 +787,39 @@ def finbench_sr4_transfer_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE id(a) = $acct
           AND t.day >= '2024-01-05' AND t.day < '2024-01-20'
         RETURN id(src) AS from_account, t.amount AS amount,
+               t.day AS day, t.eid AS eid
+        ORDER BY day DESC, eid
+        LIMIT 10
+        """,
+        {"acct": _AB + 7},
+    )
+
+
+@query(
+    "finbench_sr5_transfer_out",
+    f"""
+    WITH {TRANSFER_CTES}
+    SELECT dst AS to_account, amount, day, eid
+    FROM transfer
+    WHERE src = {_AB + 7}
+      AND day >= '2024-01-05' AND day < '2024-01-20'
+    ORDER BY day DESC, eid
+    LIMIT 10
+    """,
+)
+def finbench_sr5_transfer_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinBench SR-5 Transfer-Out Accounts (finbench_benchmark.rs:
+    251-260): accounts that received transfers from an anchored account
+    within a time window, newest first, top 10.  The reference's SR-5
+    Cypher is shape-identical to SR-2 (same expand + window + top-k)
+    anchored per-benchmark; mirrored here on SR-4's anchor so the two
+    rows exercise different data."""
+    return _engine(spark, sf_dir).query(
+        """
+        MATCH (a:Account)-[t:TRANSFER]->(dst:Account)
+        WHERE id(a) = $acct
+          AND t.day >= '2024-01-05' AND t.day < '2024-01-20'
+        RETURN id(dst) AS to_account, t.amount AS amount,
                t.day AS day, t.eid AS eid
         ORDER BY day DESC, eid
         LIMIT 10

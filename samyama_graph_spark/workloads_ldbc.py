@@ -130,9 +130,12 @@ def ldbc_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
         edges["KNOWS"] = _knows_edges(spark, sf_dir)
         meta = dict(base.edge_meta)
         meta["KNOWS"] = EdgeMeta("Customer", "Customer")
-        per[sf_dir] = PropertyGraph(
+        g = PropertyGraph(
             spark, dict(base.nodes), edges, meta, edges_rev=dict(base.edges_rev)
         )
+        # parquet-derived, never written: safe for lazy compile-time stats
+        g.__dict__["_stats_safe"] = True
+        per[sf_dir] = g
     return per[sf_dir]
 
 

@@ -718,3 +718,49 @@ def test_range_join_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert out.count() == 1
+
+
+def test_var_length_broadcast_pipeline(spark):
+    """Bounded var-length traversals over a broadcast-budget edge set
+    must chain BroadcastHashJoins (edge side resident, one stage for
+    the whole unrolled BFS) — no SortMergeJoin/ShuffledHashJoin on any
+    hop — and the over-budget plan must return the identical result
+    through ordinary shuffled joins."""
+    from samyama_graph_spark.cypher.compiler import Compiler
+    from samyama_graph_spark.cypher.parser import parse
+    from samyama_graph_spark.graph import PropertyGraph
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, (i + d) % n) for i in range(n) for d in (1, 7)],
+        "src long, dst long",
+    )
+    g = PropertyGraph(spark, {"P": nodes}, {"E": edges})
+    g.__dict__["_stats_safe"] = True  # lazy compile-time stats allowed
+    q = (
+        "MATCH (a:P)-[:E*1..3]->(b:P) WHERE id(a) < 5 "
+        "RETURN id(a) AS a, count(*) AS n ORDER BY a"
+    )
+    comp = Compiler(g)
+    df = comp.compile_query(parse(q))
+    trace = " | ".join(comp.plan_trace)
+    assert "broadcast-resident" in trace, trace
+    # the traversal itself (hops only, no node join-back) must be a
+    # pure BroadcastHashJoin pipeline: its only exchange is the
+    # min-hops resolve
+    from samyama_graph_spark.operators.traversal import var_length_expand
+
+    starts = nodes.filter("id < 5")
+    tplan = (
+        var_length_expand(starts, edges, 1, 3, broadcast_edges=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in tplan and "ShuffledHashJoin" not in tplan
+    assert tplan.count("BroadcastHashJoin") >= 3
+    want = [tuple(r) for r in df.collect()]
+    comp2 = Compiler(g)
+    comp2.wcoj_broadcast_limit = 1
+    got = [tuple(r) for r in comp2.compile_query(parse(q)).collect()]
+    assert "broadcast-resident" not in " | ".join(comp2.plan_trace)
+    assert got == want and len(want) == 5
