@@ -446,6 +446,7 @@ def semdedup(
     threshold: float = 0.95,
     iters: int = 0,
     seed_ids: "list[int] | None" = None,
+    centroid_mode: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then EXACT cosine dedup within each cluster and
@@ -469,8 +470,25 @@ def semdedup(
     the survivor rule (lowest id of each within-cluster near-dup
     group) is a connected-components pass over pairs bounded by dup
     volume.  Returns ``(id, cluster, keep)``.
+
+    ``centroid_mode`` picks how centroids reach the executors:
+
+    - ``'literal'``: k plan-literal arrays, assignment strictly
+      map-only (zero exchanges).  Replays bit-for-bit in the SQL
+      oracle, but the plan grows O(k*dim) — usable to k ≈ a few
+      hundred.
+    - ``'broadcast'``: centroids as a broadcast DataFrame + argmax
+      join (one n-row exchange for the per-id max) — bounded plan
+      size at the paper's k ≈ 10^4-10^5 clusters, and Lloyd rounds
+      refine centroids fully distributed (never collected).
+    - ``'auto'`` (default): literal for k <= 32, broadcast above.
     """
     from samyama_graph_spark.datapipe.similarity import dot, norm
+
+    if centroid_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"semdedup: unknown centroid_mode {centroid_mode!r}")
+    if centroid_mode == "auto":
+        centroid_mode = "literal" if k <= 32 else "broadcast"
 
     vec = F.col(vec_col).cast("array<double>")
     base = df.select(
@@ -478,6 +496,55 @@ def semdedup(
         vec.alias("v"),
         norm(vec).alias("nrm"),
     )
+
+    if centroid_mode == "broadcast":
+        assigned = _semdedup_assign_broadcast(base, k, iters, seed_ids)
+    else:
+        assigned = _semdedup_assign_literal(base, k, iters, seed_ids)
+
+    a = assigned.select(
+        F.col("id").alias("x"), F.col("v").alias("vx"),
+        F.col("nrm").alias("nx"), "cluster",
+    )
+    b = assigned.select(
+        F.col("id").alias("y"), F.col("v").alias("vy"),
+        F.col("nrm").alias("ny"), "cluster",
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            "x",
+            "y",
+            (
+                dot(F.col("vx"), F.col("vy")) / (F.col("nx") * F.col("ny"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    comp = _components_from_pairs(pairs)  # (id, component=min id)
+    return (
+        assigned.select("id", "cluster")
+        .join(comp.select(F.col("id"), F.col("component")), "id", "left")
+        .select(
+            "id",
+            "cluster",
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col("id"))
+            ).alias("keep"),
+        )
+    )
+
+
+def _semdedup_assign_literal(
+    base: DataFrame, k: int, iters: int, seed_ids: "list[int] | None"
+) -> DataFrame:
+    """Centroids as k plan-literal arrays: assignment is strictly
+    map-only (zero exchanges) and the whole step replays bit-for-bit
+    in the DuckDB oracle.  Plan size is O(k*dim) — the k <= ~hundreds
+    regime."""
+    from samyama_graph_spark.datapipe.similarity import dot
 
     if seed_ids is None:
         seeds = base.orderBy("id").limit(k).collect()
@@ -528,41 +595,82 @@ def semdedup(
             [m[p] for p in sorted(m)] if (m := by_c.get(ci)) else c
             for ci, c in enumerate(cents)
         ]
-    assigned = assign(base, cents)
+    return assign(base, cents)
 
-    a = assigned.select(
-        F.col("id").alias("x"), F.col("v").alias("vx"),
-        F.col("nrm").alias("nx"), "cluster",
+
+def _semdedup_assign_broadcast(
+    base: DataFrame, k: int, iters: int, seed_ids: "list[int] | None"
+) -> DataFrame:
+    """Centroids as a broadcast DataFrame + argmax join: plan size is
+    O(1) in k (the centroid payload rides the broadcast, like the
+    reference's stored codebooks, vector/index.rs), so the paper's
+    k ≈ 10^4-10^5 regime works.  Assignment costs one n-row exchange
+    (the per-id max is partially aggregated map-side); Lloyd rounds
+    recompute centroids fully distributed — they are never collected
+    to the driver."""
+    from pyspark.sql import Window
+
+    from samyama_graph_spark.datapipe.similarity import dot, norm
+
+    if seed_ids is None:
+        seedsrc = base.orderBy("id").limit(k)
+    else:
+        seedsrc = base.filter(F.col("id").isin([int(s) for s in seed_ids]))
+    # global row_number over k<=10^5 seed rows: single-partition by
+    # construction and bounded by k, not by data volume
+    w = Window.orderBy("id")
+    cents = seedsrc.select(
+        (F.row_number().over(w) - 1).alias("cluster"),
+        F.col("v").alias("cv"),
     )
-    b = assigned.select(
-        F.col("id").alias("y"), F.col("v").alias("vy"),
-        F.col("nrm").alias("ny"), "cluster",
-    )
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("x") < F.col("y"))
-        .select(
-            "x",
-            "y",
-            (
-                dot(F.col("vx"), F.col("vy")) / (F.col("nx") * F.col("ny"))
-            ).alias("cos"),
+
+    def assign(frame: DataFrame, cents_df: DataFrame) -> DataFrame:
+        cn = cents_df.select(
+            "cluster", "cv", norm(F.col("cv")).alias("cnrm")
         )
-        .filter(F.col("cos") >= threshold)
-    )
-    comp = _components_from_pairs(pairs)  # (id, component=min id)
-    return (
-        assigned.select("id", "cluster")
-        .join(comp.select(F.col("id"), F.col("component")), "id", "left")
-        .select(
-            "id",
-            "cluster",
-            (
-                F.col("component").isNull()
-                | (F.col("component") == F.col("id"))
-            ).alias("keep"),
+        scored = frame.crossJoin(F.broadcast(cn))
+        sim = dot(F.col("v"), F.col("cv")) / (
+            F.col("nrm")
+            * F.when(F.col("cnrm") == 0.0, F.lit(1.0)).otherwise(F.col("cnrm"))
         )
-    )
+        # ties to the LOWER cluster id via the negc tiebreak — same
+        # rule as the literal path's struct array_max
+        best = scored.groupBy("id").agg(
+            F.max(
+                F.struct(sim.alias("cos"), (-F.col("cluster")).alias("negc"))
+            ).alias("b"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+        return best.select(
+            "id", "v", "nrm", (-F.col("b.negc")).cast("int").alias("cluster")
+        )
+
+    for _ in range(iters):
+        assigned = assign(base, cents)
+        grid = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg((F.sum("val") / F.count(F.lit(1))).alias("m"))
+        )
+        new = grid.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+        # clusters that lost every member keep their previous centroid
+        # (the literal path's rule); k-row frame, lineage cut per round
+        cents = (
+            cents.alias("o")
+            .join(new.alias("n"), "cluster", "left")
+            .select(
+                "cluster",
+                F.coalesce(F.col("n.cv"), F.col("o.cv")).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign(base, cents)
 
 
 def _components_from_pairs(

@@ -763,6 +763,77 @@ def test_semdedup_lloyd_matches_numpy(spark):
     assert drop, "test must exercise the drop path"
 
 
+def test_semdedup_broadcast_matches_literal(spark):
+    """The broadcast-centroid assignment path (the k ~ 10^4-10^5 scale
+    route) must produce the identical verdict set as the plan-literal
+    path at the same k, with and without Lloyd refinement."""
+    from samyama_graph_spark.datapipe.dedup import semdedup
+    from samyama_graph_spark.loaders import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])[
+        "embeddings"
+    ]
+    for iters in (0, 2):
+        lit = {
+            (r["id"], r["cluster"], r["keep"])
+            for r in semdedup(
+                emb, "embedding", "vec_id", k=16, threshold=0.95,
+                iters=iters, centroid_mode="literal",
+            ).collect()
+        }
+        bc = {
+            (r["id"], r["cluster"], r["keep"])
+            for r in semdedup(
+                emb, "embedding", "vec_id", k=16, threshold=0.95,
+                iters=iters, centroid_mode="broadcast",
+            ).collect()
+        }
+        assert bc == lit and len(lit) > 0, iters
+
+
+def test_semdedup_broadcast_scales_in_k(spark):
+    """At k=256 the broadcast path must (a) keep the assignment plan
+    size bounded — no O(k*dim) literal blow-up — and (b) execute with
+    every row assigned to a real cluster."""
+    from samyama_graph_spark.datapipe.dedup import (
+        _semdedup_assign_broadcast,
+        _semdedup_assign_literal,
+        semdedup,
+    )
+    from samyama_graph_spark.datapipe.similarity import norm
+    from samyama_graph_spark.loaders import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])[
+        "embeddings"
+    ]
+    vec = F.col("embedding").cast("array<double>")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        vec.alias("v"),
+        norm(vec).alias("nrm"),
+    )
+    k = 256
+    bc_plan = str(
+        _semdedup_assign_broadcast(base, k, 0, None)
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    lit_plan = str(
+        _semdedup_assign_literal(base, k, 0, None)
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    # the literal plan embeds k*dim floats; the broadcast plan must be
+    # an order of magnitude smaller and independent of k
+    assert len(bc_plan) < len(lit_plan) / 10, (len(bc_plan), len(lit_plan))
+    out = semdedup(
+        emb, "embedding", "vec_id", k=k, threshold=0.95,
+        centroid_mode="broadcast",
+    )
+    rows = out.collect()
+    n_emb = emb.count()
+    assert len(rows) == n_emb
+    assert all(0 <= r["cluster"] < k for r in rows)
+
+
 def test_asof_join_directions_and_tolerance(spark):
     """asof_join against hand-computed expectations: backward picks
     the latest right at-or-before, forward the earliest at-or-after,
