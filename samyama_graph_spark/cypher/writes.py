@@ -68,6 +68,13 @@ class WriteExecutor:
         # pipeline otherwise pays the job floor 5-6 extra times, and
         # the summary is often never collected at all
         self._pending_counts: list[tuple[str, DataFrame]] = []
+        # per-label node-count deltas with STATICALLY known sizes
+        # (literal CREATEs): folded into the carried planner stats so
+        # an interactive write session never runs a count job just to
+        # anchor the next statement's MATCH.  None = unknown delta
+        # (frame-bound CREATE/MERGE/DELETE) — the carried value goes
+        # stale, which the planner tolerates by design.
+        self._node_delta: dict[str, int | None] = {}
 
     # ------------------------------------------------------------- entry
     def execute(self, sq: A.SingleQuery) -> tuple[PropertyGraph, DataFrame]:
@@ -155,9 +162,22 @@ class WriteExecutor:
         # carry the planner stats cache across the write delta —
         # estimates tolerate the slight staleness, and without it every
         # post-write MATCH would re-run label-count jobs per statement
-        return PropertyGraph(
+        g = PropertyGraph(
             self.g.spark, self.nodes, self.edges, self.edge_meta
         )._carry_stats_from(self.g, edge_counts=False)
+        cache = g.__dict__.setdefault("_count_cache", {})
+        for label, d in self._node_delta.items():
+            if d is None:
+                continue  # unknown delta: stale carried value tolerated
+            if label in cache:
+                cache[label] += d
+            elif label not in self.g.nodes:
+                # label born in this session from literal CREATEs only:
+                # the delta IS the exact count — seed it so the planner
+                # never counts a union-of-literal-rows chain
+                cache[label] = d
+        cache.pop("\x00ALL", None)  # recomputed from per-label on demand
+        return g
 
     # -------------------------------------------------------------- utils
     def _next_id_base(self) -> int:
@@ -343,8 +363,11 @@ class WriteExecutor:
         # CREATE); otherwise the count defers into the lazy summary
         if n is not None:
             self.counters["nodes_created"] += n
+            if self._node_delta.get(label, 0) is not None:
+                self._node_delta[label] = self._node_delta.get(label, 0) + n
         else:
             self._pending_counts.append(("nodes_created", rows))
+            self._node_delta[label] = None
 
     def _append_edges(
         self,
@@ -661,6 +684,7 @@ class WriteExecutor:
                     ids, "id", "left_anti"
                 )
                 self._pending_counts.append(("nodes_deleted", ids))
+                self._node_delta[info.label] = None  # size unknown: stale ok
                 if clause.detach:
                     # scrub only edge types whose declared endpoint
                     # labels admit the deleted label: ids are unique

@@ -191,20 +191,36 @@ class PropertyGraph:
         def c(kind: str, name: str, df: DataFrame) -> DataFrame:
             if touched is not None and (kind, name) not in touched:
                 return df
-            if df.rdd.getNumPartitions() > partitions:
-                df = df.coalesce(partitions)
-            return df.localCheckpoint(eager=False)
+            # unconditional coalesce: it never INCREASES partition
+            # count, so no width probe is needed — and probing via
+            # df.rdd.getNumPartitions() would force AQE to execute the
+            # delta chain's shuffle stages right here
+            return df.coalesce(partitions).localCheckpoint(eager=False)
 
-        return PropertyGraph(
-            self.spark,
-            {k: c("n", k, v) for k, v in self.nodes.items()},
-            {k: c("e", k, v) for k, v in self.edges.items()},
-            dict(self.edge_meta),
-            # the reverse-adjacency copies are bucketed table reads, not
-            # delta chains — carry them as-is (dropping them would
-            # silently re-shuffle every reverse hop after compaction)
-            dict(self.edges_rev),
-        )._carry_stats_from(self)
+        # AQE OFF while the checkpoints are planned: under AQE,
+        # localCheckpoint's plan->RDD conversion EXECUTES every shuffle
+        # stage of the delta chain on the spot (several real jobs per
+        # compaction, measured 1-8 on a 12-statement fixture); with a
+        # static plan the conversion is pure compilation and the
+        # checkpoint truly defers to the next action.  Write-delta
+        # plans are tiny unions/joins — adaptive re-planning has
+        # nothing to add.
+        prev = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            return PropertyGraph(
+                self.spark,
+                {k: c("n", k, v) for k, v in self.nodes.items()},
+                {k: c("e", k, v) for k, v in self.edges.items()},
+                dict(self.edge_meta),
+                # the reverse-adjacency copies are bucketed table
+                # reads, not delta chains — carry them as-is (dropping
+                # them would silently re-shuffle every reverse hop
+                # after compaction)
+                dict(self.edges_rev),
+            )._carry_stats_from(self)
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", prev)
 
     # ---------------------------------------------------------------- scans
     def node_df(self, label: str | None = None) -> DataFrame:
