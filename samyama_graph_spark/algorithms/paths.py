@@ -13,11 +13,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from samyama_graph_spark.algorithms.util import (
+    DRIVER_EDGE_GUARD,
     checkpoint,
+    collect_if_small,
     iteration_scope,
     partitioned,
     symmetrize,
 )
+
+
+def _local_adj(rows, directed: bool, weighted: bool):
+    """Adjacency dict from collected edge rows (both directions when
+    undirected; self-loops harmless — the visited/dist sets reject
+    them exactly like the distributed anti-joins)."""
+    adj: dict = {}
+    for r in rows:
+        if weighted:
+            s, d, w = int(r[0]), int(r[1]), float(r[2])
+            adj.setdefault(s, []).append((d, w))
+            if not directed:
+                adj.setdefault(d, []).append((s, w))
+        else:
+            s, d = int(r[0]), int(r[1])
+            adj.setdefault(s, []).append(d)
+            if not directed:
+                adj.setdefault(d, []).append(s)
+    return adj
 
 
 def bfs(
@@ -33,8 +54,36 @@ def bfs(
     Frontier expansion: each round joins the frontier against edges on
     src and anti-joins the visited set — the reference's visited-set
     BFS (operator.rs:3003) in shuffle form.
+
+    Driver fast path (same guard as MST/SCC/max-flow): below
+    DRIVER_EDGE_GUARD edges the level sets settle on the driver in
+    microseconds — mirroring the reference's own sequential BFS
+    (pathfinding.rs:19) — instead of scheduling one job per level.
+    The distributed loop is the ≥guard path.
     """
     spark = edges.sparkSession
+    rows = collect_if_small(
+        edges.select("src", "dst"), DRIVER_EDGE_GUARD, "src", "dst"
+    )
+    if rows is not None:
+        adj = _local_adj(rows, directed, weighted=False)
+        visited = {int(source): (0, None)}
+        frontier = [int(source)]
+        for d in range(1, max_depth + 1):
+            preds: dict = {}
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in visited and (v not in preds or u < preds[v]):
+                        preds[v] = u  # min-parent determinism
+            if not preds:
+                break
+            visited.update({v: (d, p) for v, p in preds.items()})
+            frontier = list(preds)
+        out = spark.createDataFrame(
+            [(v, d, p) for v, (d, p) in visited.items()],
+            "id long, depth int, parent long",
+        )
+        return out if parents else out.select("id", "depth")
     if max_depth <= 2:
         # bounded shallow BFS: one lazy unrolled plan, zero per-depth
         # count/checkpoint jobs (AQE skips empty frontiers and picks
@@ -117,7 +166,48 @@ def sssp(
     round propagate relaxations, so each round shuffles just the
     active frontier joined to its out-edges.  Converges to Dijkstra's
     fixpoint for non-negative weights.
+
+    Driver fast path (same guard as MST/SCC/max-flow): below
+    DRIVER_EDGE_GUARD edges the SAME frontier relaxation settles on
+    the driver — the reference's Dijkstra is likewise sequential
+    (pathfinding.rs:91) — instead of one scheduled job per round.
+    Identical results including the (dist, parent) struct-min
+    tie-break and the strict-improvement rule.
     """
+    rows = collect_if_small(
+        edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("w")
+        ),
+        DRIVER_EDGE_GUARD,
+        "src", "dst", "w",
+    )
+    if rows is not None:
+        spark_l = edges.sparkSession
+        adj = _local_adj(rows, directed, weighted=True)
+        dist: dict = {int(source): (0.0, None)}
+        frontier = [int(source)]
+        for _ in range(max_rounds):
+            cand: dict = {}
+            for u in frontier:
+                du = dist[u][0]
+                for v, w in adj.get(u, ()):
+                    key = (du + w, u)
+                    if v not in cand or key < cand[v]:
+                        cand[v] = key
+            improved = {
+                v: key
+                for v, key in cand.items()
+                if v not in dist or key[0] < dist[v][0]
+            }
+            if not improved:
+                break
+            dist.update(improved)
+            frontier = list(improved)
+        out = spark_l.createDataFrame(
+            [(v, d, p) for v, (d, p) in dist.items()],
+            "id long, dist double, parent long",
+        )
+        return out if parents else out.select("id", "dist")
     e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
     if not directed:
         e = e.unionByName(

@@ -482,6 +482,36 @@ def test_sssp_matches_python_dijkstra(spark):
         assert got == dist, f"seed {seed}"
 
 
+def test_bfs_sssp_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """bfs/sssp pick a driver fast path under DRIVER_EDGE_GUARD (the
+    reference's own pathfinding solvers are sequential,
+    pathfinding.rs:19/:91); forcing the guard to 0 must route the SAME
+    inputs through the distributed frontier loops with identical
+    results — depths, dists, and deterministic parents."""
+    import samyama_graph_spark.algorithms.paths as P
+
+    edges = _random_digraph(spark, 21, n=60, m=200, weights=True)
+    fast_b = {
+        r["id"]: (r["depth"], r["parent"])
+        for r in P.bfs(edges, 0, max_depth=30, parents=True).collect()
+    }
+    fast_s = {
+        r["id"]: (r["dist"], r["parent"])
+        for r in P.sssp(edges, 0, max_rounds=60, parents=True).collect()
+    }
+    monkeypatch.setattr(P, "DRIVER_EDGE_GUARD", 0)
+    slow_b = {
+        r["id"]: (r["depth"], r["parent"])
+        for r in P.bfs(edges, 0, max_depth=30, parents=True).collect()
+    }
+    slow_s = {
+        r["id"]: (r["dist"], r["parent"])
+        for r in P.sssp(edges, 0, max_rounds=60, parents=True).collect()
+    }
+    assert fast_b == slow_b and len(fast_b) > 10
+    assert fast_s == slow_s and len(fast_s) > 10
+
+
 def test_wcc_two_phase_parity_and_rounds(spark):
     """Large-star/small-star WCC must equal union-find on a random
     graph, and must settle a 10k-node PATH in O(log^2 n) rounds —
