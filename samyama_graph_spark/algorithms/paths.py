@@ -15,29 +15,49 @@ from pyspark.sql import functions as F
 from samyama_graph_spark.algorithms.util import (
     DRIVER_EDGE_GUARD,
     checkpoint,
-    collect_if_small,
     iteration_scope,
     partitioned,
     symmetrize,
 )
 
 
-def _local_adj(rows, directed: bool, weighted: bool):
-    """Adjacency dict from collected edge rows (both directions when
+def _edges_pdf_if_small(df: DataFrame, guard: int):
+    """The edge frame as a pandas DataFrame when it holds at most
+    ``guard`` rows, else None.  Size-estimate pre-gate (no job, cutoff
+    guard/4 in estimate units since parquet estimates run ~4x low)
+    skips probably-over frames outright; plausibly-small ones pay one
+    bounded count then an Arrow-batched toPandas — never py4j Row
+    objects (their heap churn measurably degrades the rest of a
+    session)."""
+    from samyama_graph_spark.algorithms.util import estimated_rows
+
+    if estimated_rows(df) > guard // 4:
+        return None
+    if df.limit(guard + 1).count() > guard:
+        return None
+    return df.toPandas()
+
+
+def _local_adj(pdf, directed: bool, weighted: bool):
+    """Adjacency dict from a collected edge frame (both directions when
     undirected; self-loops harmless — the visited/dist sets reject
     them exactly like the distributed anti-joins)."""
     adj: dict = {}
-    for r in rows:
-        if weighted:
-            s, d, w = int(r[0]), int(r[1]), float(r[2])
-            adj.setdefault(s, []).append((d, w))
+    if weighted:
+        it = zip(
+            pdf.iloc[:, 0].tolist(),
+            pdf.iloc[:, 1].tolist(),
+            pdf.iloc[:, 2].tolist(),
+        )
+        for s, d, w in it:
+            adj.setdefault(int(s), []).append((int(d), float(w)))
             if not directed:
-                adj.setdefault(d, []).append((s, w))
-        else:
-            s, d = int(r[0]), int(r[1])
-            adj.setdefault(s, []).append(d)
+                adj.setdefault(int(d), []).append((int(s), float(w)))
+    else:
+        for s, d in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
+            adj.setdefault(int(s), []).append(int(d))
             if not directed:
-                adj.setdefault(d, []).append(s)
+                adj.setdefault(int(d), []).append(int(s))
     return adj
 
 
@@ -62,11 +82,11 @@ def bfs(
     The distributed loop is the ≥guard path.
     """
     spark = edges.sparkSession
-    rows = collect_if_small(
-        edges.select("src", "dst"), DRIVER_EDGE_GUARD, "src", "dst"
+    pdf = _edges_pdf_if_small(
+        edges.select("src", "dst"), DRIVER_EDGE_GUARD
     )
-    if rows is not None:
-        adj = _local_adj(rows, directed, weighted=False)
+    if pdf is not None:
+        adj = _local_adj(pdf, directed, weighted=False)
         visited = {int(source): (0, None)}
         frontier = [int(source)]
         for d in range(1, max_depth + 1):
@@ -174,16 +194,15 @@ def sssp(
     Identical results including the (dist, parent) struct-min
     tie-break and the strict-improvement rule.
     """
-    rows = collect_if_small(
+    pdf = _edges_pdf_if_small(
         edges.select(
             "src", "dst", F.col(weight_col).cast("double").alias("w")
         ),
         DRIVER_EDGE_GUARD,
-        "src", "dst", "w",
     )
-    if rows is not None:
+    if pdf is not None:
         spark_l = edges.sparkSession
-        adj = _local_adj(rows, directed, weighted=True)
+        adj = _local_adj(pdf, directed, weighted=True)
         dist: dict = {int(source): (0.0, None)}
         frontier = [int(source)]
         for _ in range(max_rounds):
