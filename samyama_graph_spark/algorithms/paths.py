@@ -23,19 +23,22 @@ from samyama_graph_spark.algorithms.util import (
 
 def _edges_pdf_if_small(df: DataFrame, guard: int):
     """The edge frame as a pandas DataFrame when it holds at most
-    ``guard`` rows, else None.  Size-estimate pre-gate (no job, cutoff
-    guard/4 in estimate units since parquet estimates run ~4x low)
-    skips probably-over frames outright; plausibly-small ones pay one
-    bounded count then an Arrow-batched toPandas — never py4j Row
-    objects (their heap churn measurably degrades the rest of a
-    session)."""
-    from samyama_graph_spark.algorithms.util import estimated_rows
+    ``guard`` rows, else None.  A large TRUSTWORTHY size estimate
+    (scan-shaped plan) skips the probe with no job at all; everything
+    else takes one bounded Arrow toPandas — never py4j Row objects
+    (their heap churn measurably degrades the rest of a session)."""
+    from samyama_graph_spark.algorithms.util import (
+        cardinality_estimate_trustworthy,
+        estimated_rows,
+    )
 
-    if estimated_rows(df) > guard // 4:
+    if (
+        estimated_rows(df) > guard // 4
+        and cardinality_estimate_trustworthy(df)
+    ):
         return None
-    if df.limit(guard + 1).count() > guard:
-        return None
-    return df.toPandas()
+    pdf = df.limit(guard + 1).toPandas()
+    return None if len(pdf) > guard else pdf
 
 
 def _local_adj(pdf, directed: bool, weighted: bool):

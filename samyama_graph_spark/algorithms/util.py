@@ -141,21 +141,35 @@ def collect_if_small(
     fast path.
     """
     sel = df.select(*cols) if cols else df
-    # size-estimate pre-gate (statistics only, NO job): a probably-over
-    # frame skips the probe entirely — limit().collect() on it would
-    # ship guard+1 full rows through py4j just to learn "too big"
-    # (measured: a 500k-row probe on a 1.35M-edge frame wasted seconds
-    # and its Row-object heap churn degraded NEIGHBORING bench entries
-    # via GC pressure).  Catalyst's parquet-scan estimates run ~4x LOW
-    # (compressed sizes), so the cutoff is guard/4 in estimate units —
-    # frames whose TRUE size is near or over the guard skip straight
-    # to the distributed path.  A wrong estimate only costs
-    # performance, never correctness (both sides compute the same
-    # fixpoint).
-    if estimated_rows(sel) > guard // 4:
+    # Skip the probe with NO job when the size estimate is both large
+    # and TRUSTWORTHY (scan/union/filter plans: parquet estimates run
+    # ~4x low, never wildly high — cutoff guard/4 in estimate units).
+    # Without this, limit().collect() on a clearly-over frame ships
+    # guard+1 full rows through py4j just to learn "too big"
+    # (measured: a 500k-row Row-object probe on a 1.35M-edge frame
+    # wasted seconds and its heap churn degraded NEIGHBORING bench
+    # entries via GC pressure).  Join/aggregate-derived frames
+    # overestimate wildly (a dup-pair graph bounded by dup volume
+    # estimates like a cross product), so they ALWAYS probe — one
+    # bounded collect, the pre-existing behavior.
+    if (
+        estimated_rows(sel) > guard // 4
+        and cardinality_estimate_trustworthy(sel)
+    ):
         return None
     rows = sel.limit(guard + 1).collect()
     return None if len(rows) > guard else rows
+
+
+def cardinality_estimate_trustworthy(df: DataFrame) -> bool:
+    """True when the optimized plan contains no join/aggregate — for
+    scan/union/project/filter plans Catalyst's sizeInBytes tracks the
+    input volume and never explodes the way join estimates do."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    return "Join" not in plan and "Aggregate" not in plan
 
 
 def estimated_rows(df: DataFrame) -> int:
