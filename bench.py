@@ -136,7 +136,7 @@ def main() -> None:
         worst = sorted(
             (n for n in timings if timings[n] > 1.0),
             key=lambda n: -timings[n],
-        )[:6]
+        )[:10]
         for name in worst:
             print(f"# bench retry: {name}", file=sys.stderr, flush=True)
             samples = []

@@ -218,6 +218,27 @@ class _scoped_shuffle_partitions:
         return False
 
 
+def _unload_idle_state_stores(spark: SparkSession) -> None:
+    """Unload every loaded state-store provider when NO streaming query
+    is active.  availableNow runs leave their providers resident in the
+    executor singleton (plus a maintenance thread scanning them); in a
+    session that drives many such runs — test suites, benchmarks, batch
+    jobs using streaming operators — the accumulation taxes every later
+    run 2-3x.  Safe at idle: the next streaming query reloads its
+    providers from the checkpoint as usual.  Never raises."""
+    try:
+        if spark.streams.active:
+            return
+        spark.streams.resetTerminated()
+        jvm = spark.sparkContext._jvm
+        cls = jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.execution.streaming.state.StateStore$"
+        )
+        cls.getField("MODULE$").get(None).stop()
+    except Exception:  # noqa: BLE001 — hygiene only
+        pass
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,
@@ -242,6 +263,7 @@ def run_stream_to_memory(
             q.awaitTermination()
         finally:
             q.stop()  # release state-store/source resources promptly
+    _unload_idle_state_stores(spark)
     return spark.table(query_name)
 
 
@@ -276,6 +298,7 @@ def run_streams_to_memory(
         finally:
             for q in qs:
                 q.stop()  # release state-store/source resources promptly
+    _unload_idle_state_stores(spark)
     return [spark.table(name) for _, name, _ in jobs]
 
 
