@@ -325,10 +325,19 @@ class RdfStore:
 
     # ------------------------------------------------------------ SPARQL
     def sparql(self, query: str) -> DataFrame:
-        """Basic-graph-pattern SELECT (executes what the reference only
-        parses-as-TODO): PREFIX declarations, SELECT vars or *,
-        WHERE { triple patterns }, DISTINCT, LIMIT.  Each pattern is a
-        filtered scan; shared variables join; literals/IRIs filter."""
+        """SELECT queries over basic graph patterns (executes what the
+        reference only parses-as-TODO, sparql/executor.rs:33-54):
+        PREFIX declarations, SELECT vars or *, WHERE { triple patterns,
+        FILTER(...) expressions, OPTIONAL { ... } blocks }, DISTINCT,
+        ORDER BY [ASC()/DESC()], LIMIT, OFFSET.
+
+        Relational mapping: each pattern is a filtered scan of the
+        triple frame; shared variables equi-join; OPTIONAL blocks
+        left-join on their shared variables; FILTERs compile to column
+        predicates (comparisons with numeric coercion against numeric
+        literals, &&/||/!, regex/bound/contains/strstarts).  ORDER BY
+        may reference selected variables only; nesting OPTIONAL inside
+        OPTIONAL is not supported."""
         return _sparql_select(self, query)
 
 
@@ -336,7 +345,9 @@ _SPARQL_RE = re.compile(
     r"(?is)^\s*(?P<prefixes>(?:PREFIX\s+\S+\s+<[^>]*>\s*)*)"
     r"SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<vars>\*|(?:\?\w+\s*)+)"
     r"\s*WHERE\s*\{(?P<body>.*)\}\s*"
-    r"(?:LIMIT\s+(?P<limit>\d+))?\s*$"
+    r"(?:ORDER\s+BY\s+(?P<order>(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)"
+    r"(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*)\s*)?"
+    r"(?:(?:LIMIT\s+(?P<limit>\d+)|OFFSET\s+(?P<offset>\d+))\s*){0,2}$"
 )
 _PREFIX_RE = re.compile(r"(?i)PREFIX\s+(\w*):\s+<([^>]*)>")
 
@@ -367,48 +378,28 @@ def _sparql_select(store: RdfStore, query: str) -> DataFrame:
     for pfx, iri_ in _PREFIX_RE.findall(m.group("prefixes") or ""):
         ns.add_prefix(pfx, iri_)
 
-    # tokenize the whole body ('.' separates patterns; splitting the
-    # text on '.' would cut IRIs like example.org apart)
-    tok_re = re.compile(
-        r'<[^>]*>'
-        r'|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^<[^>]*>)?'
-        r"|\?\w+"
-        r"|_:[\w-]+"
-        r"|[A-Za-z_][\w-]*:[\w.-]*[\w-]"
-        r"|\ba\b"
-        r"|\."
-    )
-    patterns = []
-    group: list[str] = []
-    for tok in tok_re.findall(m.group("body")):
-        if tok == ".":
-            if group:
-                raise ValueError(f"bad triple pattern near {group!r}")
-            continue
-        group.append(tok)
-        if len(group) == 3:
-            patterns.append(tuple(_sparql_term(t, ns) for t in group))
-            group = []
-    if group:
-        raise ValueError(f"dangling tokens in WHERE clause: {group!r}")
-    if not patterns:
+    base_text, optionals, filters = _split_blocks(m.group("body"))
+    counter = [0]
+    frame = _bgp_frame(store, base_text, ns, counter)
+    if frame is None:
         raise ValueError("empty WHERE clause")
-
-    frame = None
-    for i, (ts, tp, to) in enumerate(patterns):
-        leg = store.df
-        cols = []
-        for pos, (kind, val) in zip(("s", "p", "o"), (ts, tp, to)):
-            if kind == "value":
-                leg = leg.filter(F.col(pos) == val)
-            else:
-                cols.append(F.col(pos).alias(f"?{val}"))
-        leg = leg.select(*cols) if cols else leg.select(F.lit(1).alias(f"__m{i}"))
-        if frame is None:
-            frame = leg
-        else:
-            shared = [c for c in leg.columns if c in frame.columns]
-            frame = frame.join(leg, shared) if shared else frame.crossJoin(leg)
+    for opt in optionals:
+        of = _bgp_frame(store, opt, ns, counter)
+        if of is None:
+            continue
+        shared = [
+            c for c in of.columns
+            if c in frame.columns and c.startswith("?")
+        ]
+        # OPTIONAL = left outer join on the shared variables (SPARQL's
+        # left-join algebra); no shared vars -> every binding extends
+        frame = (
+            frame.join(of, shared, "left")
+            if shared
+            else frame.join(of, F.lit(True), "left")
+        )
+    for fexpr in filters:
+        frame = frame.filter(_sparql_filter(fexpr, ns))
 
     sel = m.group("vars").strip()
     if sel != "*":
@@ -422,6 +413,257 @@ def _sparql_select(store: RdfStore, query: str) -> DataFrame:
         )
     if m.group("distinct"):
         frame = frame.distinct()
+    if m.group("order"):
+        keys = []
+        for om in re.finditer(
+            r"(?i)(?:(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+))",
+            m.group("order"),
+        ):
+            direction, v = (om.group(1) or "ASC").upper(), (
+                om.group(2) or om.group(3)
+            )
+            if v not in frame.columns:
+                raise ValueError(
+                    f"ORDER BY ?{v} must reference a selected variable"
+                )
+            keys.append(
+                F.col(v).desc() if direction == "DESC" else F.col(v).asc()
+            )
+        frame = frame.orderBy(*keys)
+    if m.group("offset"):
+        frame = frame.offset(int(m.group("offset")))
     if m.group("limit"):
         frame = frame.limit(int(m.group("limit")))
     return frame
+
+
+def _split_blocks(body: str) -> tuple[str, list[str], list[str]]:
+    """Split a WHERE body into (base pattern text, OPTIONAL block
+    bodies, FILTER expressions).  IRIs and string literals are skipped
+    atomically so keywords inside them never match; OPTIONAL nesting is
+    rejected by the brace scan ending at the first balanced close."""
+    optionals: list[str] = []
+    filters: list[str] = []
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "<":  # IRI: atomic
+            j = body.find(">", i)
+            j = n if j < 0 else j + 1
+            out.append(body[i:j])
+            i = j
+            continue
+        if ch == '"':  # string literal: atomic, backslash-aware
+            j = i + 1
+            while j < n and (body[j] != '"' or body[j - 1] == "\\"):
+                j += 1
+            out.append(body[i:j + 1])
+            i = j + 1
+            continue
+        mo = re.match(r"(?is)OPTIONAL\s*\{", body[i:])
+        if mo:
+            j = i + mo.end()
+            depth, k = 1, j
+            while k < n and depth:
+                if body[k] == "{":
+                    depth += 1
+                elif body[k] == "}":
+                    depth -= 1
+                k += 1
+            if depth:
+                raise ValueError("unbalanced OPTIONAL block")
+            optionals.append(body[j:k - 1])
+            i = k
+            continue
+        mf = re.match(r"(?is)FILTER\s*\(", body[i:])
+        if mf:
+            j = i + mf.end()
+            depth, k = 1, j
+            while k < n and depth:
+                if body[k] == "(":
+                    depth += 1
+                elif body[k] == ")":
+                    depth -= 1
+                k += 1
+            if depth:
+                raise ValueError("unbalanced FILTER expression")
+            filters.append(body[j:k - 1])
+            i = k
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out), optionals, filters
+
+
+def _bgp_frame(store: RdfStore, text: str, ns: NamespaceRegistry, counter):
+    """Triple patterns -> one DataFrame with ``?var`` columns (None when
+    the text holds no patterns).  Each pattern is a filtered scan;
+    shared variables equi-join."""
+    # tokenize ('.' separates patterns; splitting the text on '.'
+    # would cut IRIs like example.org apart)
+    tok_re = re.compile(
+        r'<[^>]*>'
+        r'|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^<[^>]*>)?'
+        r"|\?\w+"
+        r"|_:[\w-]+"
+        r"|[A-Za-z_][\w-]*:[\w.-]*[\w-]"
+        r"|\ba\b"
+        r"|\."
+    )
+    patterns = []
+    group: list[str] = []
+    for tok in tok_re.findall(text):
+        if tok == ".":
+            if group:
+                raise ValueError(f"bad triple pattern near {group!r}")
+            continue
+        group.append(tok)
+        if len(group) == 3:
+            patterns.append(tuple(_sparql_term(t, ns) for t in group))
+            group = []
+    if group:
+        raise ValueError(f"dangling tokens in WHERE clause: {group!r}")
+    if not patterns:
+        return None
+
+    frame = None
+    for ts, tp, to in patterns:
+        counter[0] += 1
+        leg = store.df
+        cols = []
+        for pos, (kind, val) in zip(("s", "p", "o"), (ts, tp, to)):
+            if kind == "value":
+                leg = leg.filter(F.col(pos) == val)
+            else:
+                cols.append(F.col(pos).alias(f"?{val}"))
+        leg = (
+            leg.select(*cols)
+            if cols
+            else leg.select(F.lit(1).alias(f"__m{counter[0]}"))
+        )
+        if frame is None:
+            frame = leg
+        else:
+            shared = [c for c in leg.columns if c in frame.columns]
+            frame = frame.join(leg, shared) if shared else frame.crossJoin(leg)
+    return frame
+
+
+_FILTER_TOK = re.compile(
+    r'\|\||&&|!=|<=|>=|<[^>\s]*>|=|<|>|!|\(|\)|,'
+    r'|\?\w+'
+    r'|"(?:[^"\\]|\\.)*"'
+    r"|-?\d+\.\d+|-?\d+"
+    r"|[A-Za-z_][\w]*(?::[\w.-]*[\w-])?"
+)
+
+
+def _sparql_filter(expr: str, ns: NamespaceRegistry):
+    """FILTER expression -> Spark Column predicate.
+
+    Grammar (recursive descent): ||, &&, !, parentheses, comparisons
+    (=, !=, <, <=, >, >=) between variables and literals/IRIs/other
+    variables, and the builtins regex(?v, "pat"), bound(?v),
+    contains(?v, "s"), strstarts(?v, "s").  A numeric literal operand
+    coerces the variable side to double (SPARQL's numeric comparison);
+    everything else compares as the stored string."""
+    toks = _FILTER_TOK.findall(expr)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take(expect: str | None = None):
+        t = peek()
+        if t is None or (expect is not None and t != expect):
+            raise ValueError(f"bad FILTER near {toks[pos[0]:]!r} in {expr!r}")
+        pos[0] += 1
+        return t
+
+    def operand():
+        t = take()
+        if t.startswith("?"):
+            return ("var", t[1:])
+        if t.startswith('"'):
+            return ("str", _unescape(t[1:-1]))
+        if t.startswith("<") and t.endswith(">"):
+            return ("str", t[1:-1])
+        if re.fullmatch(r"-?\d+(\.\d+)?", t):
+            return ("num", float(t))
+        if ":" in t:
+            return ("str", ns.expand(t))
+        raise ValueError(f"bad FILTER operand {t!r} in {expr!r}")
+
+    def as_col(side, other):
+        kind, val = side
+        if kind == "var":
+            c = F.col(f"`?{val}`")
+            return c.cast("double") if other[0] == "num" else c
+        return F.lit(val)
+
+    def compare(left, op, right):
+        lc, rc = as_col(left, right), as_col(right, left)
+        return {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+        }[op]
+
+    def primary():
+        t = peek()
+        if t == "(":
+            take()
+            e = or_expr()
+            take(")")
+            return e
+        if t in ("regex", "bound", "contains", "strstarts", "REGEX",
+                 "BOUND", "CONTAINS", "STRSTARTS"):
+            fn = take().lower()
+            take("(")
+            v = take()
+            if not v.startswith("?"):
+                raise ValueError(f"{fn}() needs a variable in {expr!r}")
+            col = F.col(f"`?{v[1:]}`")
+            if fn == "bound":
+                take(")")
+                return col.isNotNull()
+            take(",")
+            arg = take()
+            if not arg.startswith('"'):
+                raise ValueError(f"{fn}() needs a string literal")
+            s = _unescape(arg[1:-1])
+            take(")")
+            if fn == "regex":
+                return col.rlike(s)
+            if fn == "contains":
+                return col.contains(s)
+            return col.startswith(s)
+        left = operand()
+        if peek() in ("=", "!=", "<", "<=", ">", ">="):
+            return compare(left, take(), operand())
+        raise ValueError(f"bare operand in FILTER {expr!r}")
+
+    def not_expr():
+        if peek() == "!":
+            take()
+            return ~not_expr()
+        return primary()
+
+    def and_expr():
+        e = not_expr()
+        while peek() == "&&":
+            take()
+            e = e & not_expr()
+        return e
+
+    def or_expr():
+        e = and_expr()
+        while peek() == "||":
+            take()
+            e = e | and_expr()
+        return e
+
+    out = or_expr()
+    if pos[0] != len(toks):
+        raise ValueError(f"trailing FILTER tokens {toks[pos[0]:]!r}")
+    return out

@@ -756,6 +756,68 @@ def rdf_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rdf_sparql_modifiers",
+    """
+    SELECT c_name AS n,
+           CASE WHEN c_mktsegment = 'BUILDING'
+                THEN c_mktsegment END AS seg
+    FROM customer
+    WHERE c_acctbal > 5000
+      AND c_name NOT LIKE 'Customer#000000001%'
+    ORDER BY n
+    LIMIT 25 OFFSET 5
+    """,
+)
+def rdf_sparql_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL solution modifiers over a customer triple projection —
+    FILTER (numeric comparison + negated strstarts), OPTIONAL
+    left-join (segment triples exist only for BUILDING customers, so
+    unmatched rows bind NULL), ORDER BY, OFFSET and LIMIT.  Exceeds
+    the reference, whose SPARQL executor is a stub
+    (sparql/executor.rs:33-54)."""
+    from samyama_graph_spark.rdf import RdfStore
+
+    ex = "http://ex.org/"
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    subj = F.concat(F.lit(f"{ex}c"), F.col("c_custkey")).alias("s")
+    names = cust.select(
+        subj, F.lit(f"{ex}name").alias("p"), F.col("c_name").alias("o"),
+        F.lit("literal").alias("o_kind"),
+    )
+    bals = cust.select(
+        subj, F.lit(f"{ex}acctbal").alias("p"),
+        F.col("c_acctbal").cast("string").alias("o"),
+        F.lit("literal").alias("o_kind"),
+    )
+    segs = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        subj, F.lit(f"{ex}segment").alias("p"),
+        F.col("c_mktsegment").alias("o"),
+        F.lit("literal").alias("o_kind"),
+    )
+    triples = (
+        names.unionByName(bals)
+        .unionByName(segs)
+        .withColumn("o_datatype", F.lit(None).cast("string"))
+        .withColumn("o_lang", F.lit(None).cast("string"))
+        .withColumn("g", F.lit(None).cast("string"))
+    )
+    store = RdfStore(spark, triples)
+    return store.sparql(
+        f"""
+        PREFIX ex: <{ex}>
+        SELECT ?n ?seg WHERE {{
+            ?c ex:name ?n .
+            ?c ex:acctbal ?b .
+            OPTIONAL {{ ?c ex:segment ?seg . }}
+            FILTER(?b > 5000 && !strstarts(?n, "Customer#000000001"))
+        }}
+        ORDER BY ?n
+        LIMIT 25 OFFSET 5
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # SCC (reference: community.rs:96) — nation rings + supplier tails
 # --------------------------------------------------------------------------

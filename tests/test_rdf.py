@@ -132,3 +132,103 @@ def test_sparql_star_and_bound_subject(store):
         f"SELECT * WHERE {{ <{_EX}alice> <{_EX}knows> ?x . }}"
     ).collect()
     assert [r["x"] for r in got] == [f"{_EX}bob"]
+
+
+def test_sparql_filter_comparisons_and_builtins(spark):
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        f"""
+<{_EX}a> <{_EX}age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<{_EX}b> <{_EX}age> "25"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<{_EX}c> <{_EX}age> "40"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<{_EX}a> <{_EX}name> "Ada" .
+<{_EX}b> <{_EX}name> "Bob" .
+<{_EX}c> <{_EX}name> "Cleo" .
+"""
+    )
+    # numeric comparison coerces the variable side to double
+    got = st.sparql(
+        f"""
+        SELECT ?p WHERE {{
+            ?p <{_EX}age> ?a .
+            FILTER(?a >= 30)
+        }} ORDER BY ?p
+        """
+    ).collect()
+    assert [r["p"] for r in got] == [f"{_EX}a", f"{_EX}c"]
+    # boolean combinators + regex + string equality
+    got = st.sparql(
+        f"""
+        SELECT ?p WHERE {{
+            ?p <{_EX}age> ?a . ?p <{_EX}name> ?n .
+            FILTER((?a < 35 && regex(?n, "^A")) || ?n = "Cleo")
+        }} ORDER BY ?p
+        """
+    ).collect()
+    assert [r["p"] for r in got] == [f"{_EX}a", f"{_EX}c"]
+    # negation + strstarts
+    got = st.sparql(
+        f"""
+        SELECT ?p WHERE {{
+            ?p <{_EX}name> ?n . FILTER(!strstarts(?n, "B"))
+        }} ORDER BY ?p
+        """
+    ).collect()
+    assert [r["p"] for r in got] == [f"{_EX}a", f"{_EX}c"]
+
+
+def test_sparql_optional_left_join(spark):
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        f"""
+<{_EX}a> <{_EX}name> "Ada" .
+<{_EX}b> <{_EX}name> "Bob" .
+<{_EX}a> <{_EX}email> "ada@x.org" .
+"""
+    )
+    got = st.sparql(
+        f"""
+        SELECT ?n ?e WHERE {{
+            ?p <{_EX}name> ?n .
+            OPTIONAL {{ ?p <{_EX}email> ?e . }}
+        }} ORDER BY ?n
+        """
+    ).collect()
+    assert [(r["n"], r["e"]) for r in got] == [
+        ("Ada", "ada@x.org"),
+        ("Bob", None),  # unmatched OPTIONAL binds NULL, row survives
+    ]
+    # bound() distinguishes the two
+    got = st.sparql(
+        f"""
+        SELECT ?n WHERE {{
+            ?p <{_EX}name> ?n .
+            OPTIONAL {{ ?p <{_EX}email> ?e . }}
+            FILTER(!bound(?e))
+        }}
+        """
+    ).collect()
+    assert [r["n"] for r in got] == ["Bob"]
+
+
+def test_sparql_order_limit_offset(spark):
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        "\n".join(
+            f'<{_EX}p{i}> <{_EX}rank> "{i}"'
+            f"^^<http://www.w3.org/2001/XMLSchema#integer> ."
+            for i in range(6)
+        )
+    )
+    got = st.sparql(
+        f"""
+        SELECT ?p ?r WHERE {{ ?p <{_EX}rank> ?r . }}
+        ORDER BY DESC(?r) LIMIT 3 OFFSET 1
+        """
+    ).collect()
+    assert [r["p"] for r in got] == [f"{_EX}p4", f"{_EX}p3", f"{_EX}p2"]
+    # ORDER BY must reference a selected variable
+    with pytest.raises(ValueError, match="selected variable"):
+        st.sparql(
+            f"SELECT ?p WHERE {{ ?p <{_EX}rank> ?r . }} ORDER BY ?z"
+        )
