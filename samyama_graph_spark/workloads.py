@@ -630,8 +630,10 @@ GATE_ORDER: list[str] = [
     # members (incl. Jaya at or_solve_convex's exact config) against
     # the same analytic optimum; the single-algorithm row stays pytest
     "or_solve_portfolio",
-    # RDF / SPARQL (§2 #62)
-    "rdf_sparql_bgp",
+    # RDF / SPARQL (§2 #62): the modifiers row subsumes the plain-BGP
+    # row (same join machinery plus FILTER/OPTIONAL/ORDER/OFFSET);
+    # rdf_sparql_bgp stays pytest-oracled
+    "rdf_sparql_modifiers",
     # structured streaming
     "streaming_windows",
     "streaming_stateful_totals",
