@@ -126,12 +126,16 @@ def main() -> None:
     # phases (2-4x, minutes long, no load-average signature) that can
     # poison all three samples of whichever entries run inside one.
     # Re-measure the slowest entries once the sweep ends — several
-    # minutes later, i.e. almost surely a different phase — and keep
-    # the BETTER of the two independent median-of-3 measurements (the
-    # reference's numbers are clean-box medians; a phase-poisoned
-    # median is measurement error, not engine cost).  Skipped when a
-    # subset run was requested (debug hook) to keep sweeps fast.
+    # minutes later, i.e. almost surely a different phase.  A blanket
+    # min-of-two-medians is a downward-biased estimator, so the retry
+    # median is adopted ONLY when the original run is provably
+    # phase-poisoned (retry < original/1.5 — far outside honest 3-run
+    # median jitter on this box); otherwise the original stands.  Every
+    # adoption is recorded in `retried` {name: pre_retry_median} in the
+    # output line so the substitution is always visible.  Skipped when
+    # a subset run was requested (debug hook) to keep sweeps fast.
     retry_medians: dict[str, float] = {}
+    retried: dict[str, float] = {}
     if not only and runs > 1:
         worst = sorted(
             (n for n in timings if timings[n] > 1.0),
@@ -151,15 +155,20 @@ def main() -> None:
                 samples.append(time.perf_counter() - t0)
             if ok and samples:
                 retry_medians[name] = round(statistics.median(samples), 4)
-                better = min(timings[name], retry_medians[name])
-                total += better - timings[name]
-                timings[name] = better
+                if retry_medians[name] < timings[name] / 1.5:
+                    retried[name] = timings[name]
+                    total += retry_medians[name] - timings[name]
+                    timings[name] = retry_medians[name]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full detail (cold + median per query) goes to a file; stdout gets ONE
     # compact line — the driver records only the tail of stdout (~2KB), so
     # the line must stay small or it truncates and fails to parse.
+    try:
+        load1_end = os.getloadavg()[0]
+    except OSError:
+        load1_end = -1.0
     detail = {
         "metric": "total_query_wall_sec_median_of_%d" % runs,
         "value": round(total, 4),
@@ -167,8 +176,10 @@ def main() -> None:
         "queries": timings,
         "cold_run": cold,
         "retry_medians": retry_medians,
+        "retried": retried,
         "sf": sf_val,
         "load1_at_start": round(load1, 2),
+        "load1_at_end": round(load1_end, 2),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
@@ -189,6 +200,10 @@ def main() -> None:
                 "queries": qs,
                 "sf": sf_val,
                 "load1_at_start": round(load1, 2),
+                "load1_at_end": round(load1_end, 2),
+                # phase-poisoned entries whose retry median replaced the
+                # original; value = the replaced (pre-retry) median
+                "retried": {k: round(v, 2) for k, v in retried.items()},
             },
             separators=(",", ":"),
         )

@@ -350,15 +350,17 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
     if memo is None:
         memo = {}
         object.__setattr__(g, "_or_gather_memo", memo)
-    # each entry records the node DataFrame's object identity at
-    # gather time: any frame replacement this code didn't make itself
+    # each entry holds the node DataFrame reference itself at
+    # gather time (compared with `is` — a bare id() integer could
+    # falsely validate after CPython recycles a freed frame's
+    # address): any frame replacement this code didn't make itself
     # (direct g.nodes[label] assignment outside the engine write
     # path) misses the cache instead of serving stale ids/cost
     # vectors; our own write-back below re-stamps the identity
     # because it provably preserves the id set and cost columns
     key = (label, tuple(cost_props))
     entry = memo.get(key)
-    if entry is not None and entry[0] == id(g.nodes[label]):
+    if entry is not None and entry[0] is g.nodes[label]:
         _, ids, cost_mat = entry
     else:
         sel = [F.col("id").cast("long").alias("id")] + [
@@ -382,7 +384,7 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
             )
         else:
             cost_mat = np.ones((1, len(ids)))
-        memo[key] = (id(g.nodes[label]), ids, cost_mat)
+        memo[key] = (g.nodes[label], ids, cost_mat)
     problem = ORProblem(
         costs=cost_mat[0],
         lower=float(cfg.get("min", 0.0)),
@@ -440,7 +442,7 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
         if prop in k[1]:
             del memo[k]
         else:
-            memo[k] = (id(g.nodes[label]), memo[k][1], memo[k][2])
+            memo[k] = (g.nodes[label], memo[k][1], memo[k][2])
 
     # summary record as a PURE-JVM literal projection: createDataFrame
     # pickles through a Python RDD and costs a py4j round trip per call

@@ -336,8 +336,11 @@ class RdfStore:
         left-join on their shared variables; FILTERs compile to column
         predicates (comparisons with numeric coercion against numeric
         literals, &&/||/!, regex/bound/contains/strstarts).  ORDER BY
-        may reference selected variables only; nesting OPTIONAL inside
-        OPTIONAL is not supported."""
+        may reference selected variables only and orders numerically
+        whenever a binding casts to double (string fallback; mixed
+        numeric/non-numeric bindings group numerics first in either
+        direction); nesting OPTIONAL inside OPTIONAL is not
+        supported."""
         return _sparql_select(self, query)
 
 
@@ -426,15 +429,51 @@ def _sparql_select(store: RdfStore, query: str) -> DataFrame:
                 raise ValueError(
                     f"ORDER BY ?{v} must reference a selected variable"
                 )
-            keys.append(
-                F.col(v).desc() if direction == "DESC" else F.col(v).asc()
-            )
+            # SPARQL numeric literals order numerically, not as their
+            # stored lexical form ("33" > "9").  Composite sort key:
+            # try_cast-to-double first (total order when every binding
+            # is numeric; all-null when none is), stored string as the
+            # tie-break/fallback.  Mixed bindings group numerics before
+            # non-numerics in either direction (documented in sparql()).
+            num = F.col(v).try_cast("double")
+            if direction == "DESC":
+                keys.extend([num.desc_nulls_last(), F.col(v).desc()])
+            else:
+                keys.extend([num.asc_nulls_last(), F.col(v).asc()])
         frame = frame.orderBy(*keys)
     if m.group("offset"):
         frame = frame.offset(int(m.group("offset")))
     if m.group("limit"):
         frame = frame.limit(int(m.group("limit")))
     return frame
+
+
+def _scan_balanced(body: str, start: int, open_ch: str, close_ch: str) -> int:
+    """Index one past the close that balances an already-open
+    ``open_ch`` at depth 1, skipping string literals and IRIs
+    atomically (a ``}`` or ``)`` inside ``"..."`` or ``<...>`` must not
+    count).  Raises on exhaustion."""
+    depth, k, n = 1, start, len(body)
+    while k < n and depth:
+        ch = body[k]
+        if ch == '"':
+            k += 1
+            while k < n and (body[k] != '"' or body[k - 1] == "\\"):
+                k += 1
+        elif ch == "<":
+            # only an IRI opener when a whitespace-free <...> follows;
+            # otherwise it's the less-than operator inside a FILTER
+            mi = re.match(r'<[^<>"\s{}|\\^`]*>', body[k:])
+            if mi:
+                k += mi.end() - 1
+        elif ch == open_ch:
+            depth += 1
+        elif ch == close_ch:
+            depth -= 1
+        k += 1
+    if depth:
+        raise ValueError(f"unbalanced {open_ch}{close_ch} block")
+    return k
 
 
 def _split_blocks(body: str) -> tuple[str, list[str], list[str]]:
@@ -464,30 +503,14 @@ def _split_blocks(body: str) -> tuple[str, list[str], list[str]]:
         mo = re.match(r"(?is)OPTIONAL\s*\{", body[i:])
         if mo:
             j = i + mo.end()
-            depth, k = 1, j
-            while k < n and depth:
-                if body[k] == "{":
-                    depth += 1
-                elif body[k] == "}":
-                    depth -= 1
-                k += 1
-            if depth:
-                raise ValueError("unbalanced OPTIONAL block")
+            k = _scan_balanced(body, j, "{", "}")
             optionals.append(body[j:k - 1])
             i = k
             continue
         mf = re.match(r"(?is)FILTER\s*\(", body[i:])
         if mf:
             j = i + mf.end()
-            depth, k = 1, j
-            while k < n and depth:
-                if body[k] == "(":
-                    depth += 1
-                elif body[k] == ")":
-                    depth -= 1
-                k += 1
-            if depth:
-                raise ValueError("unbalanced FILTER expression")
+            k = _scan_balanced(body, j, "(", ")")
             filters.append(body[j:k - 1])
             i = k
             continue

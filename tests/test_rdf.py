@@ -232,3 +232,67 @@ def test_sparql_order_limit_offset(spark):
         st.sparql(
             f"SELECT ?p WHERE {{ ?p <{_EX}rank> ?r . }} ORDER BY ?z"
         )
+
+
+def test_sparql_order_by_numeric_not_lexicographic(spark):
+    # multi-digit values: "33" must sort after "9" numerically even
+    # though it precedes it lexicographically
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        "\n".join(
+            f'<{_EX}v{v}> <{_EX}rank> "{v}"'
+            f"^^<http://www.w3.org/2001/XMLSchema#integer> ."
+            for v in (2, 10, 9, 33)
+        )
+    )
+    got = st.sparql(
+        f"SELECT ?p ?r WHERE {{ ?p <{_EX}rank> ?r . }} ORDER BY DESC(?r)"
+    ).collect()
+    assert [r["r"] for r in got] == ["33", "10", "9", "2"]
+    got = st.sparql(
+        f"SELECT ?p ?r WHERE {{ ?p <{_EX}rank> ?r . }} ORDER BY ?r"
+    ).collect()
+    assert [r["r"] for r in got] == ["2", "9", "10", "33"]
+    # non-numeric bindings still order lexicographically
+    st2 = RdfStore(spark)
+    st2.insert_ntriples(
+        f'<{_EX}a> <{_EX}n> "pear" .\n<{_EX}b> <{_EX}n> "apple" .'
+    )
+    got = st2.sparql(
+        f"SELECT ?n WHERE {{ ?p <{_EX}n> ?n . }} ORDER BY ?n"
+    ).collect()
+    assert [r["n"] for r in got] == ["apple", "pear"]
+
+
+def test_sparql_brackets_inside_literals(spark):
+    # ")" in a FILTER string argument and "}" inside an OPTIONAL's
+    # literal must not confuse the depth scans
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        f"""
+<{_EX}a> <{_EX}name> "f(x)" .
+<{_EX}b> <{_EX}name> "plain" .
+<{_EX}a> <{_EX}note> "curly }} here" .
+<{_EX}a> <{_EX}tag> "t1" .
+"""
+    )
+    got = st.sparql(
+        f"""
+        SELECT ?p WHERE {{
+            ?p <{_EX}name> ?n . FILTER(contains(?n, "(x)"))
+        }}
+        """
+    ).collect()
+    assert [r["p"] for r in got] == [f"{_EX}a"]
+    got = st.sparql(
+        f"""
+        SELECT ?n ?t WHERE {{
+            ?p <{_EX}name> ?n .
+            OPTIONAL {{ ?p <{_EX}note> "curly }} here" . ?p <{_EX}tag> ?t }}
+        }} ORDER BY ?n
+        """
+    ).collect()
+    assert [(r["n"], r["t"]) for r in got] == [
+        ("f(x)", "t1"),
+        ("plain", None),
+    ]
