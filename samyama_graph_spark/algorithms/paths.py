@@ -32,11 +32,16 @@ def _edges_pdf_if_small(df: DataFrame, guard: int):
         estimated_rows,
     )
 
-    if (
-        estimated_rows(df) > guard // 4
-        and cardinality_estimate_trustworthy(df)
-    ):
+    big_est = estimated_rows(df) > guard // 4
+    if big_est and cardinality_estimate_trustworthy(df):
         return None
+    if big_est:
+        # untrustworthy (join-derived) big estimate: count-probe before
+        # shipping rows — limit().count() early-terminates with no row
+        # transfer, so an actually-over frame costs one long, not a
+        # guard-sized Arrow batch
+        if df.limit(guard + 1).count() > guard:
+            return None
     pdf = df.limit(guard + 1).toPandas()
     return None if len(pdf) > guard else pdf
 

@@ -152,11 +152,18 @@ def collect_if_small(
     # overestimate wildly (a dup-pair graph bounded by dup volume
     # estimates like a cross product), so they ALWAYS probe — one
     # bounded collect, the pre-existing behavior.
-    if (
-        estimated_rows(sel) > guard // 4
-        and cardinality_estimate_trustworthy(sel)
-    ):
+    big_est = estimated_rows(sel) > guard // 4
+    if big_est and cardinality_estimate_trustworthy(sel):
         return None
+    if big_est:
+        # join/aggregate-derived estimates explode high, so a big
+        # estimate alone can't skip — but a genuinely-over frame must
+        # not ship guard+1 rows just to learn "too big".  Count-probe
+        # first: limit().count() early-terminates and transfers one
+        # long.  Only the (rare) big-estimate-but-actually-small case
+        # pays a second job for the real collect.
+        if sel.limit(guard + 1).count() > guard:
+            return None
     rows = sel.limit(guard + 1).collect()
     return None if len(rows) > guard else rows
 

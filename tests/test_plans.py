@@ -764,3 +764,50 @@ def test_var_length_broadcast_pipeline(spark):
     got = [tuple(r) for r in comp2.compile_query(parse(q)).collect()]
     assert "broadcast-resident" not in " | ".join(comp2.plan_trace)
     assert got == want and len(want) == 5
+
+
+def test_collect_if_small_count_probe_no_row_ship(spark, monkeypatch):
+    """Over-guard join-derived frames must be rejected by the count
+    probe (no row transfer), never by collecting guard+1 rows; frames
+    under the guard must still collect."""
+    from pyspark.sql import DataFrame
+
+    from samyama_graph_spark.algorithms.util import collect_if_small
+
+    left = spark.range(2000).withColumnRenamed("id", "a")
+    right = spark.range(2000).withColumnRenamed("id", "b")
+    # join-derived (untrustworthy estimate), 4M rows >> guard
+    big = left.crossJoin(right)
+    real_collect = DataFrame.collect
+
+    def trap(self):
+        raise AssertionError("over-guard frame must not ship rows")
+
+    monkeypatch.setattr(DataFrame, "collect", trap)
+    assert collect_if_small(big, 10_000) is None
+    monkeypatch.setattr(DataFrame, "collect", real_collect)
+    # under-guard join-derived frame still engages the fast path
+    small = left.join(right, left["a"] == right["b"]).limit(50)
+    rows = collect_if_small(small, 10_000, "a")
+    assert rows is not None and len(rows) == 50
+
+
+def test_edges_pdf_count_probe_no_row_ship(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    from samyama_graph_spark.algorithms.paths import _edges_pdf_if_small
+
+    left = spark.range(2000).withColumnRenamed("id", "src")
+    right = spark.range(2000).withColumnRenamed("id", "dst")
+    big = left.crossJoin(right)
+    monkeypatch.setattr(
+        DataFrame, "toPandas",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("over-guard frame must not ship rows")
+        ),
+    )
+    assert _edges_pdf_if_small(big, 10_000) is None
+    monkeypatch.undo()
+    small = big.limit(100)
+    pdf = _edges_pdf_if_small(small, 10_000)
+    assert pdf is not None and len(pdf) == 100
