@@ -834,6 +834,74 @@ def test_semdedup_broadcast_scales_in_k(spark):
     assert all(0 <= r["cluster"] < k for r in rows)
 
 
+def test_semdedup_vectorized_matches_broadcast_and_literal(spark):
+    """The mapInPandas matmul assignment (the large-k constant-factor
+    fix over the broadcast DataFrame path) must produce identical
+    verdicts to both existing paths at k=16, and to the broadcast path
+    at k=256, with and without Lloyd refinement."""
+    from samyama_graph_spark.datapipe.dedup import semdedup
+    from samyama_graph_spark.loaders import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])[
+        "embeddings"
+    ]
+
+    def verdicts(k, iters, mode):
+        return {
+            (r["id"], r["cluster"], r["keep"])
+            for r in semdedup(
+                emb, "embedding", "vec_id", k=k, threshold=0.95,
+                iters=iters, centroid_mode=mode,
+            ).collect()
+        }
+
+    for iters in (0, 2):
+        vec = verdicts(16, iters, "vectorized")
+        assert vec == verdicts(16, iters, "literal"), iters
+        assert vec == verdicts(16, iters, "broadcast"), iters
+        assert len(vec) > 0
+    assert verdicts(256, 2, "vectorized") == verdicts(256, 2, "broadcast")
+
+
+def test_semdedup_vectorized_scales_in_k(spark):
+    """k=4096 smoke: plan size stays O(1) in k (no literal blow-up)
+    and every row lands in a real cluster."""
+    from samyama_graph_spark.datapipe.dedup import (
+        _semdedup_assign_vectorized,
+        semdedup,
+    )
+    from samyama_graph_spark.datapipe.similarity import norm
+    from samyama_graph_spark.loaders import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])[
+        "embeddings"
+    ]
+    vec = F.col("embedding").cast("array<double>")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        vec.alias("v"),
+        norm(vec).alias("nrm"),
+    )
+    small = str(
+        _semdedup_assign_vectorized(base, 8, 0, None)
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    n_emb = emb.count()
+    k = min(4096, n_emb)
+    big = str(
+        _semdedup_assign_vectorized(base, k, 0, None)
+        ._jdf.queryExecution().optimizedPlan()
+    )
+    # centroids ride the runtime broadcast, never the plan
+    assert len(big) < 2 * len(small), (len(small), len(big))
+    rows = semdedup(
+        emb, "embedding", "vec_id", k=k, threshold=0.95,
+        centroid_mode="vectorized",
+    ).collect()
+    assert len(rows) == n_emb
+    assert all(0 <= r["cluster"] < k for r in rows)
+
+
 def test_asof_join_directions_and_tolerance(spark):
     """asof_join against hand-computed expectations: backward picks
     the latest right at-or-before, forward the earliest at-or-after,
