@@ -38,6 +38,9 @@ class Catalog:
         self.spark = spark
         self.indexes: dict[str, IndexDef] = {}
         self.constraints: dict[str, ConstraintDef] = {}
+        # bumped on every catalog mutation; compiled-plan caches key on
+        # it so an index/constraint change invalidates stale plans
+        self.version = 0
 
     # ------------------------------------------------------------ indexes
     def create_index(
@@ -47,6 +50,7 @@ class Catalog:
         name = name or f"idx_{label.lower()}_{'_'.join(p.lower() for p in properties)}"
         idx = IndexDef(name, label, list(properties), kind, options or {})
         self.indexes[name] = idx
+        self.version += 1
         return idx
 
     def create_vector_index(
@@ -59,6 +63,7 @@ class Catalog:
         )
 
     def drop_index(self, name: str) -> bool:
+        self.version += 1
         return self.indexes.pop(name, None) is not None
 
     def build_vector_index_layout(
@@ -100,6 +105,7 @@ class Catalog:
         idx.options.update(
             {"layout_path": path, "nlist": nlist, "nprobe": nprobe}
         )
+        self.version += 1
         return idx
 
     def show_indexes(self) -> DataFrame:
@@ -121,6 +127,7 @@ class Catalog:
         name = name or f"c_{label.lower()}_{'_'.join(p.lower() for p in properties)}"
         c = ConstraintDef(name, label, list(properties), kind)
         self.constraints[name] = c
+        self.version += 1
         return c
 
     def show_constraints(self) -> DataFrame:

@@ -63,6 +63,7 @@ class CypherEngine:
         self.graph = graph
         self.catalog = Catalog(graph.spark)
         self._ast_cache: dict[str, Any] = {}
+        self._plan_cache: dict[Any, Any] = {}
         self._cache_size = cache_size
 
     @property
@@ -270,6 +271,7 @@ class CypherEngine:
             for idx in self.catalog.indexes.values():
                 if idx.kind == "vector":
                     idx.options.pop("layout_path", None)
+            self.catalog.version += 1
             # carry the id watermark across statements: only the first
             # write of a session scans per-table max(id)
             self._id_hint = wx.id_hint
@@ -289,12 +291,58 @@ class CypherEngine:
                 # valid (the setter cleared it for the general case)
                 self._id_hint = wx.id_hint
             return summary
+        # Compiled-plan cache (the reference LRU-caches ASTs,
+        # src/query/mod.rs:131-190; repeated parameterized reads here
+        # pay ~0.4 s of Catalyst analysis per compile, which dominates
+        # point reads).  Entries key on (normalized text, frozen
+        # params) and validate against graph identity + catalog
+        # version, so any write (graph swap) or DDL (version bump)
+        # misses; a cached DataFrame is an immutable plan — collecting
+        # it re-executes against the same graph version.
+        key = self._plan_key(text, params)
+        if key is not None:
+            hit = self._plan_cache.get(key)
+            if (
+                hit is not None
+                and hit[0] is self.graph
+                and hit[1] == self.catalog.version
+            ):
+                self.last_plan_trace = hit[3]
+                return hit[2]
         comp = Compiler(self.graph, params, catalog=self.catalog)
         out = comp.compile_query(ast)
         # expose planner decisions for tests/diagnostics (EXPLAIN
         # surfaces the same trace inline)
         self.last_plan_trace = comp.plan_trace
+        if key is not None:
+            if len(self._plan_cache) >= self._cache_size:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = (
+                self.graph, self.catalog.version, out, comp.plan_trace,
+            )
         return out
+
+    def _plan_key(self, text: str, params: dict[str, Any] | None):
+        """Hashable cache key for a read query, or None when any
+        param value resists freezing (skip caching, never mis-key)."""
+
+        def freeze(v):
+            if isinstance(v, (list, tuple)):
+                return tuple(freeze(x) for x in v)
+            if isinstance(v, dict):
+                return tuple(sorted((k, freeze(x)) for k, x in v.items()))
+            hash(v)  # raises for unhashable leaves
+            return v
+
+        try:
+            pkey = (
+                tuple(sorted((k, freeze(v)) for k, v in params.items()))
+                if params
+                else ()
+            )
+        except TypeError:
+            return None
+        return (_WS.sub(" ", text.strip()), pkey)
 
     def explain(self, text: str, params: dict[str, Any] | None = None) -> str:
         """EXPLAIN: planner candidate/cost diagnostics + the Catalyst

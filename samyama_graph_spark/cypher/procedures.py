@@ -83,18 +83,33 @@ def _view(
 
 
 def _with_node(
-    g: PropertyGraph, df: DataFrame, id_col: str, out: str = "node"
+    g: PropertyGraph, df: DataFrame, id_col: str, out: str = "node",
+    label: str | None = None,
 ) -> DataFrame:
     """Join a result keyed by node id to the full node rows, packed as
     the compiler's node-struct convention so YIELDed ``node`` supports
     ``node.prop`` / ``id(node)`` / ``labels(node)`` — the reference
-    binds a full Node value (operator.rs:6365)."""
-    nodes = g.unified_nodes()
-    fields = [F.col(c).alias(c) for c in nodes.columns if c != "labels"]
-    fields.append(F.col("labels").alias("_labels"))
-    packed = nodes.select(
-        F.col("id").alias("__nid"), F.struct(*fields).alias(out)
-    )
+    binds a full Node value (operator.rs:6365).
+
+    When the result is statically scoped to one ``label`` (vector
+    search, label-filtered algorithms), pack that label's table alone:
+    ``unified_nodes()`` is a union + groupBy over EVERY node table,
+    which at scale turns a 10-row join-back into a full-graph
+    aggregate."""
+    if label is not None and label in g.nodes:
+        nd = g.nodes[label]
+        fields = [F.col(c).alias(c) for c in nd.columns]
+        fields.append(F.array(F.lit(label)).alias("_labels"))
+        packed = nd.select(
+            F.col("id").alias("__nid"), F.struct(*fields).alias(out)
+        )
+    else:
+        nodes = g.unified_nodes()
+        fields = [F.col(c).alias(c) for c in nodes.columns if c != "labels"]
+        fields.append(F.col("labels").alias("_labels"))
+        packed = nodes.select(
+            F.col("id").alias("__nid"), F.struct(*fields).alias(out)
+        )
     return df.join(packed, df[id_col] == packed["__nid"], "inner").drop("__nid")
 
 
@@ -168,7 +183,9 @@ def run_procedure(
         # L2 is a distance (ascending); cosine/inner product are
         # similarities (descending)
         order = F.asc("score") if metric == "l2" else F.desc("score")
-        return _with_node(g, hits.select("id", "score"), "id").select(
+        return _with_node(
+            g, hits.select("id", "score"), "id", label=label
+        ).select(
             "node", "score", F.col("id").alias("nodeId")
         ).orderBy(order)
 
@@ -191,7 +208,7 @@ def _run_algo(g: PropertyGraph, algo: str, args: list) -> DataFrame:
         iters = int(config.get("iterations", 20))
         damping = float(config.get("damping", 0.85))
         out = pagerank(_view(g, label, edge_type), iters, damping)
-        return _with_node(g, out, "id").select(
+        return _with_node(g, out, "id", label=label).select(
             "node", F.col("rank").alias("score"), F.col("id").alias("nodeId")
         ).orderBy(F.desc("score"))
     if algo in ("wcc", "scc"):
@@ -199,7 +216,7 @@ def _run_algo(g: PropertyGraph, algo: str, args: list) -> DataFrame:
 
         fn = wcc if algo == "wcc" else scc
         out = fn(_view(g, label, edge_type))
-        return _with_node(g, out, "id").select(
+        return _with_node(g, out, "id", label=label).select(
             "node",
             F.col("component").alias("componentId"),
             F.col("id").alias("nodeId"),
@@ -209,7 +226,7 @@ def _run_algo(g: PropertyGraph, algo: str, args: list) -> DataFrame:
 
         iters = int(config.get("maxIterations", 100))
         out = cdlp(_view(g, label, edge_type), iters)
-        return _with_node(g, out, "id").select(
+        return _with_node(g, out, "id", label=label).select(
             "node",
             F.col("label").alias("communityId"),
             F.col("id").alias("nodeId"),
@@ -221,7 +238,7 @@ def _run_algo(g: PropertyGraph, algo: str, args: list) -> DataFrame:
         # (lcc.rs:42 d*(d-1) denominator over ordered neighbor pairs)
         directed = bool(config.get("directed", False))
         out = lcc(_view(g, label, edge_type), directed=directed)
-        return _with_node(g, out, "id").select(
+        return _with_node(g, out, "id", label=label).select(
             "node",
             F.col("lcc").alias("coefficient"),
             F.col("id").alias("nodeId"),

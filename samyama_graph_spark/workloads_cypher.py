@@ -564,12 +564,21 @@ def cypher_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CALL db.index.vector.queryNodes('Document', 'embedding', $q, 10)",
         {"q": qc},
     )
-    # fresh engine: the L2 index must not leak into the shared session
-    eng = CypherEngine(tpch_graph(spark, sf_dir))
-    eng.query(
-        "CREATE VECTOR INDEX docL2g FOR (d:Document) ON (d.embedding) "
-        "OPTIONS {dimensions: 64, similarity: 'l2'}"
-    )
+    # separate engine: the L2 index must not leak into the shared
+    # session's catalog.  Memoized like _engine — the graph is the
+    # cached tpch_graph and the DDL is idempotent, so repeat calls
+    # reuse the engine's AST cache instead of re-creating catalog +
+    # index + recompiling both statements per call.
+    per = _ENGINES.setdefault(spark, {})
+    key = f"{sf_dir}#l2"
+    if key not in per:
+        eng = CypherEngine(tpch_graph(spark, sf_dir))
+        eng.query(
+            "CREATE VECTOR INDEX docL2g FOR (d:Document) ON (d.embedding) "
+            "OPTIONS {dimensions: 64, similarity: 'l2'}"
+        )
+        per[key] = eng
+    eng = per[key]
     l2 = eng.query(
         "CALL db.index.vector.queryNodes('Document', 'embedding', $q, 10)",
         {"q": q2},
