@@ -21,6 +21,9 @@ from samyama_graph_spark.graph import PropertyGraph
 
 _WS = re.compile(r"\s+")
 
+# process-global parsed-AST cache shared by every engine instance
+_GLOBAL_AST_CACHE: dict[str, Any] = {}
+
 
 _DDL_INDEX = re.compile(
     r"^\s*create\s+(vector\s+)?index\s+on\s*:\s*(\w+)\s*\(\s*([\w,\s]+?)\s*\)\s*$",
@@ -62,7 +65,11 @@ class CypherEngine:
 
         self.graph = graph
         self.catalog = Catalog(graph.spark)
-        self._ast_cache: dict[str, Any] = {}
+        # AST cache is process-global (module dict): parsed ASTs are
+        # immutable and graph-independent, so fresh engines over new
+        # graph versions reuse them — the reference's LRU AST cache
+        # (src/query/mod.rs:131-190) is likewise per-process
+        self._ast_cache = _GLOBAL_AST_CACHE
         self._plan_cache: dict[Any, Any] = {}
         self._cache_size = cache_size
 
@@ -280,9 +287,12 @@ class CypherEngine:
             # and plan depth / task counts grow without bound (a
             # 500-statement fixture build ends up with >100k tasks).
             # Lazy localCheckpoint truncates lineage at the next action
-            # without running an extra job per write.
+            # without running an extra job per write.  Every 8: A/B on
+            # the 12-statement write pipeline showed 8 beats both 4
+            # (one fewer checkpoint round) and never (deep plans tax
+            # every subsequent analysis).
             self._writes = getattr(self, "_writes", 0) + 1
-            if self._writes % 4 == 0:
+            if self._writes % 8 == 0:
                 self.graph = self.graph.compacted(
                     touched=self._touched_tables
                 )
@@ -300,12 +310,13 @@ class CypherEngine:
         # misses; a cached DataFrame is an immutable plan — collecting
         # it re-executes against the same graph version.
         key = self._plan_key(text, params)
+        epoch = getattr(self.graph, "_mutation_epoch", 0)
         if key is not None:
             hit = self._plan_cache.get(key)
             if (
                 hit is not None
                 and hit[0] is self.graph
-                and hit[1] == self.catalog.version
+                and hit[1] == (self.catalog.version, epoch)
             ):
                 self.last_plan_trace = hit[3]
                 return hit[2]
@@ -318,13 +329,19 @@ class CypherEngine:
             if len(self._plan_cache) >= self._cache_size:
                 self._plan_cache.pop(next(iter(self._plan_cache)))
             self._plan_cache[key] = (
-                self.graph, self.catalog.version, out, comp.plan_trace,
+                self.graph, (self.catalog.version, epoch), out,
+                comp.plan_trace,
             )
         return out
 
     def _plan_key(self, text: str, params: dict[str, Any] | None):
-        """Hashable cache key for a read query, or None when any
-        param value resists freezing (skip caching, never mis-key)."""
+        """Hashable cache key for a read query, or None when the query
+        must not be cached: effectful procedures (algo.or.solve writes
+        a property back onto the live graph — a cached plan would skip
+        the solve AND serve the pre-write frame) or any param value
+        that resists freezing (skip caching, never mis-key)."""
+        if "or.solve" in text:
+            return None
 
         def freeze(v):
             if isinstance(v, (list, tuple)):

@@ -449,6 +449,12 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
         g.nodes[label] = tbl.join(sol, "id", "left").withColumnRenamed(
             "__orv", prop
         )
+    # in-place frame swap on a live graph: bump the mutation epoch so
+    # engine-level compiled-plan caches keyed on graph identity see a
+    # changed graph (graph object identity alone cannot)
+    object.__setattr__(
+        g, "_mutation_epoch", getattr(g, "_mutation_epoch", 0) + 1
+    )
     # the write-back changed `prop`: any gather that read it as a cost
     # column is now stale; other gathers of this label stay valid
     # (ids/costs untouched) — re-stamp them onto the new frame so a

@@ -712,3 +712,56 @@ def test_reference_compatibility_gaps_execute(spark):
         "size(nodes(p)) AS n"
     ).first()
     assert (row["l"], row["n"]) == (1, 2)
+
+
+def test_plan_cache_hits_and_invalidation(spark):
+    """Repeat parameterized reads return the cached compiled plan;
+    writes (graph swap), DDL (catalog version), or.solve (effectful),
+    and differing params all miss."""
+    persons = spark.createDataFrame(
+        [(1, "Alice", 30), (2, "Bob", 25)], "id long, name string, age long"
+    )
+    g = PropertyGraph(spark, {"Person": persons}, {})
+    eng = CypherEngine(g)
+    q = "MATCH (p:Person) WHERE p.age > $a RETURN p.name AS name ORDER BY name"
+    r1 = eng.query(q, {"a": 20})
+    assert eng.query(q, {"a": 20}) is r1  # cache hit: identical plan object
+    assert eng.query(q, {"a": 28}) is not r1  # params key differs
+    assert [r["name"] for r in r1.collect()] == ["Alice", "Bob"]
+    # a write swaps the graph -> miss, and the new data is visible
+    eng.query("CREATE (n:Person {id: 3, name: 'Zed', age: 50})")
+    r2 = eng.query(q, {"a": 20})
+    assert r2 is not r1
+    assert [r["name"] for r in r2.collect()] == ["Alice", "Bob", "Zed"]
+    # DDL bumps the catalog version -> miss
+    r3 = eng.query(q, {"a": 20})
+    assert r3 is r2
+    eng.query("CREATE INDEX ON :Person(age)")
+    assert eng.query(q, {"a": 20}) is not r3
+    # unhashable params and or.solve are never cached
+    assert eng._plan_key("MATCH (n) RETURN n", {"x": {1, 2}}) is None
+    assert eng._plan_key(
+        "CALL algo.or.solve('Person', {property: 'w', budget: 1.0})", None
+    ) is None
+
+
+def test_plan_cache_or_solve_writeback_invalidates(spark):
+    """or.solve mutates the live graph's node frame in place; the
+    mutation epoch must invalidate cached read plans so the written
+    property is visible."""
+    persons = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id long, name string, cost double",
+    )
+    g = PropertyGraph(spark, {"Item": persons}, {})
+    eng = CypherEngine(g)
+    q = "MATCH (i:Item) RETURN i.name AS name, i.alloc AS alloc ORDER BY name"
+    before = eng.query(q)
+    assert all(r["alloc"] is None for r in before.collect())
+    eng.query(
+        "CALL algo.or.solve({label: 'Item', property: 'alloc', "
+        "cost_property: 'cost', budget: 10.0, max_iterations: 5})"
+    ).collect()
+    after = eng.query(q)
+    assert after is not before
+    assert all(r["alloc"] is not None for r in after.collect())
