@@ -95,6 +95,13 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_BENCH_NO_CLEANUP") != "1":
             import gc
 
+            # compiled-plan caches may reference localCheckpoint-backed
+            # frames; unpersisting their storage with the caches alive
+            # would leave unrecomputable poison (lineage truncated) for
+            # the retry pass — clear the caches first, retries recompile
+            from samyama_graph_spark.cypher.engine import clear_plan_caches
+
+            clear_plan_caches()
             gc.collect()
             for _rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
                 rdd.unpersist()

@@ -24,6 +24,23 @@ _WS = re.compile(r"\s+")
 # process-global parsed-AST cache shared by every engine instance
 _GLOBAL_AST_CACHE: dict[str, Any] = {}
 
+# live engines (weak): compiled-plan caches hold frames whose lineage
+# may be truncated by localCheckpoint — code that blanket-unpersists
+# executor storage (benchmark harness cleanup) must clear these caches
+# FIRST or the cached plans become unrecomputable poison
+import weakref
+
+_LIVE_ENGINES: "weakref.WeakSet[CypherEngine]" = weakref.WeakSet()
+
+
+def clear_plan_caches() -> None:
+    """Drop every live engine's compiled-plan cache.  Call before
+    unpersisting all RDDs/checkpoint blocks: cached plans may scan
+    localCheckpoint storage that a blanket unpersist destroys (the
+    lineage is truncated, so the frame cannot recompute)."""
+    for eng in list(_LIVE_ENGINES):
+        eng._plan_cache.clear()
+
 
 _DDL_INDEX = re.compile(
     r"^\s*create\s+(vector\s+)?index\s+on\s*:\s*(\w+)\s*\(\s*([\w,\s]+?)\s*\)\s*$",
@@ -72,6 +89,7 @@ class CypherEngine:
         self._ast_cache = _GLOBAL_AST_CACHE
         self._plan_cache: dict[Any, Any] = {}
         self._cache_size = cache_size
+        _LIVE_ENGINES.add(self)
 
     @property
     def graph(self) -> PropertyGraph:
