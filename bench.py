@@ -67,11 +67,33 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    env: dict[str, dict] = {}
     total = 0.0
+
+    def jvm_gc_ms() -> int:
+        """Cumulative JVM GC time — per-entry deltas localize whether a
+        slow phase is garbage collection or external contention."""
+        try:
+            beans = (
+                spark.sparkContext._jvm.java.lang.management
+                .ManagementFactory.getGarbageCollectorMXBeans()
+            )
+            return sum(
+                beans.get(i).getCollectionTime()
+                for i in range(beans.size())
+            )
+        except Exception:  # noqa: BLE001 — diagnostics only
+            return -1
+
     for name, spec in sorted(bench_set.items()):
         print(f"# bench: {name}", file=sys.stderr, flush=True)
         samples: list[float] = []
         failed = False
+        try:
+            load_entry = os.getloadavg()[0]
+        except OSError:
+            load_entry = -1.0
+        gc0 = jvm_gc_ms()
         for i in range(runs):
             t0 = time.perf_counter()
             try:
@@ -81,6 +103,10 @@ def main() -> None:
                 failed = True
                 break
             samples.append(time.perf_counter() - t0)
+        env[name] = {
+            "load1": round(load_entry, 2),
+            "gc_ms": jvm_gc_ms() - gc0,
+        }
         if failed or not samples:
             timings[name] = -1.0
             continue
@@ -184,6 +210,11 @@ def main() -> None:
         "cold_run": cold,
         "retry_medians": retry_medians,
         "retried": retried,
+        # per-entry environment at measurement time: loadavg when the
+        # entry started + JVM GC-time delta across its runs — the
+        # evidence needed to attribute in-suite slow phases to
+        # co-tenant load vs GC vs the plan itself
+        "env": env,
         "sf": sf_val,
         "load1_at_start": round(load1, 2),
         "load1_at_end": round(load1_end, 2),
