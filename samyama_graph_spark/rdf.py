@@ -327,16 +327,23 @@ class RdfStore:
     def sparql(self, query: str) -> DataFrame:
         """SELECT queries over basic graph patterns (executes what the
         reference only parses-as-TODO, sparql/executor.rs:33-54):
-        PREFIX declarations, SELECT vars or *, WHERE { triple patterns,
-        FILTER(...) expressions, OPTIONAL { ... } blocks }, DISTINCT,
-        ORDER BY [ASC()/DESC()], LIMIT, OFFSET.
+        PREFIX declarations, SELECT vars or * or aggregate expressions
+        ``(COUNT|SUM|AVG|MIN|MAX(?v) AS ?alias)`` (COUNT(*) and
+        COUNT/SUM DISTINCT too), WHERE { triple patterns, FILTER(...)
+        expressions, OPTIONAL { ... } blocks } or a top-level
+        ``{ G1 } UNION { G2 } ...`` of such groups, DISTINCT,
+        GROUP BY, ORDER BY [ASC()/DESC()], LIMIT, OFFSET.
 
         Relational mapping: each pattern is a filtered scan of the
         triple frame; shared variables equi-join; OPTIONAL blocks
-        left-join on their shared variables; FILTERs compile to column
-        predicates (comparisons with numeric coercion against numeric
-        literals, &&/||/!, regex/bound/contains/strstarts).  ORDER BY
-        may reference selected variables only and orders numerically
+        left-join on their shared variables; UNION branches concatenate
+        by name with absent variables unbound (NULL); FILTERs compile
+        to column predicates (comparisons with numeric coercion against
+        numeric literals, &&/||/!, regex/bound/contains/strstarts);
+        aggregates compile to a groupBy over the binding frame
+        (SUM/AVG coerce to double, MIN/MAX compare numerically when a
+        binding casts, lexicographically otherwise).  ORDER BY may
+        reference selected variables only and orders numerically
         whenever a binding casts to double (string fallback; mixed
         numeric/non-numeric bindings group numerics first in either
         direction); nesting OPTIONAL inside OPTIONAL is not
@@ -346,11 +353,18 @@ class RdfStore:
 
 _SPARQL_RE = re.compile(
     r"(?is)^\s*(?P<prefixes>(?:PREFIX\s+\S+\s+<[^>]*>\s*)*)"
-    r"SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<vars>\*|(?:\?\w+\s*)+)"
+    r"SELECT\s+(?P<distinct>DISTINCT\s+)?"
+    r"(?P<vars>\*|(?:(?:\?\w+|\([^()]*\([^()]*\)[^()]*\))\s*)+)"
     r"\s*WHERE\s*\{(?P<body>.*)\}\s*"
+    r"(?:GROUP\s+BY\s+(?P<group>(?:\?\w+\s*)+))?"
     r"(?:ORDER\s+BY\s+(?P<order>(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)"
     r"(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*)\s*)?"
     r"(?:(?:LIMIT\s+(?P<limit>\d+)|OFFSET\s+(?P<offset>\d+))\s*){0,2}$"
+)
+# (AGG(?v) AS ?alias) select expression; * only for COUNT
+_SPARQL_AGG_RE = re.compile(
+    r"(?is)^\(\s*(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(DISTINCT\s+)?"
+    r"(\*|\?\w+)\s*\)\s+AS\s+\?(\w+)\s*\)$"
 )
 _PREFIX_RE = re.compile(r"(?i)PREFIX\s+(\w*):\s+<([^>]*)>")
 
@@ -373,19 +387,14 @@ def _sparql_term(tok: str, ns: NamespaceRegistry):
     return ("value", ns.expand(tok))
 
 
-def _sparql_select(store: RdfStore, query: str) -> DataFrame:
-    m = _SPARQL_RE.match(query)
-    if not m:
-        raise ValueError("unsupported SPARQL (BGP SELECT only)")
-    ns = NamespaceRegistry()
-    for pfx, iri_ in _PREFIX_RE.findall(m.group("prefixes") or ""):
-        ns.add_prefix(pfx, iri_)
-
-    base_text, optionals, filters = _split_blocks(m.group("body"))
-    counter = [0]
+def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
+    """One group's pattern algebra: BGP joins, then OPTIONAL left
+    joins, then FILTER predicates — the current frame has one ``?var``
+    column per bound variable."""
+    base_text, optionals, filters = _split_blocks(body)
     frame = _bgp_frame(store, base_text, ns, counter)
     if frame is None:
-        raise ValueError("empty WHERE clause")
+        raise ValueError("empty group pattern")
     for opt in optionals:
         of = _bgp_frame(store, opt, ns, counter)
         if of is None:
@@ -403,10 +412,131 @@ def _sparql_select(store: RdfStore, query: str) -> DataFrame:
         )
     for fexpr in filters:
         frame = frame.filter(_sparql_filter(fexpr, ns))
+    return frame
+
+
+def _union_groups(body: str) -> "list[str] | None":
+    """``{ G1 } UNION { G2 } [UNION { G3 } ...]`` at the top level of a
+    WHERE body -> the group bodies; None when the body is not a
+    union-of-groups."""
+    groups: list[str] = []
+    i, n = 0, len(body)
+    while True:
+        while i < n and body[i].isspace():
+            i += 1
+        if i >= n or body[i] != "{":
+            return None
+        j = _scan_balanced(body, i + 1, "{", "}")
+        groups.append(body[i + 1:j - 1])
+        i = j
+        mu = re.match(r"(?is)\s*UNION\s*", body[i:])
+        if mu:
+            i += mu.end()
+            continue
+        break
+    if i < n and body[i:].strip():
+        return None  # trailing patterns after the groups: not a union
+    return groups if len(groups) >= 2 else None
+
+
+def _sparql_agg_column(fn: str, distinct: bool, target: str):
+    """One SPARQL aggregate -> a Spark aggregate column over the
+    stored-string binding.  SUM/AVG coerce to double; MIN/MAX compare
+    numerically when the binding casts (string fallback via a
+    composite struct key); COUNT(*) counts rows, COUNT(?v) non-null
+    bindings."""
+    if target == "*":
+        if fn != "COUNT":
+            raise ValueError(f"{fn}(*) is not valid SPARQL")
+        return F.count(F.lit(1))
+    col = F.col(f"`?{target}`")
+    num = col.try_cast("double")
+    if fn == "COUNT":
+        return F.countDistinct(col) if distinct else F.count(col)
+    if fn == "SUM":
+        return F.sum_distinct(num) if distinct else F.sum(num)
+    if fn == "AVG":
+        return F.avg(num)  # AVG(DISTINCT) unsupported, caught below
+    if fn == "MIN":
+        return F.min(
+            F.struct(
+                F.coalesce(num, F.lit(float("inf"))).alias("k"),
+                col.alias("s"),
+            )
+        )["s"]
+    return F.max(
+        F.struct(
+            F.coalesce(num, F.lit(float("-inf"))).alias("k"),
+            col.alias("s"),
+        )
+    )["s"]
+
+
+def _sparql_select(store: RdfStore, query: str) -> DataFrame:
+    m = _SPARQL_RE.match(query)
+    if not m:
+        raise ValueError("unsupported SPARQL (BGP SELECT only)")
+    ns = NamespaceRegistry()
+    for pfx, iri_ in _PREFIX_RE.findall(m.group("prefixes") or ""):
+        ns.add_prefix(pfx, iri_)
+
+    counter = [0]
+    body = m.group("body")
+    unioned = _union_groups(body)
+    if unioned is not None:
+        # SPARQL UNION: concatenation of the groups' solution
+        # multisets; variables absent from a branch are unbound (NULL)
+        frames = [_compile_group(store, g, ns, counter) for g in unioned]
+        frame = frames[0]
+        for f in frames[1:]:
+            frame = frame.unionByName(f, allowMissingColumns=True)
+    else:
+        frame = _compile_group(store, body, ns, counter)
 
     sel = m.group("vars").strip()
+    group_vars = re.findall(r"\?(\w+)", m.group("group") or "")
+    # select items: plain ?vars and (AGG(?v) AS ?alias) expressions
+    items: list[tuple] = []
     if sel != "*":
-        want = [f"?{v}" for v in re.findall(r"\?(\w+)", sel)]
+        for tok in re.findall(r"\(\s*[^()]*\([^()]*\)[^()]*\)|\?\w+", sel):
+            if tok.startswith("?"):
+                items.append(("var", tok[1:]))
+            else:
+                am = _SPARQL_AGG_RE.match(tok)
+                if not am:
+                    raise ValueError(f"unsupported select expression {tok}")
+                fn, dist, target, alias = (
+                    am.group(1).upper(), bool(am.group(2)),
+                    am.group(3), am.group(4),
+                )
+                if dist and fn not in ("COUNT", "SUM"):
+                    raise ValueError(f"{fn}(DISTINCT ...) not supported")
+                items.append(("agg", fn, dist, target.lstrip("?"), alias))
+    has_agg = any(it[0] == "agg" for it in items)
+    if has_agg or group_vars:
+        plain = [it[1] for it in items if it[0] == "var"]
+        if set(plain) - set(group_vars):
+            raise ValueError(
+                "non-aggregated SELECT variables must appear in GROUP BY"
+            )
+        aggs = [
+            _sparql_agg_column(it[1], it[2], it[3]).alias(it[4])
+            for it in items
+            if it[0] == "agg"
+        ]
+        gcols = [F.col(f"`?{g}`").alias(g) for g in group_vars]
+        frame = (
+            frame.groupBy(*gcols).agg(*aggs)
+            if group_vars
+            else frame.agg(*aggs)
+        )
+        # project in SELECT order
+        order_cols = [
+            it[1] if it[0] == "var" else it[4] for it in items
+        ]
+        frame = frame.select(*order_cols)
+    elif sel != "*":
+        want = [f"?{v}" for _, v in items]
         frame = frame.select(
             *[F.col(f"`{w}`").alias(w[1:]) for w in want]
         )

@@ -818,6 +818,72 @@ def rdf_sparql_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rdf_sparql_aggregates",
+    """
+    WITH t AS (
+        SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+        WHERE o_totalprice > 100000
+        UNION ALL
+        SELECT 'F:' || o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    )
+    SELECT g, count(*)::BIGINT AS n, round(sum(v), 2) AS total,
+           max(v) AS hi
+    FROM t GROUP BY g ORDER BY g
+    """,
+)
+def rdf_sparql_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION groups + GROUP BY aggregates over an orders triple
+    projection: two branches (priority grouping, F-status grouping)
+    each FILTERed numerically, concatenated by UNION, then
+    COUNT/SUM/MAX per group.  Exceeds the reference, whose SPARQL
+    executor is a stub (sparql/executor.rs:33-54)."""
+    from samyama_graph_spark.rdf import RdfStore
+
+    ex = "http://ex.org/"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    subj = F.concat(F.lit(f"{ex}o"), F.col("o_orderkey")).alias("s")
+    prio = orders.select(
+        subj, F.lit(f"{ex}group").alias("p"),
+        F.col("o_orderpriority").alias("o"),
+        F.lit("literal").alias("o_kind"),
+    )
+    stat = orders.filter(F.col("o_orderstatus") == "F").select(
+        subj, F.lit(f"{ex}group2").alias("p"),
+        F.concat(F.lit("F:"), F.col("o_orderstatus")).alias("o"),
+        F.lit("literal").alias("o_kind"),
+    )
+    price = orders.select(
+        subj, F.lit(f"{ex}price").alias("p"),
+        F.col("o_totalprice").cast("string").alias("o"),
+        F.lit("literal").alias("o_kind"),
+    )
+    triples = (
+        prio.unionByName(stat)
+        .unionByName(price)
+        .withColumn("o_datatype", F.lit(None).cast("string"))
+        .withColumn("o_lang", F.lit(None).cast("string"))
+        .withColumn("g", F.lit(None).cast("string"))
+    )
+    store = RdfStore(spark, triples)
+    out = store.sparql(
+        f"""
+        PREFIX ex: <{ex}>
+        SELECT ?g (COUNT(?o) AS ?n) (SUM(?v) AS ?total) (MAX(?v) AS ?hi)
+        WHERE {{
+            {{ ?o ex:group ?g . ?o ex:price ?v . FILTER(?v > 100000) }}
+            UNION
+            {{ ?o ex:group2 ?g . ?o ex:price ?v . FILTER(?v > 100000) }}
+        }} GROUP BY ?g ORDER BY ?g
+        """
+    )
+    return out.select(
+        "g", "n", F.round("total", 2).alias("total"),
+        F.col("hi").cast("double").alias("hi"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SCC (reference: community.rs:96) — nation rings + supplier tails
 # --------------------------------------------------------------------------

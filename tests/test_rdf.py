@@ -296,3 +296,87 @@ def test_sparql_brackets_inside_literals(spark):
         ("f(x)", "t1"),
         ("plain", None),
     ]
+
+
+def test_sparql_union_groups(spark):
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        f"""
+<{_EX}a> <{_EX}cat> "x" .
+<{_EX}b> <{_EX}dog> "y" .
+<{_EX}c> <{_EX}cat> "z" .
+"""
+    )
+    got = st.sparql(
+        f"""
+        SELECT ?s ?v WHERE {{
+            {{ ?s <{_EX}cat> ?v . }} UNION {{ ?s <{_EX}dog> ?v . }}
+        }} ORDER BY ?v
+        """
+    ).collect()
+    assert [(r["s"].rsplit("/", 1)[-1], r["v"]) for r in got] == [
+        ("a", "x"), ("b", "y"), ("c", "z"),
+    ]
+    # branch-local variables are unbound (NULL) in the other branch
+    got = st.sparql(
+        f"""
+        SELECT ?s ?v ?w WHERE {{
+            {{ ?s <{_EX}cat> ?v . }} UNION {{ ?s <{_EX}dog> ?w . }}
+        }} ORDER BY ?s
+        """
+    ).collect()
+    assert [(r["v"], r["w"]) for r in got] == [
+        ("x", None), (None, "y"), ("z", None),
+    ]
+
+
+def test_sparql_aggregates_group_by(spark):
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        "\n".join(
+            f'<{_EX}p{i}> <{_EX}team> "{t}" .\n'
+            f'<{_EX}p{i}> <{_EX}score> "{s}"'
+            f"^^<http://www.w3.org/2001/XMLSchema#integer> ."
+            for i, (t, s) in enumerate(
+                [("red", 10), ("red", 2), ("blue", 33), ("blue", 9), ("blue", 9)]
+            )
+        )
+    )
+    got = st.sparql(
+        f"""
+        SELECT ?t (COUNT(?p) AS ?n) (SUM(?s) AS ?total)
+               (AVG(?s) AS ?mean) (MIN(?s) AS ?lo) (MAX(?s) AS ?hi)
+        WHERE {{
+            ?p <{_EX}team> ?t .
+            ?p <{_EX}score> ?s .
+        }} GROUP BY ?t ORDER BY ?t
+        """
+    ).collect()
+    rows = [
+        (r["t"], r["n"], r["total"], r["mean"], r["lo"], r["hi"])
+        for r in got
+    ]
+    # MIN/MAX numeric: "9" < "33" numerically though not lexically
+    assert rows == [
+        ("blue", 3, 51.0, 17.0, "9", "33"),
+        ("red", 2, 12.0, 6.0, "2", "10"),
+    ]
+    # global aggregation (no GROUP BY) + COUNT(*) + COUNT(DISTINCT)
+    got = st.sparql(
+        f"""
+        SELECT (COUNT(*) AS ?rows) (COUNT(DISTINCT ?s) AS ?distinct)
+        WHERE {{ ?p <{_EX}score> ?s . }}
+        """
+    ).collect()
+    assert (got[0]["rows"], got[0]["distinct"]) == (5, 4)
+    # MIN/MAX fall back to lexicographic for non-numeric bindings
+    got = st.sparql(
+        f"SELECT (MIN(?t) AS ?lo) (MAX(?t) AS ?hi) "
+        f"WHERE {{ ?p <{_EX}team> ?t . }}"
+    ).collect()
+    assert (got[0]["lo"], got[0]["hi"]) == ("blue", "red")
+    # non-aggregated select vars must be grouped
+    with pytest.raises(ValueError, match="GROUP BY"):
+        st.sparql(
+            f"SELECT ?p (COUNT(?s) AS ?n) WHERE {{ ?p <{_EX}score> ?s . }}"
+        )
