@@ -632,8 +632,11 @@ GATE_ORDER: list[str] = [
     "or_solve_portfolio",
     # RDF / SPARQL (§2 #62): the modifiers row subsumes the plain-BGP
     # row (same join machinery plus FILTER/OPTIONAL/ORDER/OFFSET);
-    # rdf_sparql_bgp stays pytest-oracled
-    "rdf_sparql_modifiers",
+    # SPARQL family: the aggregates row is the richest single exercise
+    # of the engine (UNION groups + per-group FILTER + GROUP BY
+    # COUNT/SUM/MAX over the triple projection); rdf_sparql_bgp and
+    # rdf_sparql_modifiers stay pytest-oracled
+    "rdf_sparql_aggregates",
     # structured streaming
     "streaming_windows",
     "streaming_stateful_totals",
