@@ -346,8 +346,10 @@ class RdfStore:
         reference selected variables only and orders numerically
         whenever a binding casts to double (string fallback; mixed
         numeric/non-numeric bindings group numerics first in either
-        direction); nesting OPTIONAL inside OPTIONAL is not
-        supported."""
+        direction).  OPTIONAL and UNION nest recursively (each
+        OPTIONAL body is a full group, so FILTERs and further
+        OPTIONAL/UNION inside it work; a nested FILTER sees only its
+        own group's variables)."""
         return _sparql_select(self, query)
 
 
@@ -388,15 +390,26 @@ def _sparql_term(tok: str, ns: NamespaceRegistry):
 
 
 def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
-    """One group's pattern algebra: BGP joins, then OPTIONAL left
-    joins, then FILTER predicates — the current frame has one ``?var``
-    column per bound variable."""
+    """One group's pattern algebra, RECURSIVE: a union-of-groups body
+    compiles each branch and concatenates by name; otherwise BGP
+    joins, then OPTIONAL left joins (each OPTIONAL body is itself a
+    full group, so OPTIONAL and UNION nest), then FILTER predicates —
+    the result has one ``?var`` column per bound variable.  FILTERs
+    inside an OPTIONAL see only that group's variables (outer-variable
+    references in nested filters are not supported)."""
+    unioned = _union_groups(body)
+    if unioned is not None:
+        frames = [_compile_group(store, g, ns, counter) for g in unioned]
+        frame = frames[0]
+        for f in frames[1:]:
+            frame = frame.unionByName(f, allowMissingColumns=True)
+        return frame
     base_text, optionals, filters = _split_blocks(body)
     frame = _bgp_frame(store, base_text, ns, counter)
     if frame is None:
         raise ValueError("empty group pattern")
     for opt in optionals:
-        of = _bgp_frame(store, opt, ns, counter)
+        of = _compile_group(store, opt, ns, counter)
         if of is None:
             continue
         shared = [
@@ -481,17 +494,10 @@ def _sparql_select(store: RdfStore, query: str) -> DataFrame:
         ns.add_prefix(pfx, iri_)
 
     counter = [0]
-    body = m.group("body")
-    unioned = _union_groups(body)
-    if unioned is not None:
-        # SPARQL UNION: concatenation of the groups' solution
-        # multisets; variables absent from a branch are unbound (NULL)
-        frames = [_compile_group(store, g, ns, counter) for g in unioned]
-        frame = frames[0]
-        for f in frames[1:]:
-            frame = frame.unionByName(f, allowMissingColumns=True)
-    else:
-        frame = _compile_group(store, body, ns, counter)
+    # _compile_group recurses through UNION branches and nested
+    # OPTIONAL groups (SPARQL UNION = concatenation of the branches'
+    # solution multisets; variables absent from a branch are unbound)
+    frame = _compile_group(store, m.group("body"), ns, counter)
 
     sel = m.group("vars").strip()
     group_vars = re.findall(r"\?(\w+)", m.group("group") or "")

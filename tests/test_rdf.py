@@ -380,3 +380,62 @@ def test_sparql_aggregates_group_by(spark):
         st.sparql(
             f"SELECT ?p (COUNT(?s) AS ?n) WHERE {{ ?p <{_EX}score> ?s . }}"
         )
+
+
+def test_sparql_nested_optional_and_union(spark):
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        f"""
+<{_EX}a> <{_EX}name> "Ada" .
+<{_EX}b> <{_EX}name> "Bob" .
+<{_EX}c> <{_EX}name> "Cleo" .
+<{_EX}a> <{_EX}email> "ada@x.org" .
+<{_EX}b> <{_EX}email> "bob@x.org" .
+<{_EX}mail_ada> <{_EX}of> "ada@x.org" .
+<{_EX}mail_ada> <{_EX}verified> "yes" .
+"""
+    )
+    # OPTIONAL nested inside OPTIONAL: email is optional; verification
+    # of the email is optional within that
+    got = st.sparql(
+        f"""
+        SELECT ?n ?e ?v WHERE {{
+            ?p <{_EX}name> ?n .
+            OPTIONAL {{
+                ?p <{_EX}email> ?e .
+                OPTIONAL {{ ?m <{_EX}of> ?e . ?m <{_EX}verified> ?v . }}
+            }}
+        }} ORDER BY ?n
+        """
+    ).collect()
+    assert [(r["n"], r["e"], r["v"]) for r in got] == [
+        ("Ada", "ada@x.org", "yes"),
+        ("Bob", "bob@x.org", None),   # email bound, verification unbound
+        ("Cleo", None, None),         # outer OPTIONAL unmatched
+    ]
+    # FILTER inside an OPTIONAL group (recursion makes it a full group)
+    got = st.sparql(
+        f"""
+        SELECT ?n ?e WHERE {{
+            ?p <{_EX}name> ?n .
+            OPTIONAL {{ ?p <{_EX}email> ?e . FILTER(strstarts(?e, "ada")) }}
+        }} ORDER BY ?n
+        """
+    ).collect()
+    assert [(r["n"], r["e"]) for r in got] == [
+        ("Ada", "ada@x.org"), ("Bob", None), ("Cleo", None),
+    ]
+    # UNION nested inside an OPTIONAL
+    got = st.sparql(
+        f"""
+        SELECT ?n ?x WHERE {{
+            ?p <{_EX}name> ?n .
+            OPTIONAL {{
+                {{ ?p <{_EX}email> ?x . }} UNION {{ ?p <{_EX}phone> ?x . }}
+            }}
+        }} ORDER BY ?n
+        """
+    ).collect()
+    assert [(r["n"], r["x"]) for r in got] == [
+        ("Ada", "ada@x.org"), ("Bob", "bob@x.org"), ("Cleo", None),
+    ]
