@@ -442,11 +442,12 @@ def semdedup(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    k: int = 16,
+    k: "int | None" = 16,
     threshold: float = 0.95,
     iters: int = 0,
     seed_ids: "list[int] | None" = None,
     centroid_mode: str = "auto",
+    target_cluster_size: "int | None" = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then EXACT cosine dedup within each cluster and
@@ -489,11 +490,29 @@ def semdedup(
       codebook must not live on the driver.
     - ``'auto'`` (default): literal for k <= 32 (zero-exchange AND
       SQL-oracle-replayable), vectorized above.
+
+    SCALE WARNING — ``k`` must grow with the corpus: the
+    within-cluster exact stage is O(n^2 / k) pairs, so a FIXED k makes
+    the operator quadratic in n (measured 49x wall at 10x data with
+    k=16 vs 5.4x with k scaled 10x — BENCH_NOTES round 7).  The paper
+    runs k ~ 10^4-10^5 precisely to hold cluster size constant.  Pass
+    ``target_cluster_size`` (with ``k=None``) to derive
+    k = ceil(n / target) from one count job — the parameterization
+    that stays linear as data grows.
     """
     from samyama_graph_spark.datapipe.similarity import dot, norm
 
     if centroid_mode not in ("auto", "literal", "broadcast", "vectorized"):
         raise ValueError(f"semdedup: unknown centroid_mode {centroid_mode!r}")
+    if target_cluster_size is not None:
+        if k is not None:
+            raise ValueError(
+                "semdedup: pass either k or target_cluster_size, not both"
+            )
+        n_rows = df.count()
+        k = max(1, -(-n_rows // int(target_cluster_size)))
+    elif k is None:
+        raise ValueError("semdedup: k or target_cluster_size required")
     if centroid_mode == "auto":
         centroid_mode = "literal" if k <= 32 else "vectorized"
 

@@ -1014,3 +1014,31 @@ def test_pack_first_fit_invariants_and_reference(spark):
         for r in pack_first_fit(df, "ntok", 512, "shard", "id").collect()
     }
     assert again == got
+
+
+def test_semdedup_target_cluster_size(spark):
+    """k=None + target_cluster_size derives k = ceil(n/target) — the
+    parameterization that keeps the within-cluster O(n^2/k) stage
+    linear as data grows."""
+    import pytest as _pytest
+
+    from samyama_graph_spark.datapipe.dedup import semdedup
+    from samyama_graph_spark.loaders import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])[
+        "embeddings"
+    ]
+    n = emb.count()
+    target = 25
+    out = semdedup(
+        emb, "embedding", "vec_id", k=None, threshold=0.95,
+        target_cluster_size=target,
+    ).collect()
+    want_k = -(-n // target)
+    assert len(out) == n
+    assert all(0 <= r["cluster"] < want_k for r in out)
+    assert max(r["cluster"] for r in out) >= want_k // 2  # clusters used
+    with _pytest.raises(ValueError, match="not both"):
+        semdedup(emb, "embedding", "vec_id", k=4, target_cluster_size=9)
+    with _pytest.raises(ValueError, match="required"):
+        semdedup(emb, "embedding", "vec_id", k=None)

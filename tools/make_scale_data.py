@@ -86,10 +86,41 @@ def main() -> None:
                user_id + r * {STRIDE} AS user_id, event_type, value, props
         FROM {t('events')} CROSS JOIN {reps}
     """)
-    write("embeddings", f"""
-        SELECT vec_id + r * {STRIDE} AS vec_id, embedding, label
-        FROM {t('embeddings')} CROSS JOIN {reps}
-    """)
+    # embeddings: per-replica ORTHOGONAL ROTATION (replica 0 =
+    # identity).  A rotation preserves every intra-replica cosine
+    # exactly (the original near-dup structure replicates) while
+    # cross-replica pairs decorrelate to cos ~ N(0, 1/dim) — without
+    # it, every vector has N-1 exact copies and near-dup pair volume
+    # grows quadratically in N instead of linearly with data.
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    etbl = pq.read_table(f"{src}/embeddings.parquet")
+    evids = etbl.column("vec_id").to_pylist()
+    evecs = np.array(etbl.column("embedding").to_pylist(), dtype=np.float64)
+    elabels = etbl.column("label").to_pylist()
+    dim = evecs.shape[1]
+    out_v, out_e, out_l = [], [], []
+    for r in range(n):
+        if r == 0:
+            rot = evecs
+        else:
+            q, _ = np.linalg.qr(
+                np.random.default_rng(1000 + r).normal(size=(dim, dim))
+            )
+            rot = evecs @ q
+        out_v.extend(v + r * STRIDE for v in evids)
+        out_e.extend(row.astype(np.float32).tolist() for row in rot)
+        out_l.extend(elabels)
+    pq.write_table(
+        pa.table(
+            {"vec_id": out_v, "embedding": out_e, "label": out_l},
+            schema=etbl.schema,
+        ),
+        f"{dst}/embeddings.parquet",
+    )
+    print(f"  embeddings: {len(out_v)} rows (rotated per replica)")
 
     # documents: python-side deterministic word shuffle per replica
     # (replica 0 = original) so cross-replica pairs are NOT near-dups

@@ -41,6 +41,15 @@ ENTRIES = [
     "ldbc_ic1_transitive_name",
     "cypher_var_length",
     "bfs_layers",
+    # round-7 extensions: one entry per remaining family (vector
+    # search, embedding dedup, temporal join, text metrics, weighted
+    # paths, exact dedup)
+    "cypher_knn",
+    "semdedup_verdicts",
+    "events_asof_join",
+    "text_metrics",
+    "sssp_weighted",
+    "dedup_exact",
 ]
 
 
