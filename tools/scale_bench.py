@@ -53,6 +53,28 @@ ENTRIES = [
 ]
 
 
+def _semdedup_scaled_k(spark, sf_dir):
+    """semdedup parameterized the way the paper scales it — k derived
+    from a constant target cluster size, so k grows 10x with the data
+    and the O(n^2/k) within-cluster stage stays linear.  Contrast with
+    the gate's FIXED k=16 entry, whose slope is quadratic by design
+    (see BENCH_NOTES round 7)."""
+    from pyspark.sql import functions as F
+
+    from samyama_graph_spark.datapipe.dedup import semdedup
+    from samyama_graph_spark.loaders import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = semdedup(
+        emb, "embedding", "vec_id", k=None, threshold=0.35,
+        target_cluster_size=125, centroid_mode="vectorized",
+    )
+    return out.select("id", F.col("cluster").cast("long"), "keep")
+
+
+EXTRA_ENTRIES = {"semdedup_scaled_k": _semdedup_scaled_k}
+
+
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/testdata-sf1-synth"
@@ -83,12 +105,17 @@ def main() -> None:
             rdd.unpersist()
         spark.sparkContext._jvm.System.gc()
 
-    results: dict[str, dict] = {n: {} for n in ENTRIES}
+    all_names = ENTRIES + list(EXTRA_ENTRIES)
+    results: dict[str, dict] = {n: {} for n in all_names}
     for tag, sf_dir in (("small", small), ("big", big)):
         # warm parquet footers
         spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-        for name in ENTRIES:
-            fn = REGISTRY[name].fn
+        for name in all_names:
+            fn = (
+                EXTRA_ENTRIES[name]
+                if name in EXTRA_ENTRIES
+                else REGISTRY[name].fn
+            )
             print(f"# scale[{tag}]: {name}", file=sys.stderr, flush=True)
             samples, jobs = [], []
             err = None
@@ -139,7 +166,7 @@ def main() -> None:
         json.dump(out, f, indent=1)
     print(json.dumps(
         {n: {k: results[n].get(k) for k in ("time_slope", "jobs_flat")}
-         for n in ENTRIES},
+         for n in all_names},
         indent=1,
     ))
     spark.stop()
