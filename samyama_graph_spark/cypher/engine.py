@@ -363,11 +363,17 @@ class CypherEngine:
 
         def freeze(v):
             if isinstance(v, (list, tuple)):
-                return tuple(freeze(x) for x in v)
+                return ("list", tuple(freeze(x) for x in v))
             if isinstance(v, dict):
-                return tuple(sorted((k, freeze(x)) for k, x in v.items()))
+                return (
+                    "map", tuple(sorted((k, freeze(x)) for k, x in v.items()))
+                )
             hash(v)  # raises for unhashable leaves
-            return v
+            # Python equality collapses 1 == 1.0 == True into one dict
+            # key, but a plan compiled for {'a': 1} embeds an int
+            # literal with different comparison/typing semantics than
+            # the bool/double variants — key on the type as well
+            return (type(v).__name__, v)
 
         try:
             pkey = (

@@ -98,7 +98,23 @@ def _with_node(
     aggregate."""
     if label is not None and label in g.nodes:
         nd = g.nodes[label]
-        fields = [F.col(c).alias(c) for c in nd.columns]
+        # pad with typed NULLs for properties that exist only on OTHER
+        # labels, in the unified path's column order, so the struct
+        # schema (and node.prop resolution, as NULL) is identical no
+        # matter which packing path fired — schema access only, no job
+        order: list[str] = ["id"]
+        types: dict = {}
+        for t in g.nodes.values():
+            for fld in t.schema.fields:
+                if fld.name not in types:
+                    types[fld.name] = fld.dataType
+                    if fld.name != "id":
+                        order.append(fld.name)
+        own = set(nd.columns)
+        fields = [
+            (F.col(c) if c in own else F.lit(None).cast(types[c])).alias(c)
+            for c in order
+        ]
         fields.append(F.array(F.lit(label)).alias("_labels"))
         packed = nd.select(
             F.col("id").alias("__nid"), F.struct(*fields).alias(out)

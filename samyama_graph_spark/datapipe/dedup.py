@@ -659,7 +659,7 @@ def _semdedup_assign_vectorized(
     spark = base.sparkSession
     out_schema = "id long, v array<double>, nrm double, cluster int"
 
-    def assign(frame: DataFrame, C: "np.ndarray") -> DataFrame:
+    def assign(frame: DataFrame, C: "np.ndarray"):
         cn = np.linalg.norm(C, axis=1)
         bc = spark.sparkContext.broadcast(
             C / np.where(cn == 0.0, 1.0, cn)[:, None]
@@ -677,16 +677,22 @@ def _semdedup_assign_vectorized(
                 pdf["cluster"] = np.argmax(V @ M.T, axis=1).astype("int32")
                 yield pdf
 
-        return frame.mapInPandas(fn, out_schema)
+        return frame.mapInPandas(fn, out_schema), bc
 
     for _ in range(iters):
-        assigned = assign(base, C)
+        assigned, bc = assign(base, C)
         grid = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        # this round's codebook is fully consumed by the collect above;
+        # without the unpersist, paper-scale (k ~ 10^4-10^5 × dim × 8 B)
+        # codebooks would accumulate one per Lloyd round for the session
+        # lifetime (the final assignment's broadcast below stays live —
+        # its DataFrame is the return value and may recompute)
+        bc.unpersist(blocking=False)
         by_c: dict = {}
         for r in grid:
             by_c.setdefault(r["cluster"], {})[r["pos"]] = r["s"] / r["n"]
@@ -697,7 +703,7 @@ def _semdedup_assign_vectorized(
             ],
             dtype=np.float64,
         )
-    return assign(base, C)
+    return assign(base, C)[0]
 
 
 def _semdedup_assign_broadcast(

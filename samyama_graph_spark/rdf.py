@@ -531,11 +531,15 @@ def _sparql_select(store: RdfStore, query: str) -> DataFrame:
             if it[0] == "agg"
         ]
         gcols = [F.col(f"`?{g}`").alias(g) for g in group_vars]
-        frame = (
-            frame.groupBy(*gcols).agg(*aggs)
-            if group_vars
-            else frame.agg(*aggs)
-        )
+        if not aggs:
+            # projection-with-grouping (valid SPARQL: SELECT ?g ...
+            # GROUP BY ?g with no aggregates) = the distinct group keys;
+            # PySpark's agg() rejects an empty expression list
+            frame = frame.select(*gcols).dropDuplicates()
+        elif group_vars:
+            frame = frame.groupBy(*gcols).agg(*aggs)
+        else:
+            frame = frame.agg(*aggs)
         # project in SELECT order
         order_cols = [
             it[1] if it[0] == "var" else it[4] for it in items

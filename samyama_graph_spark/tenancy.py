@@ -124,20 +124,58 @@ class TenantCatalog:
     # ------------------------------------------------------------ storage
     def save(self, tenant_id: str) -> None:
         """Persist the tenant's CURRENT graph under its prefix
-        (distributed parquet write per table — the 100 TB path)."""
+        (distributed parquet write per table — the 100 TB path).
+
+        The write is STAGED: each table lands in a hidden sibling
+        directory first and only replaces the target after the whole
+        write succeeds.  A direct ``mode('overwrite')`` to the live
+        paths would race the graph's own lineage when the tenant was
+        loaded from this prefix (Spark either refuses to overwrite a
+        path it is reading from or — when the cycle goes undetected —
+        deletes source files mid-read).  After the swap the tenant's
+        engine is rebound to fresh scans of the new files, so no live
+        frame keeps a plan over deleted paths; the new graph identity
+        also invalidates the engine's compiled-plan cache."""
         if not self.root:
             raise ValueError("TenantCatalog has no warehouse root")
-        g = self.engine(tenant_id).graph
+        import shutil
+        import uuid
+
+        eng = self.engine(tenant_id)
+        g = eng.graph
         base = os.path.join(self.root, tenant_id)
-        os.makedirs(base, exist_ok=True)
-        for label, df in g.nodes.items():
-            df.write.mode("overwrite").parquet(
-                os.path.join(base, f"nodes_{label}.parquet")
-            )
-        for etype, df in g.edges.items():
-            df.write.mode("overwrite").parquet(
-                os.path.join(base, f"edges_{etype}.parquet")
-            )
+        staging = os.path.join(base, f".staging-{uuid.uuid4().hex[:8]}")
+        os.makedirs(staging, exist_ok=True)
+        try:
+            tables = [
+                (f"nodes_{label}.parquet", df)
+                for label, df in g.nodes.items()
+            ] + [
+                (f"edges_{etype}.parquet", df)
+                for etype, df in g.edges.items()
+            ]
+            for name, df in tables:
+                df.write.mode("overwrite").parquet(
+                    os.path.join(staging, name)
+                )
+            # old files are fully consumed (the staged write above read
+            # them); clear stale tables so a label dropped in-session
+            # does not resurrect on the next load, then swap
+            for f in os.listdir(base):
+                if f.startswith(("nodes_", "edges_")):
+                    shutil.rmtree(os.path.join(base, f), ignore_errors=True)
+            for name, _ in tables:
+                os.replace(
+                    os.path.join(staging, name), os.path.join(base, name)
+                )
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        fresh = self._load(tenant_id)
+        # declared endpoint metadata survives the round-trip; at-rest
+        # reverse layouts (edges_rev) referenced the replaced files and
+        # are rebuilt on demand
+        fresh.edge_meta = dict(g.edge_meta)
+        eng.graph = fresh
 
     def _load(self, tenant_id: str) -> PropertyGraph:
         base = os.path.join(self.root, tenant_id)

@@ -244,6 +244,31 @@ def test_algo_yield_reference_schemas(engine):
     assert lc[0][0] >= 1
 
 
+def test_algo_yield_node_struct_cross_label(engine):
+    """The label-scoped node packing (fast path: one table instead of
+    unified_nodes) must expose the SAME struct schema as the unified
+    path — properties that live only on another label resolve to NULL
+    instead of raising an unresolved-field error."""
+    # 'founded' exists only on Company; Person-scoped YIELD resolves NULL
+    got = rows(
+        engine,
+        "CALL algo.pageRank('Person', 'KNOWS') YIELD node, score "
+        "RETURN node.name AS name, node.founded AS founded "
+        "ORDER BY score DESC LIMIT 1",
+    )
+    assert got[0][0] in ("David", "Eve") and got[0][1] is None
+    # struct schema is identical whether or not the label path fired
+    scoped = engine.query(
+        "CALL algo.pageRank('Person', 'KNOWS') YIELD node RETURN node"
+    ).schema["node"].dataType
+    unified = engine.query(
+        "CALL algo.pageRank({iterations: 1}) YIELD node RETURN node"
+    ).schema["node"].dataType
+    assert [(f.name, f.dataType) for f in scoped.fields] == [
+        (f.name, f.dataType) for f in unified.fields
+    ]
+
+
 def test_multi_path_join(engine):
     # comma patterns with shared variable
     got = rows(
@@ -743,6 +768,33 @@ def test_plan_cache_hits_and_invalidation(spark):
     assert eng._plan_key(
         "CALL algo.or.solve('Person', {property: 'w', budget: 1.0})", None
     ) is None
+
+
+def test_plan_cache_param_type_distinction(spark):
+    """1, 1.0, and True are equal (and hash-equal) in Python, but a
+    plan compiled with an int literal has different comparison/typing
+    semantics than the bool or double variants — the cache key must
+    carry the type, not just the value."""
+    persons = spark.createDataFrame(
+        [(1, "Alice")], "id long, name string"
+    )
+    eng = CypherEngine(PropertyGraph(spark, {"Person": persons}, {}))
+    q = "MATCH (p:Person) RETURN $f AS v"
+    keys = {eng._plan_key(q, {"f": v}) for v in (1, 1.0, True)}
+    assert len(keys) == 3
+    r_int = eng.query(q, {"f": 1})
+    assert eng.query(q, {"f": True}) is not r_int
+    assert eng.query(q, {"f": 1.0}) is not r_int
+    assert eng.query(q, {"f": 1}) is r_int
+    # each plan keeps its own literal's type (pre-fix, whichever of the
+    # three compiled first was served verbatim for the other two)
+    assert eng.query(q, {"f": 1}).schema["v"].dataType.simpleString() in (
+        "int", "bigint"
+    )
+    assert eng.query(q, {"f": 1.0}).schema["v"].dataType.simpleString() == "double"
+    assert eng.query(q, {"f": True}).schema["v"].dataType.simpleString() == "boolean"
+    # nested containers distinguish too
+    assert eng._plan_key(q, {"f": [1]}) != eng._plan_key(q, {"f": [True]})
 
 
 def test_plan_cache_or_solve_writeback_invalidates(spark):

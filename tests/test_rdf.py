@@ -380,6 +380,11 @@ def test_sparql_aggregates_group_by(spark):
         st.sparql(
             f"SELECT ?p (COUNT(?s) AS ?n) WHERE {{ ?p <{_EX}score> ?s . }}"
         )
+    # projection-with-grouping (no aggregates in SELECT) = distinct keys
+    got = st.sparql(
+        f"SELECT ?t WHERE {{ ?p <{_EX}team> ?t . }} GROUP BY ?t ORDER BY ?t"
+    ).collect()
+    assert [r["t"] for r in got] == ["blue", "red"]
 
 
 def test_sparql_nested_optional_and_union(spark):

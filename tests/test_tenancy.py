@@ -87,6 +87,49 @@ def test_persistence_roundtrip(spark, tmp_path):
     assert cat3.list_tenants() == []
 
 
+def test_save_after_load_and_modify(spark, tmp_path):
+    """save() on a tenant whose live graph was LOADED from its own
+    prefix: the frames' lineage still scans those parquet files, so a
+    naive in-place overwrite either raises Spark's write-read-cycle
+    error or deletes source files mid-read.  The staged write + engine
+    rebind must make load -> modify -> save -> query -> save safe."""
+    root = str(tmp_path / "warehouse")
+    TenantCatalog(spark, root=root).create_tenant(
+        "acme", _graph(spark, ["a", "b"]), persist=True
+    )
+
+    # fresh catalog: the engine's frames come straight from parquet
+    cat = TenantCatalog(spark, root=root)
+    cat.query("acme", "CREATE (n:Person {id: 9, name: 'added'})").collect()
+    cat.save("acme")
+
+    # the live engine keeps working after its files were replaced
+    # (rebound to the new scans, old plan-cache entries invalidated)
+    names = [
+        r["name"]
+        for r in cat.query(
+            "acme", "MATCH (n:Person) RETURN n.name AS name ORDER BY name"
+        ).collect()
+    ]
+    assert names == ["a", "added", "b"]
+    # and a second save over the reloaded frames is equally safe
+    cat.query("acme", "CREATE (n:Person {id: 10, name: 'more'})").collect()
+    cat.save("acme")
+
+    got = TenantCatalog(spark, root=root).query(
+        "acme", "MATCH (n:Person) RETURN n.name AS name ORDER BY name"
+    ).collect()
+    assert [r["name"] for r in got] == ["a", "added", "b", "more"]
+    # no staging residue, and edges survived both swaps
+    import os
+
+    residue = [
+        f for f in os.listdir(os.path.join(root, "acme"))
+        if f.startswith(".staging")
+    ]
+    assert residue == []
+
+
 def test_prefixed_views(spark):
     cat = TenantCatalog(spark)
     cat.create_tenant("t1", _graph(spark, ["a"]))
