@@ -349,7 +349,18 @@ class RdfStore:
         direction).  OPTIONAL and UNION nest recursively (each
         OPTIONAL body is a full group, so FILTERs and further
         OPTIONAL/UNION inside it work; a nested FILTER sees only its
-        own group's variables)."""
+        own group's variables).
+
+        Property paths (SPARQL 1.1 §9): the predicate position accepts
+        ``^path`` inverse, ``p1/p2`` sequence, ``p1|p2`` alternative,
+        ``p*``/``p+``/``p?`` closures, and parentheses.  Sequences and
+        alternatives keep bag semantics; closure forms yield distinct
+        node pairs (the spec's evaluation rules), with zero-length
+        paths matching every term in the graph plus any bound endpoint
+        of the statement.  Closures run as distributed path-doubling
+        joins (O(log diameter) rounds).  A statement using path
+        operators must be '.'-separated from its neighbors; negated
+        property sets (``!``) are not supported."""
         return _sparql_select(self, query)
 
 
@@ -659,12 +670,20 @@ def _split_blocks(body: str) -> tuple[str, list[str], list[str]]:
     return "".join(out), optionals, filters
 
 
+_PATH_OPS = frozenset("/|^()*+?")
+
+
 def _bgp_frame(store: RdfStore, text: str, ns: NamespaceRegistry, counter):
     """Triple patterns -> one DataFrame with ``?var`` columns (None when
     the text holds no patterns).  Each pattern is a filtered scan;
-    shared variables equi-join."""
+    shared variables equi-join.  The predicate position accepts SPARQL
+    1.1 property paths (``^`` inverse, ``/`` sequence, ``|``
+    alternative, ``*``/``+``/``?`` closures, parentheses); a statement
+    using path operators must be '.'-separated from its neighbors."""
     # tokenize ('.' separates patterns; splitting the text on '.'
-    # would cut IRIs like example.org apart)
+    # would cut IRIs like example.org apart).  A lone '?' (not opening
+    # a variable) and the other path operator characters tokenize
+    # individually; the literal branch keeps ^^<datatype> atomic.
     tok_re = re.compile(
         r'<[^>]*>'
         r'|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^<[^>]*>)?'
@@ -673,44 +692,241 @@ def _bgp_frame(store: RdfStore, text: str, ns: NamespaceRegistry, counter):
         r"|[A-Za-z_][\w-]*:[\w.-]*[\w-]"
         r"|\ba\b"
         r"|\."
+        r"|[/|^()*+?]"
     )
-    patterns = []
-    group: list[str] = []
+    statements: list[list[str]] = []
+    cur: list[str] = []
     for tok in tok_re.findall(text):
         if tok == ".":
-            if group:
-                raise ValueError(f"bad triple pattern near {group!r}")
+            if cur:
+                statements.append(cur)
+                cur = []
             continue
-        group.append(tok)
-        if len(group) == 3:
-            patterns.append(tuple(_sparql_term(t, ns) for t in group))
-            group = []
-    if group:
-        raise ValueError(f"dangling tokens in WHERE clause: {group!r}")
-    if not patterns:
+        cur.append(tok)
+    if cur:
+        statements.append(cur)
+    if not statements:
         return None
 
     frame = None
-    for ts, tp, to in patterns:
-        counter[0] += 1
-        leg = store.df
-        cols = []
-        for pos, (kind, val) in zip(("s", "p", "o"), (ts, tp, to)):
-            if kind == "value":
-                leg = leg.filter(F.col(pos) == val)
-            else:
-                cols.append(F.col(pos).alias(f"?{val}"))
-        leg = (
-            leg.select(*cols)
-            if cols
-            else leg.select(F.lit(1).alias(f"__m{counter[0]}"))
-        )
-        if frame is None:
-            frame = leg
+    for stmt in statements:
+        has_path = any(t in _PATH_OPS for t in stmt)
+        if not has_path:
+            # plain triples; '.'-less runs of 3k tokens stay supported
+            if len(stmt) % 3:
+                raise ValueError(f"dangling tokens in WHERE clause: {stmt!r}")
+            legs = [
+                _simple_leg(
+                    store,
+                    tuple(_sparql_term(t, ns) for t in stmt[i:i + 3]),
+                    counter,
+                )
+                for i in range(0, len(stmt), 3)
+            ]
+        elif len(stmt) >= 3:
+            ts = _sparql_term(stmt[0], ns)
+            to = _sparql_term(stmt[-1], ns)
+            legs = [_path_leg(store, ts, stmt[1:-1], to, ns, counter)]
         else:
-            shared = [c for c in leg.columns if c in frame.columns]
-            frame = frame.join(leg, shared) if shared else frame.crossJoin(leg)
+            raise ValueError(f"bad property-path pattern: {stmt!r}")
+        for leg in legs:
+            if frame is None:
+                frame = leg
+            else:
+                shared = [c for c in leg.columns if c in frame.columns]
+                frame = (
+                    frame.join(leg, shared) if shared else frame.crossJoin(leg)
+                )
     return frame
+
+
+def _simple_leg(store: RdfStore, pattern, counter) -> DataFrame:
+    """One plain triple pattern -> a filtered scan with ?var columns."""
+    counter[0] += 1
+    ts, tp, to = pattern
+    leg = store.df
+    cols = []
+    for pos, (kind, val) in zip(("s", "p", "o"), (ts, tp, to)):
+        if kind == "value":
+            leg = leg.filter(F.col(pos) == val)
+        else:
+            cols.append(F.col(pos).alias(f"?{val}"))
+    return (
+        leg.select(*cols)
+        if cols
+        else leg.select(F.lit(1).alias(f"__m{counter[0]}"))
+    )
+
+
+def _parse_path(toks: list[str], ns: NamespaceRegistry):
+    """Property-path token list -> AST.  Grammar (SPARQL 1.1 §9.1):
+    alt := seq ('|' seq)* ; seq := step ('/' step)* ;
+    step := '^' step | prim ('*'|'+'|'?')* ; prim := '(' alt ')' | iri.
+    Variables and negated property sets are not path elements here."""
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def alt():
+        parts = [seq()]
+        while peek() == "|":
+            take()
+            parts.append(seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    def seq():
+        parts = [step()]
+        while peek() == "/":
+            take()
+            parts.append(step())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def step():
+        if peek() == "^":
+            take()
+            return ("inv", step())
+        node = prim()
+        while peek() in ("*", "+", "?"):
+            node = ({"*": "star", "+": "plus", "?": "opt"}[take()], node)
+        return node
+
+    def prim():
+        t = take()
+        if t == "(":
+            node = alt()
+            if take() != ")":
+                raise ValueError("unbalanced ( ) in property path")
+            return node
+        if t is None or t in _PATH_OPS:
+            raise ValueError(f"bad property path near {t!r}")
+        kind, val = _sparql_term(t, ns)
+        if kind != "value":
+            raise ValueError("variables are not allowed inside property paths")
+        return ("atom", val)
+
+    node = alt()
+    if peek() is not None:
+        raise ValueError(f"trailing property-path tokens: {toks[pos[0]:]!r}")
+    return node
+
+
+def _path_leg(
+    store: RdfStore, ts, path_toks: list[str], to, ns, counter
+) -> DataFrame:
+    """One ``subject path object`` statement -> a leg frame with ?var
+    columns, like :func:`_simple_leg` but over the path's node-pair
+    relation.  Zero-length paths (``*``/``?``) match every term in the
+    graph plus any bound endpoint of this statement (SPARQL 1.1
+    ZeroLengthPath)."""
+    counter[0] += 1
+    node = _parse_path(path_toks, ns)
+    bound = [val for kind, val in (ts, to) if kind == "value"]
+
+    def identity() -> DataFrame:
+        nodes = store.df.select(F.col("s").alias("__ps")).union(
+            store.df.select(F.col("o").alias("__ps"))
+        )
+        if bound:
+            nodes = nodes.union(
+                store.spark.createDataFrame(
+                    [(b,) for b in bound], "__ps string"
+                )
+            )
+        return nodes.distinct().select(
+            "__ps", F.col("__ps").alias("__po")
+        )
+
+    leg = _path_rel(store, node, identity)
+    # same-variable endpoints (?x path ?x) bind once, pairs with s = o
+    if ts[0] == "var" and to[0] == "var" and ts[1] == to[1]:
+        return leg.filter(F.col("__ps") == F.col("__po")).select(
+            F.col("__ps").alias(f"?{ts[1]}")
+        )
+    cols = []
+    for pos, (kind, val) in zip(("__ps", "__po"), (ts, to)):
+        if kind == "value":
+            leg = leg.filter(F.col(pos) == val)
+        else:
+            cols.append(F.col(pos).alias(f"?{val}"))
+    return (
+        leg.select(*cols)
+        if cols
+        else leg.select(F.lit(1).alias(f"__m{counter[0]}"))
+    )
+
+
+def _path_rel(store: RdfStore, node, identity) -> DataFrame:
+    """Path AST -> its node-pair relation as a frame ``__ps, __po``.
+    Bag semantics for atoms/inverse/sequence/alternative, distinct
+    pairs for the closure forms — the SPARQL 1.1 evaluation rules.
+    Scale posture: sequences are equi-joins, closures are distributed
+    semi-naive-style doubling joins (O(log diameter) rounds, distinct
+    pairs per round); nothing is collected to the driver."""
+    kind = node[0]
+    if kind == "atom":
+        return store.df.filter(F.col("p") == node[1]).select(
+            F.col("s").alias("__ps"), F.col("o").alias("__po")
+        )
+    if kind == "inv":
+        r = _path_rel(store, node[1], identity)
+        return r.select(
+            F.col("__po").alias("__ps"), F.col("__ps").alias("__po")
+        )
+    if kind == "seq":
+        out = _path_rel(store, node[1][0], identity)
+        for child in node[1][1:]:
+            r = _path_rel(store, child, identity)
+            out = (
+                out.withColumnRenamed("__po", "__mid")
+                .join(r.withColumnRenamed("__ps", "__mid"), "__mid")
+                .select("__ps", "__po")
+            )
+        return out
+    if kind == "alt":
+        out = _path_rel(store, node[1][0], identity)
+        for child in node[1][1:]:
+            out = out.union(_path_rel(store, child, identity))
+        return out
+    if kind == "opt":
+        return _path_rel(store, node[1], identity).union(identity()).distinct()
+    if kind == "plus":
+        return _path_closure(_path_rel(store, node[1], identity))
+    if kind == "star":
+        return _path_closure(
+            _path_rel(store, node[1], identity)
+        ).union(identity()).distinct()
+    raise ValueError(f"unsupported property path node {kind!r}")
+
+
+def _path_closure(rel: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Transitive closure (distinct node pairs) by path doubling: each
+    round joins the reachable-pair set with itself, so round r covers
+    paths up to 2^r hops — O(log diameter) rounds, convergence by pair
+    count (cycle-safe: distinct pairs can only grow to a fixpoint).
+    Superseded rounds unpersist; the returned frame's lineage is the
+    recomputable union-distinct chain."""
+    paths = rel.select("__ps", "__po").distinct().persist()
+    n = paths.count()
+    for _ in range(max_rounds):
+        ext = (
+            paths.withColumnRenamed("__po", "__mid")
+            .join(paths.withColumnRenamed("__ps", "__mid"), "__mid")
+            .select("__ps", "__po")
+        )
+        nxt = paths.union(ext).distinct().persist()
+        m = nxt.count()
+        if m == n:
+            nxt.unpersist()
+            break
+        paths.unpersist()
+        paths, n = nxt, m
+    return paths
 
 
 _FILTER_TOK = re.compile(

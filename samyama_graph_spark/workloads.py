@@ -630,13 +630,13 @@ GATE_ORDER: list[str] = [
     # members (incl. Jaya at or_solve_convex's exact config) against
     # the same analytic optimum; the single-algorithm row stays pytest
     "or_solve_portfolio",
-    # RDF / SPARQL (§2 #62): the modifiers row subsumes the plain-BGP
-    # row (same join machinery plus FILTER/OPTIONAL/ORDER/OFFSET);
-    # SPARQL family: the aggregates row is the richest single exercise
-    # of the engine (UNION groups + per-group FILTER + GROUP BY
-    # COUNT/SUM/MAX over the triple projection); rdf_sparql_bgp and
-    # rdf_sparql_modifiers stay pytest-oracled
-    "rdf_sparql_aggregates",
+    # RDF / SPARQL (§2 #62): one gate row for the family — property
+    # paths (transitive closure ex:next+ composed in a /-sequence,
+    # oracled by a DuckDB recursive CTE) is the deepest machinery;
+    # rdf_sparql_bgp, rdf_sparql_modifiers (FILTER/OPTIONAL/ORDER/
+    # OFFSET) and rdf_sparql_aggregates (UNION groups + GROUP BY
+    # COUNT/SUM/MAX) stay pytest-oracled
+    "rdf_sparql_paths",
     # structured streaming
     "streaming_windows",
     "streaming_stateful_totals",

@@ -884,6 +884,77 @@ def rdf_sparql_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rdf_sparql_paths",
+    """
+    WITH RECURSIVE e AS (
+        SELECT n_nationkey AS s, nxt AS o FROM (
+            SELECT n_nationkey,
+                   lead(n_nationkey) OVER (
+                       PARTITION BY n_regionkey ORDER BY n_nationkey
+                   ) AS nxt
+            FROM nation
+        ) WHERE nxt IS NOT NULL
+    ), cl AS (
+        SELECT s, o FROM e
+        UNION
+        SELECT cl.s, e.o FROM cl JOIN e ON cl.o = e.s
+    )
+    SELECT na.n_name AS an, nb.n_name AS bn
+    FROM cl
+    JOIN nation na ON na.n_nationkey = cl.s
+    JOIN nation nb ON nb.n_nationkey = cl.o
+    """,
+)
+def rdf_sparql_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property paths over a nation-successor triple
+    projection: ``ex:next+`` transitive closure composed in a sequence
+    with a name lookup (``ex:next+/ex:name``).  Exceeds the reference
+    (sparql/executor.rs:33-54 is a stub); the oracle is DuckDB's
+    recursive CTE over the same successor edges.  Closure runs as a
+    distributed path-doubling join — O(log chain-length) rounds,
+    distinct pairs per round (rdf.py:_path_closure)."""
+    from pyspark.sql import Window
+
+    from samyama_graph_spark.rdf import RdfStore
+
+    ex = "http://ex.org/"
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    nxt = (
+        nat.withColumn("nxt", F.lead("n_nationkey").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.concat(F.lit(f"{ex}n"), F.col("n_nationkey")).alias("s"),
+            F.lit(f"{ex}next").alias("p"),
+            F.concat(F.lit(f"{ex}n"), F.col("nxt")).alias("o"),
+            F.lit("iri").alias("o_kind"),
+        )
+    )
+    names = nat.select(
+        F.concat(F.lit(f"{ex}n"), F.col("n_nationkey")).alias("s"),
+        F.lit(f"{ex}name").alias("p"),
+        F.col("n_name").alias("o"),
+        F.lit("literal").alias("o_kind"),
+    )
+    triples = (
+        nxt.unionByName(names)
+        .withColumn("o_datatype", F.lit(None).cast("string"))
+        .withColumn("o_lang", F.lit(None).cast("string"))
+        .withColumn("g", F.lit(None).cast("string"))
+    )
+    store = RdfStore(spark, triples)
+    return store.sparql(
+        f"""
+        PREFIX ex: <{ex}>
+        SELECT ?an ?bn WHERE {{
+            ?a ex:next+/ex:name ?bn .
+            ?a ex:name ?an .
+        }}
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # SCC (reference: community.rs:96) — nation rings + supplier tails
 # --------------------------------------------------------------------------

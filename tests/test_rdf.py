@@ -444,3 +444,135 @@ def test_sparql_nested_optional_and_union(spark):
     assert [(r["n"], r["x"]) for r in got] == [
         ("Ada", "ada@x.org"), ("Bob", "bob@x.org"), ("Cleo", None),
     ]
+
+
+def _family_store(spark):
+    """a ->parent-> b ->parent-> c ->parent-> d; knows edges a<->b;
+    names on everyone."""
+    from samyama_graph_spark.rdf import RdfStore
+
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        "\n".join(
+            [
+                f"<{_EX}a> <{_EX}parent> <{_EX}b> .",
+                f"<{_EX}b> <{_EX}parent> <{_EX}c> .",
+                f"<{_EX}c> <{_EX}parent> <{_EX}d> .",
+                f"<{_EX}a> <{_EX}knows> <{_EX}b> .",
+                f"<{_EX}b> <{_EX}knows> <{_EX}a> .",
+            ]
+            + [
+                f'<{_EX}{x}> <{_EX}name> "{x.upper()}" .'
+                for x in "abcd"
+            ]
+        )
+    )
+    return st
+
+
+def test_sparql_path_sequence_and_inverse(spark):
+    st = _family_store(spark)
+    # grandparent: parent/parent
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?x ?y "
+        f"WHERE {{ ?x ex:parent/ex:parent ?y . }} ORDER BY ?x"
+    ).collect()
+    assert [(r["x"], r["y"]) for r in got] == [
+        (f"{_EX}a", f"{_EX}c"), (f"{_EX}b", f"{_EX}d"),
+    ]
+    # inverse: child of d
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?c "
+        f"WHERE {{ <{_EX}d> ^ex:parent ?c . }}"
+    ).collect()
+    assert [r["c"] for r in got] == [f"{_EX}c"]
+    # sequence ending in a name lookup, with parens
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?n "
+        f"WHERE {{ <{_EX}a> (ex:parent/ex:name) ?n . }}"
+    ).collect()
+    assert [r["n"] for r in got] == ["B"]
+
+
+def test_sparql_path_alternative_bag_semantics(spark):
+    st = _family_store(spark)
+    # a knows b AND a parent b: alternative keeps both rows (bag)
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?y "
+        f"WHERE {{ <{_EX}a> (ex:parent|ex:knows) ?y . }}"
+    ).collect()
+    assert sorted(r["y"] for r in got) == [f"{_EX}b", f"{_EX}b"]
+
+
+def test_sparql_path_closures(spark):
+    st = _family_store(spark)
+    # one-or-more: every proper ancestor of a (cycle-safe via knows)
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?y "
+        f"WHERE {{ <{_EX}a> ex:parent+ ?y . }} ORDER BY ?y"
+    ).collect()
+    assert [r["y"] for r in got] == [f"{_EX}b", f"{_EX}c", f"{_EX}d"]
+    # knows+ on the a<->b cycle terminates and includes self-reach
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?y "
+        f"WHERE {{ <{_EX}a> ex:knows+ ?y . }} ORDER BY ?y"
+    ).collect()
+    assert [r["y"] for r in got] == [f"{_EX}a", f"{_EX}b"]
+    # zero-or-more includes the bound subject itself
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?y "
+        f"WHERE {{ <{_EX}b> ex:parent* ?y . }} ORDER BY ?y"
+    ).collect()
+    assert [r["y"] for r in got] == [f"{_EX}b", f"{_EX}c", f"{_EX}d"]
+    # zero-or-one
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?y "
+        f"WHERE {{ <{_EX}a> ex:parent? ?y . }} ORDER BY ?y"
+    ).collect()
+    assert [r["y"] for r in got] == [f"{_EX}a", f"{_EX}b"]
+    # closure composed in a sequence: names of all ancestors
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?n "
+        f"WHERE {{ <{_EX}a> ex:parent+/ex:name ?n . }} ORDER BY ?n"
+    ).collect()
+    assert [r["n"] for r in got] == ["B", "C", "D"]
+
+
+def test_sparql_path_joins_filters_and_aggregates(spark):
+    st = _family_store(spark)
+    # path statement joins a plain statement on the shared variable
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n WHERE {{
+            ?x ex:parent+ <{_EX}d> .
+            ?x ex:name ?n .
+        }} ORDER BY ?n
+        """
+    ).collect()
+    assert [r["n"] for r in got] == ["A", "B", "C"]
+    # aggregate over a closure: ancestor count per subject
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?x (COUNT(?y) AS ?n)
+        WHERE {{ ?x ex:parent+ ?y . }} GROUP BY ?x ORDER BY ?x
+        """
+    ).collect()
+    assert [(r["x"], r["n"]) for r in got] == [
+        (f"{_EX}a", 3), (f"{_EX}b", 2), (f"{_EX}c", 1),
+    ]
+    # same-variable endpoints: nodes on a knows-cycle
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?x "
+        f"WHERE {{ ?x ex:knows+ ?x . }} ORDER BY ?x"
+    ).collect()
+    assert [r["x"] for r in got] == [f"{_EX}a", f"{_EX}b"]
+
+
+def test_sparql_path_errors(spark):
+    st = _family_store(spark)
+    with pytest.raises(ValueError, match="variables"):
+        st.sparql(f"SELECT ?y WHERE {{ <{_EX}a> ?p/<{_EX}name> ?y . }}")
+    with pytest.raises(ValueError):
+        st.sparql(f"SELECT ?y WHERE {{ <{_EX}a> (<{_EX}p> ?y . }}")
