@@ -1197,11 +1197,16 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("doc_id"), "n_tokens"
         ),
         "doc_id",
-    )
+    ).persist()
     survivors = exact_dedup(kept, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )
-    d2 = kept.join(survivors, "doc_id")
+    # d2 feeds three consumers (shingling, candidate verification,
+    # survivor anti-join) — without the persist the parquet scan +
+    # gate regexes + two joins recompute per consumer.  At warehouse
+    # scale this materialization is the pipeline's intermediate table
+    # write; locally MEMORY_AND_DISK carries it.
+    d2 = kept.join(survivors, "doc_id").persist()
     pairs = minhash_lsh_pairs(
         d2, "text", "doc_id",
         k=3, num_hashes=_MH_HASHES, bands=_MH_BANDS,
