@@ -235,6 +235,75 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------- exact substring spans
+
+
+def substring_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    sample: int = 1,
+) -> DataFrame:
+    """Cross-document EXACT substring-span detection: every k-token
+    window shared verbatim by two documents -> one row
+    ``(id_a, pos_a, id_b, pos_b, shingle)`` with ``id_a < id_b``.
+    The span-level complement of the document-level dedup family
+    (exact/MinHash/SimHash/SemDeDup): catches repeated boilerplate,
+    licenses, and quoted passages inside otherwise-distinct documents
+    — the signal exact-substring dedup removes from LLM training
+    corpora (Lee et al. 2022 dedup C4/RealNews at ~50-token
+    granularity with a suffix array; fixed-k windows + a fingerprint
+    join are the shuffle-friendly distributed equivalent).
+
+    ``sample`` > 1 keeps only windows whose md5-prefix mod ``sample``
+    is 0 — deterministic content-keyed 0-mod-p fingerprinting: ~1/
+    sample of positions survive, and because BOTH documents sample
+    identical positions of identical content, any shared run of
+    >= k + sample tokens is still caught with high probability.
+
+    Scale posture: one explode to (n_tokens - k + 1) windows per doc
+    (the sequence/transform/slice HOFs stay JVM-side), a map-side
+    sample filter, then ONE equi-join keyed on xxhash64(shingle) —
+    8-byte shuffle keys — with the shingle strings compared inside
+    the join condition (matches are verified, never hash-only).  No
+    all-pairs stage; density is the ``sample`` knob, exactly how the
+    reference corpora runs control suffix-array granularity."""
+    words = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(words) >= k, F.sequence(F.lit(0), F.size(words) - k)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(shingles).alias("pos", "shingle"),
+    )
+    if sample > 1:
+        pref = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast(
+            "long"
+        )
+        sh = sh.filter(pref % sample == 0)
+    sh = sh.withColumn("fp", F.xxhash64("shingle"))
+    a = sh.select(
+        F.col("id").alias("id_a"), F.col("pos").alias("pos_a"),
+        F.col("shingle").alias("__sh_a"), "fp",
+    )
+    b = sh.select(
+        F.col("id").alias("id_b"), F.col("pos").alias("pos_b"),
+        F.col("shingle").alias("shingle"), "fp",
+    )
+    return (
+        a.join(b, "fp")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("__sh_a") == F.col("shingle"))
+        )
+        .select("id_a", "pos_a", "id_b", "pos_b", "shingle")
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 60  # fits hash60's positive range

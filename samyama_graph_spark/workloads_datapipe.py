@@ -178,6 +178,45 @@ def ngram_jaccard_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("x", "y", F.round("jacc", 6).alias("jacc"))
 
 
+# ------------------------------------------------ exact substring spans
+
+
+@query(
+    "substring_span_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(words[i + 1:i + 8], ' ') AS shingle
+        FROM w, unnest(range(len(words) - 8 + 1)) AS t(i)
+        WHERE len(words) >= 8
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared_windows
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (dedup.substring_span_pairs): pairs
+    of documents sharing >= 3 verbatim 8-token windows, with the
+    shared-window count — the span-level dedup signal (repeated
+    boilerplate across otherwise-distinct docs) the document-level
+    family can't see.  Oracle replays the window extraction and the
+    shingle-equality join in SQL."""
+    from samyama_graph_spark.datapipe.dedup import substring_span_pairs
+
+    pairs = substring_span_pairs(_docs(spark, sf_dir), "text", "doc_id", k=8)
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .filter(F.col("shared_windows") >= 3)
+    )
+
+
 # ------------------------------------------------------------------ SimHash
 
 _SH_CHUNKS = 4

@@ -1042,3 +1042,60 @@ def test_semdedup_target_cluster_size(spark):
         semdedup(emb, "embedding", "vec_id", k=4, target_cluster_size=9)
     with _pytest.raises(ValueError, match="required"):
         semdedup(emb, "embedding", "vec_id", k=None)
+
+
+def test_substring_span_pairs_planted(spark):
+    """Planted verbatim spans: docs 1/2 share an 8-token boilerplate
+    run, doc 3 is disjoint; window positions and counts are exact."""
+    from samyama_graph_spark.datapipe.dedup import substring_span_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + boiler + " gamma"),
+            (2, boiler + " delta epsilon zeta"),
+            (3, "entirely different words with no shared window at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = substring_span_pairs(docs, "text", "doc_id", k=8).collect()
+    # 10-token shared run -> 3 shared 8-token windows, offset by the
+    # 2-token prefix of doc 1
+    assert len(got) == 3
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+    assert sorted((r["pos_a"], r["pos_b"]) for r in got) == [
+        (2, 0), (3, 1), (4, 2),
+    ]
+    for r in got:
+        assert len(r["shingle"].split(" ")) == 8
+    # short docs (< k tokens) produce no windows and no error
+    tiny = spark.createDataFrame(
+        [(1, "too short"), (2, "too short")], "doc_id long, text string"
+    )
+    assert substring_span_pairs(tiny, "text", "doc_id", k=8).count() == 0
+
+
+def test_substring_span_pairs_sampling_subset(spark):
+    """0-mod-p sampling keeps a deterministic subset of the unsampled
+    matches (same positions sampled on both sides of a shared span),
+    and a long shared run still yields at least one sampled match."""
+    from samyama_graph_spark.datapipe.dedup import substring_span_pairs
+
+    run = " ".join(f"tok{i}" for i in range(64))
+    docs = spark.createDataFrame(
+        [(1, "x y " + run), (2, run + " p q r")],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["id_a"], r["pos_a"], r["id_b"], r["pos_b"])
+        for r in substring_span_pairs(docs, "text", "doc_id", k=8).collect()
+    }
+    sampled = {
+        (r["id_a"], r["pos_a"], r["id_b"], r["pos_b"])
+        for r in substring_span_pairs(
+            docs, "text", "doc_id", k=8, sample=4
+        ).collect()
+    }
+    assert sampled and sampled < full
+    # 57 shared windows at 1/4 density: expect ~14, require >= 5
+    assert len(sampled) >= 5
