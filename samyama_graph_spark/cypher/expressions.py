@@ -164,6 +164,29 @@ def _children(e: A.Expr) -> list[A.Expr]:
     return []
 
 
+def _param_literal(v) -> Column:
+    """Python parameter value -> literal Column, recursively.  Dicts
+    become STRUCT literals: heterogeneous and all-NULL values are fine
+    (``c.key`` access compiles to getField either way), while a map
+    literal needs one common value type and F.lit rejects an all-null
+    dict outright.  Lists recurse so lists-of-maps (UNWIND $rows AS r)
+    work."""
+    if isinstance(v, (list, tuple)):
+        return F.array(*[_param_literal(x) for x in v])
+    if isinstance(v, dict):
+        return F.struct(
+            *[_param_literal(x).alias(str(k)) for k, x in v.items()]
+        )
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return F.lit(v)
+    if isinstance(v, int):
+        # Cypher integers are 64-bit (reference Integer(i64),
+        # property.rs:85); a 32-bit literal overflows under ANSI
+        # arithmetic for products that i64 holds fine
+        return F.lit(v).cast("long")
+    return F.lit(v)
+
+
 def compile_expr(e: A.Expr, scope: Scope) -> Column:
     if id(e) in scope.agg_subs:
         return scope.agg_subs[id(e)]
@@ -176,10 +199,7 @@ def compile_expr(e: A.Expr, scope: Scope) -> Column:
     if isinstance(e, A.Parameter):
         if e.name not in scope.params:
             raise CompileError(f"missing parameter ${e.name}")
-        v = scope.params[e.name]
-        if isinstance(v, list):
-            return F.array(*[F.lit(x) for x in v])
-        return F.lit(v)
+        return _param_literal(scope.params[e.name])
 
     if isinstance(e, A.PatternComprehension):
         # materialized by the compiler (join + collect) before expression
@@ -268,11 +288,14 @@ def compile_expr(e: A.Expr, scope: Scope) -> Column:
         return out.otherwise(compile_expr(e.default, scope)) if e.default else out
 
     if isinstance(e, A.ListIndex):
+        # lists only — the reference's maps are not indexable
+        # (property.rs:141-142).  Cypher indexes are 0-based with
+        # negatives from the end, and an out-of-bounds index is NULL:
+        # get() gives all three (element_at raises on invalid indices).
         subj = compile_expr(e.subject, scope)
         idx = compile_expr(e.index, scope)
-        # Cypher is 0-based; element_at is 1-based (negatives from end)
-        return F.when(idx >= 0, F.element_at(subj, (idx + 1).cast("int"))).otherwise(
-            F.element_at(subj, idx.cast("int"))
+        return F.when(idx >= 0, F.get(subj, idx.cast("int"))).otherwise(
+            F.get(subj, (F.size(subj) + idx).cast("int"))
         )
 
     if isinstance(e, A.ListSlice):
@@ -338,6 +361,13 @@ def compile_expr(e: A.Expr, scope: Scope) -> Column:
     if isinstance(e, A.ReduceExpr):
         src = compile_expr(e.source, scope)
         init = compile_expr(e.init, scope)
+        # aggregate() requires the merge lambda's type to EQUAL the
+        # init's; an int-literal init (32-bit) over an int64 list fails
+        # analysis, while a long init absorbs int elements fine —
+        # Cypher integers are i64 (property.rs:85), so widen
+        if isinstance(e.init, A.Literal) and isinstance(e.init.value, int) \
+                and not isinstance(e.init.value, bool):
+            init = init.cast("long")
         return F.aggregate(
             src,
             init,

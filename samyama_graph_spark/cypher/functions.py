@@ -150,8 +150,11 @@ def _scalar_table():
         # lists / collections (+944-975, +1058-1084, +1121-1174)
         "size": lambda a: F.size(a).cast("long"),
         "length": lambda a: F.size(a).cast("long"),
-        "head": lambda a: F.element_at(a, 1),
-        "last": lambda a: F.element_at(a, -1),
+        # get(): 0-based and NULL on out-of-bounds — head([])/last([])
+        # must be NULL (reference operator.rs list semantics), while
+        # element_at raises under ANSI mode for invalid indices
+        "head": lambda a: F.get(a, 0),
+        "last": lambda a: F.get(a, F.size(a) - 1),
         "tail": lambda a: F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))),
         "range": lambda a, b, c=None: F.sequence(a, b, c if c is not None else F.lit(1)),
         "coalesce": lambda *xs: F.coalesce(*xs),

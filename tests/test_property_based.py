@@ -93,3 +93,124 @@ def test_hyperplanes_deterministic_and_bounded(dim, planes, seed):
     assert a == b
     assert len(a) == planes and all(len(row) == dim for row in a)
     assert all(-1.0 <= v <= 1.0 for row in a for v in row)
+
+
+# ---------------------------------------------------------------------------
+# Expression-compiler semantics vs an independent Python evaluator.
+# One engine query per hypothesis example would cost a Spark job each;
+# instead every example draws a LIST of cases and runs them through one
+# UNWIND $cases query — one job per example, shrinking still works.
+# ---------------------------------------------------------------------------
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def xengine(spark):
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    return CypherEngine(PropertyGraph(spark, {}, {}))
+
+
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=24,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(cases=st.lists(_ASCII, min_size=1, max_size=24))
+def test_prop_string_functions_parity(xengine, cases):
+    """toUpper/toLower/reverse/trim/size match Python on arbitrary
+    printable-ASCII strings (reference eval_function semantics,
+    operator.rs:841-975)."""
+    rows = xengine.query(
+        "UNWIND $cases AS s RETURN toUpper(s) AS u, toLower(s) AS l, "
+        "reverse(s) AS r, trim(s) AS t, size(s) AS n",
+        {"cases": cases},
+    ).collect()
+    assert len(rows) == len(cases)
+    for s, row in zip(cases, rows):
+        assert row["u"] == s.upper()
+        assert row["l"] == s.lower()
+        assert row["r"] == s[::-1]
+        assert row["t"] == s.strip(" ")
+        assert row["n"] == len(s)
+
+
+_OPT_INT = st.one_of(st.none(), st.integers(-10**9, 10**9))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    cases=st.lists(st.tuples(_OPT_INT, _OPT_INT), min_size=1, max_size=24)
+)
+def test_prop_arithmetic_three_valued_logic(xengine, cases):
+    """+ * - and < propagate NULL (SQL/Cypher 3VL, property.rs:24-31);
+    non-null arithmetic matches Python exactly at int64 scale."""
+    payload = [{"x": x, "y": y} for x, y in cases]
+    rows = xengine.query(
+        "UNWIND $cases AS c RETURN c.x + c.y AS s, c.x * c.y AS p, "
+        "c.x - c.y AS d, c.x < c.y AS lt",
+        {"cases": payload},
+    ).collect()
+    for (x, y), row in zip(cases, rows):
+        if x is None or y is None:
+            assert row["s"] is None and row["p"] is None
+            assert row["d"] is None and row["lt"] is None
+        else:
+            assert row["s"] == x + y
+            assert row["p"] == x * y
+            assert row["d"] == x - y
+            assert row["lt"] == (x < y)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    cases=st.lists(
+        st.lists(st.integers(-1000, 1000), max_size=16),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_prop_list_ops_parity(xengine, cases):
+    """reduce/comprehension/head/last/tail/size over arbitrary int
+    lists match the Python semantics (reference list functions,
+    operator.rs:944-1174; reduce/comprehension ast.rs:287-405)."""
+    rows = xengine.query(
+        "UNWIND $cases AS l RETURN "
+        "reduce(acc = 0, v IN l | acc + v) AS total, "
+        "[v IN l WHERE v % 2 = 0] AS evens, "
+        "head(l) AS h, last(l) AS t, size(l) AS n",
+        {"cases": cases},
+    ).collect()
+    for l, row in zip(cases, rows):
+        assert row["total"] == sum(l)
+        assert row["evens"] == [v for v in l if v % 2 == 0]
+        assert row["h"] == (l[0] if l else None)
+        assert row["t"] == (l[-1] if l else None)
+        assert row["n"] == len(l)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(-10**6, 10**6),
+            st.floats(allow_nan=False, allow_infinity=True, width=64),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_prop_order_by_numeric_total_order(xengine, vals):
+    """ORDER BY over mixed int/float values matches Python's numeric
+    sort (reference total_cmp ordering, property.rs:109-142)."""
+    rows = xengine.query(
+        "UNWIND $vals AS v RETURN v ORDER BY v",
+        {"vals": vals},
+    ).collect()
+    got = [r["v"] for r in rows]
+    assert got == sorted(vals, key=float)
