@@ -23,7 +23,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SCHEMA = (
@@ -360,7 +360,16 @@ class RdfStore:
         of the statement.  Closures run as distributed path-doubling
         joins (O(log diameter) rounds).  A statement using path
         operators must be '.'-separated from its neighbors; negated
-        property sets (``!``) are not supported."""
+        property sets (``!``) are not supported.
+
+        ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (..) (..) }``
+        inline solution sets join the group on shared variables
+        (UNDEF -> NULL).  ``BIND(expr AS ?v)`` extends bindings with
+        + - * / arithmetic (operands coerced to double) and
+        CONCAT/STR/UCASE/LCASE/STRLEN/COALESCE; BINDs apply after the
+        group's patterns and OPTIONALs and before its FILTERs, so a
+        FILTER can test a BIND-produced variable but a triple pattern
+        cannot consume one."""
         return _sparql_select(self, query)
 
 
@@ -415,8 +424,17 @@ def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
         for f in frames[1:]:
             frame = frame.unionByName(f, allowMissingColumns=True)
         return frame
-    base_text, optionals, filters = _split_blocks(body)
+    base_text, optionals, filters, binds, values = _split_blocks(body)
     frame = _bgp_frame(store, base_text, ns, counter)
+    for vars_text, data_text in values:
+        vf = _values_frame(store, vars_text, data_text, ns)
+        if frame is None:
+            frame = vf
+            continue
+        shared = [c for c in vf.columns if c in frame.columns]
+        # VALUES joins the inline solution set on shared variables
+        # (SPARQL join semantics); disjoint vars extend every binding
+        frame = frame.join(vf, shared) if shared else frame.crossJoin(vf)
     if frame is None:
         raise ValueError("empty group pattern")
     for opt in optionals:
@@ -434,9 +452,149 @@ def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
             if shared
             else frame.join(of, F.lit(True), "left")
         )
+    for bexpr in binds:
+        var, col = _sparql_bind(bexpr, ns)
+        if f"?{var}" in frame.columns:
+            raise ValueError(f"BIND target ?{var} is already bound")
+        frame = frame.withColumn(f"?{var}", col)
     for fexpr in filters:
         frame = frame.filter(_sparql_filter(fexpr, ns))
     return frame
+
+
+def _values_frame(
+    store: RdfStore, vars_text: str, data_text: str, ns: NamespaceRegistry
+) -> DataFrame:
+    """``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (..) (..) }`` -> an
+    inline solution frame with one ``?var`` string column per variable;
+    UNDEF becomes NULL (the spec's unbound marker)."""
+    names = re.findall(r"\?(\w+)", vars_text)
+    tok_re = re.compile(
+        r'<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^<[^>]*>)?'
+        r"|-?\d+\.\d+|-?\d+|[A-Za-z_][\w-]*:[\w.-]*[\w-]"
+        r"|UNDEF|undef|[()]"
+    )
+
+    def term(tok: str):
+        if tok.lower() == "undef":
+            return None
+        if re.fullmatch(r"-?\d+(\.\d+)?", tok):
+            return tok  # numeric literal: stored lexical form
+        return _sparql_term(tok, ns)[1]
+
+    toks = tok_re.findall(data_text)
+    rows: list[tuple] = []
+    if vars_text.startswith("("):
+        cur: list = []
+        depth = 0
+        for t in toks:
+            if t == "(":
+                depth, cur = depth + 1, []
+            elif t == ")":
+                depth = 0
+                if len(cur) != len(names):
+                    raise ValueError(
+                        f"VALUES row arity {len(cur)} != {len(names)}"
+                    )
+                rows.append(tuple(cur))
+            elif depth:
+                cur.append(term(t))
+            else:
+                raise ValueError(f"VALUES data outside a row: {t!r}")
+    else:
+        rows = [(term(t),) for t in toks if t not in "()"]
+    schema = ", ".join(f"`?{v}` string" for v in names)
+    return store.spark.createDataFrame(rows, schema)
+
+
+_BIND_TOK = re.compile(
+    r'<[^>]*>|"(?:[^"\\]|\\.)*"|\?\w+|\d+\.\d+|\d+'
+    r"|[A-Za-z_][\w]*|[()+\-*/,]"
+)
+
+
+def _sparql_bind(expr: str, ns: NamespaceRegistry) -> tuple[str, Column]:
+    """``BIND(expr AS ?v)`` -> (var name, Column).  Expression grammar:
+    + - * / with parentheses over variables, numeric literals, and
+    string literals, plus CONCAT/STR/UCASE/LCASE/STRLEN/COALESCE.
+    Arithmetic coerces operands to double (SPARQL numeric ops over our
+    lexical string columns); string builtins keep strings.  The bound
+    column keeps its computed type — numeric BINDs yield doubles."""
+    m = re.match(r"(?is)^(.*)\s+AS\s+\?(\w+)\s*$", expr)
+    if not m:
+        raise ValueError(f"BIND must be 'expr AS ?var': {expr!r}")
+    body, var = m.group(1), m.group(2)
+    toks = _BIND_TOK.findall(body)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take(want: str | None = None):
+        t = peek()
+        if t is None or (want is not None and t != want):
+            raise ValueError(f"bad BIND expression near {t!r}: {expr!r}")
+        pos[0] += 1
+        return t
+
+    def num(c: Column) -> Column:
+        return c.try_cast("double")
+
+    def prim() -> Column:
+        t = take()
+        if t == "(":
+            e = add()
+            take(")")
+            return e
+        if t == "-":
+            return -num(prim())
+        if t.startswith("?"):
+            return F.col(f"`?{t[1:]}`")
+        if t.startswith('"'):
+            return F.lit(_unescape(t[1:-1]))
+        if re.fullmatch(r"\d+(\.\d+)?", t):
+            return F.lit(float(t))
+        fn = t.lower()
+        if fn in ("concat", "str", "ucase", "lcase", "strlen", "coalesce"):
+            take("(")
+            args = [add()]
+            while peek() == ",":
+                take(",")
+                args.append(add())
+            take(")")
+            if fn == "concat":
+                return F.concat(*[a.cast("string") for a in args])
+            if fn == "str":
+                return args[0].cast("string")
+            if fn == "ucase":
+                return F.upper(args[0])
+            if fn == "lcase":
+                return F.lower(args[0])
+            if fn == "strlen":
+                return F.length(args[0]).cast("double")
+            return F.coalesce(*args)
+        raise ValueError(f"unsupported BIND function {t!r} in {expr!r}")
+
+    def mul() -> Column:
+        e = prim()
+        while peek() in ("*", "/"):
+            op = take()
+            r = prim()
+            e = num(e) * num(r) if op == "*" else num(e) / num(r)
+        return e
+
+    def add() -> Column:
+        e = mul()
+        while peek() in ("+", "-"):
+            op = take()
+            r = mul()
+            e = num(e) + num(r) if op == "+" else num(e) - num(r)
+        return e
+
+    out = add()
+    if pos[0] != len(toks):
+        raise ValueError(f"trailing BIND tokens {toks[pos[0]:]!r}")
+    return var, out
 
 
 def _union_groups(body: str) -> "list[str] | None":
@@ -627,13 +785,18 @@ def _scan_balanced(body: str, start: int, open_ch: str, close_ch: str) -> int:
     return k
 
 
-def _split_blocks(body: str) -> tuple[str, list[str], list[str]]:
+def _split_blocks(
+    body: str,
+) -> tuple[str, list[str], list[str], list[str], list[tuple[str, str]]]:
     """Split a WHERE body into (base pattern text, OPTIONAL block
-    bodies, FILTER expressions).  IRIs and string literals are skipped
+    bodies, FILTER expressions, BIND expressions, VALUES blocks as
+    (vars text, data text)).  IRIs and string literals are skipped
     atomically so keywords inside them never match; OPTIONAL nesting is
     rejected by the brace scan ending at the first balanced close."""
     optionals: list[str] = []
     filters: list[str] = []
+    binds: list[str] = []
+    values: list[tuple[str, str]] = []
     out: list[str] = []
     i, n = 0, len(body)
     while i < n:
@@ -665,9 +828,25 @@ def _split_blocks(body: str) -> tuple[str, list[str], list[str]]:
             filters.append(body[j:k - 1])
             i = k
             continue
+        mb = re.match(r"(?is)BIND\s*\(", body[i:])
+        if mb:
+            j = i + mb.end()
+            k = _scan_balanced(body, j, "(", ")")
+            binds.append(body[j:k - 1])
+            i = k
+            continue
+        mv = re.match(
+            r"(?is)VALUES\s+(\?\w+|\((?:\s*\?\w+)+\s*\))\s*\{", body[i:]
+        )
+        if mv:
+            j = i + mv.end()
+            k = _scan_balanced(body, j, "{", "}")
+            values.append((mv.group(1), body[j:k - 1]))
+            i = k
+            continue
         out.append(ch)
         i += 1
-    return "".join(out), optionals, filters
+    return "".join(out), optionals, filters, binds, values
 
 
 _PATH_OPS = frozenset("/|^()*+?")

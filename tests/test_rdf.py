@@ -576,3 +576,88 @@ def test_sparql_path_errors(spark):
         st.sparql(f"SELECT ?y WHERE {{ <{_EX}a> ?p/<{_EX}name> ?y . }}")
     with pytest.raises(ValueError):
         st.sparql(f"SELECT ?y WHERE {{ <{_EX}a> (<{_EX}p> ?y . }}")
+
+
+def test_sparql_values_inline_data(spark):
+    st = _family_store(spark)
+    # single-var VALUES restricts an existing binding
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n WHERE {{
+            VALUES ?x {{ <{_EX}a> <{_EX}c> }}
+            ?x ex:name ?n .
+        }} ORDER BY ?n
+        """
+    ).collect()
+    assert [r["n"] for r in got] == ["A", "C"]
+    # multi-var VALUES with UNDEF; disjoint var extends bindings
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?x ?tag WHERE {{
+            VALUES (?x ?tag) {{ (<{_EX}a> "first") (<{_EX}b> UNDEF) }}
+            ?x ex:parent ?y .
+        }} ORDER BY ?x
+        """
+    ).collect()
+    assert [(r["x"], r["tag"]) for r in got] == [
+        (f"{_EX}a", "first"), (f"{_EX}b", None),
+    ]
+    # VALUES alone is a valid group
+    got = st.sparql(
+        f'SELECT ?v WHERE {{ VALUES ?v {{ "1" "2" }} }} ORDER BY ?v'
+    ).collect()
+    assert [r["v"] for r in got] == ["1", "2"]
+
+
+def test_sparql_bind_expressions(spark):
+    st = _family_store(spark)
+    # string builtins + concat
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?loud WHERE {{
+            <{_EX}a> ex:name ?n .
+            BIND(CONCAT(UCASE(?n), "!") AS ?loud)
+        }}
+        """
+    ).collect()
+    assert [r["loud"] for r in got] == ["A!"]
+    # arithmetic over a numeric-lexical binding, FILTER sees the BIND
+    st2 = RdfStore(spark)
+    st2.insert_ntriples(
+        "\n".join(
+            f'<{_EX}p{i}> <{_EX}score> "{s}" .'
+            for i, s in enumerate([10, 20, 30])
+        )
+    )
+    got = st2.sparql(
+        f"""
+        SELECT ?p ?double WHERE {{
+            ?p <{_EX}score> ?s .
+            BIND(?s * 2 + 1 AS ?double)
+            FILTER(?double > 30)
+        }} ORDER BY ?p
+        """
+    ).collect()
+    assert [(r["p"], r["double"]) for r in got] == [
+        (f"{_EX}p1", 41.0), (f"{_EX}p2", 61.0),
+    ]
+    # STRLEN / COALESCE with an OPTIONAL-unbound variable
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n ?label WHERE {{
+            ?x ex:name ?n .
+            OPTIONAL {{ ?x ex:nickname ?nick . }}
+            BIND(COALESCE(?nick, ?n) AS ?label)
+        }} ORDER BY ?n
+        """
+    ).collect()
+    assert [r["label"] for r in got] == ["A", "B", "C", "D"]
+    # rebinding an existing variable is an error
+    with pytest.raises(ValueError, match="already bound"):
+        st.sparql(
+            f"SELECT ?n WHERE {{ ?x <{_EX}name> ?n . BIND(?n AS ?n) }}"
+        )

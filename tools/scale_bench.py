@@ -48,6 +48,9 @@ ENTRIES = [
     "semdedup_verdicts",
     "events_asof_join",
     "text_metrics",
+    # round-8 extension: span-level dedup (fingerprint join over
+    # exploded k-token windows)
+    "substring_span_dedup",
     "sssp_weighted",
     "dedup_exact",
 ]
