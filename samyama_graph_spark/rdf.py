@@ -369,7 +369,14 @@ class RdfStore:
         CONCAT/STR/UCASE/LCASE/STRLEN/COALESCE; BINDs apply after the
         group's patterns and OPTIONALs and before its FILTERs, so a
         FILTER can test a BIND-produced variable but a triple pattern
-        cannot consume one."""
+        cannot consume one.
+
+        Named graphs: the dataset is queried as the UNION of all
+        graphs by default (a common store configuration); ``GRAPH
+        <iri> { ... }`` scopes its body to one named graph, ``GRAPH
+        ?g { ... }`` iterates the (metadata-scale) graph catalog and
+        binds ``?g`` per branch.  Un-named (default-graph) triples are
+        never visible inside a GRAPH block."""
         return _sparql_select(self, query)
 
 
@@ -424,8 +431,20 @@ def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
         for f in frames[1:]:
             frame = frame.unionByName(f, allowMissingColumns=True)
         return frame
-    base_text, optionals, filters, binds, values = _split_blocks(body)
+    base_text, optionals, filters, binds, values, graphs = _split_blocks(
+        body
+    )
     frame = _bgp_frame(store, base_text, ns, counter)
+    for gterm_text, gbody in graphs:
+        gf = _graph_block_frame(store, gterm_text, gbody, ns, counter)
+        if frame is None:
+            frame = gf
+            continue
+        shared = [
+            c for c in gf.columns
+            if c in frame.columns and c.startswith("?")
+        ]
+        frame = frame.join(gf, shared) if shared else frame.crossJoin(gf)
     for vars_text, data_text in values:
         vf = _values_frame(store, vars_text, data_text, ns)
         if frame is None:
@@ -460,6 +479,49 @@ def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
     for fexpr in filters:
         frame = frame.filter(_sparql_filter(fexpr, ns))
     return frame
+
+
+class _GraphScopedStore:
+    """RdfStore view whose ``df`` is restricted to one named graph —
+    lets a GRAPH block reuse the whole group compiler (BGP, paths,
+    nested OPTIONAL/UNION, FILTER) unchanged."""
+
+    def __init__(self, store: RdfStore, graph_iri: str):
+        self.spark = store.spark
+        self.df = store.df.filter(F.col("g") == graph_iri)
+        self.list_graphs = store.list_graphs  # nested GRAPH ?var
+
+
+def _graph_block_frame(
+    store: RdfStore, gterm_text: str, gbody: str, ns, counter
+) -> DataFrame:
+    """``GRAPH <iri> { ... }`` scopes its body to that named graph;
+    ``GRAPH ?g { ... }`` evaluates the body once per named graph and
+    unions the branches with ``?g`` bound — graph catalogs are
+    metadata-scale (the reference's RdfStore tracks them as a set,
+    src/rdf/store.rs), so the one ``list_graphs`` job + per-graph
+    branches stay small even when the triples do not.  The default
+    (un-named) graph is never visible inside a GRAPH block; outside
+    one, this engine queries the UNION of all graphs (a common store
+    configuration, documented in :meth:`RdfStore.sparql`)."""
+    if gterm_text.startswith("?"):
+        gvar = gterm_text[1:]
+        frames = []
+        for g in store.list_graphs():
+            f = _compile_group(
+                _GraphScopedStore(store, g), gbody, ns, counter
+            )
+            frames.append(f.withColumn(f"?{gvar}", F.lit(g)))
+        if not frames:
+            raise ValueError("GRAPH ?var over a store with no named graphs")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+    _, iri_val = _sparql_term(gterm_text, ns)
+    return _compile_group(
+        _GraphScopedStore(store, iri_val), gbody, ns, counter
+    )
 
 
 def _values_frame(
@@ -785,18 +847,18 @@ def _scan_balanced(body: str, start: int, open_ch: str, close_ch: str) -> int:
     return k
 
 
-def _split_blocks(
-    body: str,
-) -> tuple[str, list[str], list[str], list[str], list[tuple[str, str]]]:
+def _split_blocks(body: str):
     """Split a WHERE body into (base pattern text, OPTIONAL block
     bodies, FILTER expressions, BIND expressions, VALUES blocks as
-    (vars text, data text)).  IRIs and string literals are skipped
-    atomically so keywords inside them never match; OPTIONAL nesting is
-    rejected by the brace scan ending at the first balanced close."""
+    (vars text, data text), GRAPH blocks as (graph term text, body)).
+    IRIs and string literals are skipped atomically so keywords inside
+    them never match; OPTIONAL nesting is rejected by the brace scan
+    ending at the first balanced close."""
     optionals: list[str] = []
     filters: list[str] = []
     binds: list[str] = []
     values: list[tuple[str, str]] = []
+    graphs: list[tuple[str, str]] = []
     out: list[str] = []
     i, n = 0, len(body)
     while i < n:
@@ -844,9 +906,20 @@ def _split_blocks(
             values.append((mv.group(1), body[j:k - 1]))
             i = k
             continue
+        mg = re.match(
+            r"(?is)GRAPH\s+(<[^>]*>|\?\w+|[A-Za-z_][\w-]*:[\w.-]*[\w-])"
+            r"\s*\{",
+            body[i:],
+        )
+        if mg:
+            j = i + mg.end()
+            k = _scan_balanced(body, j, "{", "}")
+            graphs.append((mg.group(1), body[j:k - 1]))
+            i = k
+            continue
         out.append(ch)
         i += 1
-    return "".join(out), optionals, filters, binds, values
+    return "".join(out), optionals, filters, binds, values, graphs
 
 
 _PATH_OPS = frozenset("/|^()*+?")

@@ -661,3 +661,49 @@ def test_sparql_bind_expressions(spark):
         st.sparql(
             f"SELECT ?n WHERE {{ ?x <{_EX}name> ?n . BIND(?n AS ?n) }}"
         )
+
+
+def test_sparql_graph_blocks(spark):
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        f'<{_EX}x> <{_EX}p> "default" .'
+    )
+    st.insert_ntriples(
+        f'<{_EX}x> <{_EX}p> "in-g1" .\n<{_EX}y> <{_EX}p> "g1-only" .',
+        graph=f"{_EX}g1",
+    )
+    st.insert_ntriples(
+        f'<{_EX}x> <{_EX}p> "in-g2" .', graph=f"{_EX}g2"
+    )
+    # un-scoped BGP sees the union of all graphs
+    got = st.sparql(
+        f"SELECT ?o WHERE {{ <{_EX}x> <{_EX}p> ?o . }} ORDER BY ?o"
+    ).collect()
+    assert [r["o"] for r in got] == ["default", "in-g1", "in-g2"]
+    # GRAPH <iri> scopes to one named graph (default triples invisible)
+    got = st.sparql(
+        f"SELECT ?o WHERE {{ GRAPH <{_EX}g1> {{ <{_EX}x> <{_EX}p> ?o . }} }}"
+    ).collect()
+    assert [r["o"] for r in got] == ["in-g1"]
+    # GRAPH ?g binds the graph name per branch
+    got = st.sparql(
+        f"""
+        SELECT ?g ?o WHERE {{
+            GRAPH ?g {{ <{_EX}x> <{_EX}p> ?o . }}
+        }} ORDER BY ?g
+        """
+    ).collect()
+    assert [(r["g"], r["o"]) for r in got] == [
+        (f"{_EX}g1", "in-g1"), (f"{_EX}g2", "in-g2"),
+    ]
+    # GRAPH joins surrounding patterns on shared variables
+    st.insert_ntriples(f'<{_EX}x> <{_EX}name> "X" .')
+    got = st.sparql(
+        f"""
+        SELECT ?n ?o WHERE {{
+            ?s <{_EX}name> ?n .
+            GRAPH <{_EX}g2> {{ ?s <{_EX}p> ?o . }}
+        }}
+        """
+    ).collect()
+    assert [(r["n"], r["o"]) for r in got] == [("X", "in-g2")]
