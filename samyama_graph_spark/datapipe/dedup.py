@@ -598,6 +598,10 @@ def semdedup(
         assigned = _semdedup_assign_vectorized(base, k, iters, seed_ids)
     else:
         assigned = _semdedup_assign_literal(base, k, iters, seed_ids)
+    # three consumers below (both pair legs + the verdict join-back):
+    # without the persist each re-runs the full assignment — for the
+    # vectorized path that is three scan+matmul passes
+    assigned = assigned.persist()
 
     a = assigned.select(
         F.col("id").alias("x"), F.col("v").alias("vx"),

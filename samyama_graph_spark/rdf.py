@@ -353,14 +353,14 @@ class RdfStore:
 
         Property paths (SPARQL 1.1 §9): the predicate position accepts
         ``^path`` inverse, ``p1/p2`` sequence, ``p1|p2`` alternative,
-        ``p*``/``p+``/``p?`` closures, and parentheses.  Sequences and
+        ``p*``/``p+``/``p?`` closures, negated property sets ``!iri``
+        / ``!(iri1|^iri2)``, and parentheses.  Sequences and
         alternatives keep bag semantics; closure forms yield distinct
         node pairs (the spec's evaluation rules), with zero-length
         paths matching every term in the graph plus any bound endpoint
         of the statement.  Closures run as distributed path-doubling
         joins (O(log diameter) rounds).  A statement using path
-        operators must be '.'-separated from its neighbors; negated
-        property sets (``!``) are not supported.
+        operators must be '.'-separated from its neighbors.
 
         ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (..) (..) }``
         inline solution sets join the group on shared variables
@@ -376,7 +376,12 @@ class RdfStore:
         <iri> { ... }`` scopes its body to one named graph, ``GRAPH
         ?g { ... }`` iterates the (metadata-scale) graph catalog and
         binds ``?g`` per branch.  Un-named (default-graph) triples are
-        never visible inside a GRAPH block."""
+        never visible inside a GRAPH block.
+
+        Subqueries: a ``{ SELECT ... }`` block evaluates bottom-up
+        with its own modifiers/aggregates (inheriting the outer
+        PREFIXes), projects its SELECT list, and joins the outer group
+        on shared variables."""
         return _sparql_select(self, query)
 
 
@@ -431,10 +436,22 @@ def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
         for f in frames[1:]:
             frame = frame.unionByName(f, allowMissingColumns=True)
         return frame
-    base_text, optionals, filters, binds, values, graphs = _split_blocks(
-        body
-    )
+    (
+        base_text, optionals, filters, binds, values, graphs, subqueries,
+    ) = _split_blocks(body)
     frame = _bgp_frame(store, base_text, ns, counter)
+    for sq in subqueries:
+        # inner SELECT evaluates independently (its own modifiers and
+        # aggregates apply first — the spec's bottom-up subquery rule),
+        # projecting only its SELECT list; the result joins the outer
+        # group on shared variables
+        sf = _sparql_select(store, sq, ns)
+        sf = sf.select(*[F.col(c).alias(f"?{c}") for c in sf.columns])
+        if frame is None:
+            frame = sf
+            continue
+        shared = [c for c in sf.columns if c in frame.columns]
+        frame = frame.join(sf, shared) if shared else frame.crossJoin(sf)
     for gterm_text, gbody in graphs:
         gf = _graph_block_frame(store, gterm_text, gbody, ns, counter)
         if frame is None:
@@ -716,11 +733,15 @@ def _sparql_agg_column(fn: str, distinct: bool, target: str):
     )["s"]
 
 
-def _sparql_select(store: RdfStore, query: str) -> DataFrame:
+def _sparql_select(
+    store: RdfStore, query: str, parent_ns: NamespaceRegistry | None = None
+) -> DataFrame:
     m = _SPARQL_RE.match(query)
     if not m:
         raise ValueError("unsupported SPARQL (BGP SELECT only)")
     ns = NamespaceRegistry()
+    if parent_ns is not None:  # subqueries inherit outer PREFIXes
+        ns.prefixes.update(parent_ns.prefixes)
     for pfx, iri_ in _PREFIX_RE.findall(m.group("prefixes") or ""):
         ns.add_prefix(pfx, iri_)
 
@@ -850,15 +871,17 @@ def _scan_balanced(body: str, start: int, open_ch: str, close_ch: str) -> int:
 def _split_blocks(body: str):
     """Split a WHERE body into (base pattern text, OPTIONAL block
     bodies, FILTER expressions, BIND expressions, VALUES blocks as
-    (vars text, data text), GRAPH blocks as (graph term text, body)).
-    IRIs and string literals are skipped atomically so keywords inside
-    them never match; OPTIONAL nesting is rejected by the brace scan
-    ending at the first balanced close."""
+    (vars text, data text), GRAPH blocks as (graph term text, body),
+    ``{ SELECT ... }`` subquery texts).  IRIs and string literals are
+    skipped atomically so keywords inside them never match; OPTIONAL
+    nesting is rejected by the brace scan ending at the first balanced
+    close."""
     optionals: list[str] = []
     filters: list[str] = []
     binds: list[str] = []
     values: list[tuple[str, str]] = []
     graphs: list[tuple[str, str]] = []
+    subqueries: list[str] = []
     out: list[str] = []
     i, n = 0, len(body)
     while i < n:
@@ -917,12 +940,19 @@ def _split_blocks(body: str):
             graphs.append((mg.group(1), body[j:k - 1]))
             i = k
             continue
+        ms = re.match(r"(?is)\{(?=\s*SELECT\b)", body[i:])
+        if ms:
+            j = i + ms.end()
+            k = _scan_balanced(body, j, "{", "}")
+            subqueries.append(body[j:k - 1])
+            i = k
+            continue
         out.append(ch)
         i += 1
-    return "".join(out), optionals, filters, binds, values, graphs
+    return "".join(out), optionals, filters, binds, values, graphs, subqueries
 
 
-_PATH_OPS = frozenset("/|^()*+?")
+_PATH_OPS = frozenset("/|^()*+?!")
 
 
 def _bgp_frame(store: RdfStore, text: str, ns: NamespaceRegistry, counter):
@@ -944,7 +974,7 @@ def _bgp_frame(store: RdfStore, text: str, ns: NamespaceRegistry, counter):
         r"|[A-Za-z_][\w-]*:[\w.-]*[\w-]"
         r"|\ba\b"
         r"|\."
-        r"|[/|^()*+?]"
+        r"|[/|^()*+?!]"
     )
     statements: list[list[str]] = []
     cur: list[str] = []
@@ -1043,7 +1073,46 @@ def _parse_path(toks: list[str], ns: NamespaceRegistry):
         if peek() == "^":
             take()
             return ("inv", step())
+        if peek() == "!":
+            take()
+            return negated()
         node = prim()
+        while peek() in ("*", "+", "?"):
+            node = ({"*": "star", "+": "plus", "?": "opt"}[take()], node)
+        return node
+
+    def negated():
+        # negated property set (§9.1 PathNegatedPropertySet): !iri or
+        # !(iri1|iri2|^iri3); forward and inverse members split into
+        # separate relations per the spec's NPS evaluation
+        fwd: list[str] = []
+        rev: list[str] = []
+
+        def member():
+            inv = peek() == "^"
+            if inv:
+                take()
+            t = take()
+            if t is None or t in _PATH_OPS:
+                raise ValueError(f"bad negated property set near {t!r}")
+            kind, val = _sparql_term(t, ns)
+            if kind != "value":
+                raise ValueError(
+                    "variables are not allowed inside property paths"
+                )
+            (rev if inv else fwd).append(val)
+
+        if peek() == "(":
+            take()
+            member()
+            while peek() == "|":
+                take()
+                member()
+            if take() != ")":
+                raise ValueError("unbalanced ( ) in negated property set")
+        else:
+            member()
+        node = ("nps", fwd, rev)
         while peek() in ("*", "+", "?"):
             node = ({"*": "star", "+": "plus", "?": "opt"}[take()], node)
         return node
@@ -1125,6 +1194,29 @@ def _path_rel(store: RdfStore, node, identity) -> DataFrame:
         return store.df.filter(F.col("p") == node[1]).select(
             F.col("s").alias("__ps"), F.col("o").alias("__po")
         )
+    if kind == "nps":
+        # negated property set: forward triples whose predicate is
+        # outside the forward member set, unioned with reversed
+        # triples outside the inverse member set (§9.1 NPS evaluation)
+        fwd, rev = node[1], node[2]
+        parts = []
+        if fwd or not rev:
+            r = store.df
+            if fwd:
+                r = r.filter(~F.col("p").isin(fwd))
+            parts.append(
+                r.select(F.col("s").alias("__ps"), F.col("o").alias("__po"))
+            )
+        if rev:
+            parts.append(
+                store.df.filter(~F.col("p").isin(rev)).select(
+                    F.col("o").alias("__ps"), F.col("s").alias("__po")
+                )
+            )
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.union(p_)
+        return out
     if kind == "inv":
         r = _path_rel(store, node[1], identity)
         return r.select(

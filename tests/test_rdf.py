@@ -707,3 +707,70 @@ def test_sparql_graph_blocks(spark):
         """
     ).collect()
     assert [(r["n"], r["o"]) for r in got] == [("X", "in-g2")]
+
+
+def test_sparql_negated_property_set(spark):
+    st = _family_store(spark)
+    # everything reachable from a by a predicate OTHER than knows
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?y "
+        f"WHERE {{ <{_EX}a> !ex:knows ?y . }} ORDER BY ?y"
+    ).collect()
+    assert [r["y"] for r in got] == ["A", f"{_EX}b"]  # name + parent
+    # grouped form excludes several predicates at once
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?y "
+        f"WHERE {{ <{_EX}a> !(ex:knows|ex:name) ?y . }}"
+    ).collect()
+    assert [r["y"] for r in got] == [f"{_EX}b"]
+    # inverse member: arrive at b by anything but an inverse-parent
+    # (i.e. exclude b<-parent-a when reversed); forward side unaffected
+    got = st.sparql(
+        f"PREFIX ex: <{_EX}> SELECT ?y "
+        f"WHERE {{ <{_EX}b> !(ex:parent|ex:knows|ex:name|^ex:knows) ?y . }}"
+        f" ORDER BY ?y"
+    ).collect()
+    assert [r["y"] for r in got] == [f"{_EX}a"]  # only ^parent remains
+
+
+def test_sparql_subquery(spark):
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        "\n".join(
+            f'<{_EX}p{i}> <{_EX}team> "{t}" .\n'
+            f'<{_EX}p{i}> <{_EX}score> "{s}"'
+            f"^^<http://www.w3.org/2001/XMLSchema#integer> ."
+            for i, (t, s) in enumerate(
+                [("red", 10), ("red", 2), ("blue", 33), ("blue", 9)]
+            )
+        )
+    )
+    # inner aggregate joins the outer pattern on ?t: per-team max,
+    # then the member(s) achieving it
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?t ?p WHERE {{
+            ?p ex:team ?t .
+            ?p ex:score ?s .
+            {{ SELECT ?t (MAX(?s2) AS ?hi) WHERE {{
+                ?q ex:team ?t . ?q ex:score ?s2 .
+            }} GROUP BY ?t }}
+            FILTER(?s = ?hi)
+        }} ORDER BY ?t
+        """
+    ).collect()
+    assert [(r["t"], r["p"]) for r in got] == [
+        ("blue", f"{_EX}p2"), ("red", f"{_EX}p0"),
+    ]
+    # inner LIMIT applies before the outer join (bottom-up evaluation)
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?p ?s WHERE {{
+            ?p ex:score ?s .
+            {{ SELECT ?p WHERE {{ ?p ex:team "red" . }} ORDER BY ?p LIMIT 1 }}
+        }}
+        """
+    ).collect()
+    assert [(r["p"], r["s"]) for r in got] == [(f"{_EX}p0", "10")]
