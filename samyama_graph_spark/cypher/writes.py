@@ -465,6 +465,19 @@ class WriteExecutor:
         label = np.labels[0] if np.labels else None
         if label is None:
             raise CompileError("MERGE node requires a label")
+        if not all(
+            isinstance(v, (A.Literal, A.Parameter))
+            for v in np.properties.values()
+        ):
+            # property values computed from incoming rows (UNWIND $rows
+            # AS r MERGE (n:L {k: r.k}) — the bulk-upsert idiom)
+            if st.frame is None:
+                raise CompileError(
+                    "MERGE with computed properties needs bound rows "
+                    "(UNWIND/MATCH/WITH before MERGE)"
+                )
+            self._merge_node_from_frame(st, np, clause, label)
+            return
         scope = st.scope
         props = {
             k: (v.value if isinstance(v, A.Literal) else self.params[v.name])
@@ -511,6 +524,87 @@ class WriteExecutor:
                 "left_anti",
             )
         self._append_nodes(label, row, n=None if match_df is not None else 1)
+
+    def _merge_node_from_frame(
+        self, st: State, np: A.NodePattern, clause: A.MergeClause,
+        label: str,
+    ) -> None:
+        """Set-based MERGE driven by the incoming rows — the bulk
+        ingestion idiom (UNWIND $rows AS r MERGE (n:L {k: r.k})); the
+        reference's per-record volcano MergeOperator supports this
+        implicitly (operator.rs:7304).  Semantics: one merge per
+        DISTINCT computed property tuple (null-safe equality, so
+        re-running the same rows is idempotent even with NULL keys);
+        missing tuples are created once, matched tuples receive ON
+        MATCH SET.  ON CREATE / ON MATCH SET values must be static
+        (literal or parameter), and the merged variable is not
+        bindable by later clauses.
+
+        Scale shape: the match/anti-join is a distributed equi-join on
+        the key tuple; the ONE blocking job is counting the missing
+        set (the id watermark must advance by the real delta), and id
+        minting is a row_number over that missing DELTA only — fine
+        while deltas are bounded; a full-corpus initial load should
+        use CREATE (no window) instead."""
+        import functools
+        import operator as _op
+
+        from pyspark.sql import Window
+
+        if not np.properties:
+            raise CompileError(
+                "MERGE with computed properties needs a property map"
+            )
+        scope = st.scope
+        keys = list(np.properties)
+        want = st.frame.select(
+            *[
+                compile_expr(v, scope).alias(k)
+                for k, v in np.properties.items()
+            ]
+        ).distinct()
+        existing = self.nodes.get(label)
+        missing = want
+        if existing is not None and all(k in existing.columns for k in keys):
+            w = want.alias("w")
+            ex = existing.select(*keys).distinct().alias("e")
+            cond = functools.reduce(
+                _op.and_,
+                [
+                    F.col(f"w.{k}").eqNullSafe(F.col(f"e.{k}"))
+                    for k in keys
+                ],
+            )
+            missing = w.join(ex, cond, "left_anti")
+            if clause.on_match:
+                e2 = existing.alias("e")
+                cond2 = functools.reduce(
+                    _op.and_,
+                    [
+                        F.col(f"e.{k}").eqNullSafe(F.col(f"w.{k}"))
+                        for k in keys
+                    ],
+                )
+                matched = e2.join(w, cond2, "left_semi").select("id")
+                self._apply_set_to_ids(label, matched, clause.on_match, scope)
+        cnt = missing.count()
+        if cnt == 0:
+            return
+        base = self._next_id_base()
+        self.id_hint = base + cnt
+        order = Window.orderBy(*[F.col(k).asc_nulls_last() for k in keys])
+        rows = missing.withColumn(
+            "id", (F.row_number().over(order) + F.lit(base - 1)).cast("long")
+        )
+        for item in clause.on_create:
+            rows = rows.withColumn(
+                item.target.key, F.lit(_static_value(item.value, self.params))
+            )
+        self._append_nodes(
+            label,
+            rows.select("id", *[c for c in rows.columns if c != "id"]),
+            n=cnt,
+        )
 
     def _merge_edge(self, st: State, path: A.PatternPath, clause: A.MergeClause) -> None:
         ep = path.edges[0]

@@ -268,3 +268,70 @@ def test_detach_delete_multi_pair_edge_type(spark):
         "MATCH ()-[o:OWN]->() RETURN properties(o) AS p"
     ).first()["p"]
     assert "__src_label" not in str(props)
+
+
+def test_unwind_bulk_merge_node(spark):
+    """UNWIND $rows AS r MERGE (n:L {k: r.k}) — the bulk-upsert
+    ingestion idiom: one merge per distinct computed tuple, idempotent
+    on re-run, ON CREATE/ON MATCH branches applied set-wise."""
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    eng = CypherEngine(PropertyGraph(spark, {}, {}))
+    eng.query(
+        "UNWIND $rows AS r MERGE (n:City {name: r.name}) "
+        "ON CREATE SET n.fresh = true",
+        {"rows": [{"name": "oslo"}, {"name": "lima"}, {"name": "oslo"}]},
+    )
+    count = "MATCH (n:City) RETURN count(*) AS c"
+    assert eng.query(count).first()["c"] == 2  # duplicates merged
+    # re-running the same rows plus one new city creates exactly one
+    eng.query(
+        "UNWIND $rows AS r MERGE (n:City {name: r.name}) "
+        "ON CREATE SET n.fresh = false ON MATCH SET n.seen = 1",
+        {"rows": [{"name": "oslo"}, {"name": "pune"}]},
+    )
+    got = {
+        (r["name"], r["fresh"], r["seen"])
+        for r in eng.query(
+            "MATCH (n:City) RETURN n.name AS name, n.fresh AS fresh, "
+            "n.seen AS seen"
+        ).collect()
+    }
+    assert got == {
+        ("oslo", True, 1), ("lima", True, None), ("pune", False, None),
+    }
+    # ids minted across bulk merges stay unique
+    ids = [
+        r["i"] for r in eng.query(
+            "MATCH (n:City) RETURN id(n) AS i"
+        ).collect()
+    ]
+    assert len(ids) == len(set(ids)) == 3
+    # computed-value MERGE without incoming rows is a clear error
+    import pytest as _pytest
+
+    from samyama_graph_spark.cypher.expressions import CompileError
+
+    with _pytest.raises(CompileError, match="bound rows"):
+        eng.query("MERGE (n:City {name: x.name})")
+
+
+def test_unwind_bulk_merge_multi_key_and_nulls(spark):
+    """Multi-key bulk MERGE uses null-safe key equality: a NULL-keyed
+    tuple merges idempotently instead of duplicating per run."""
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    eng = CypherEngine(PropertyGraph(spark, {}, {}))
+    rows = [
+        {"a": "x", "b": 1}, {"a": "x", "b": 2}, {"a": None, "b": 1},
+    ]
+    for _ in range(2):  # second run must be a complete no-op
+        eng.query(
+            "UNWIND $rows AS r MERGE (n:Pair {a: r.a, b: r.b})",
+            {"rows": rows},
+        )
+    assert (
+        eng.query("MATCH (n:Pair) RETURN count(*) AS c").first()["c"] == 3
+    )

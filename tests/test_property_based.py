@@ -214,3 +214,59 @@ def test_prop_order_by_numeric_total_order(xengine, vals):
     ).collect()
     got = [r["v"] for r in rows]
     assert got == sorted(vals, key=float)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=5),
+            st.integers(0, 1000),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_prop_unwind_create_roundtrip(spark, rows):
+    """Bulk CREATE from parameter rows lands exactly len(rows) nodes
+    with the exact property values (write path, reference
+    CreateNodeOperator semantics)."""
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    eng = CypherEngine(PropertyGraph(spark, {}, {}))
+    eng.query(
+        "UNWIND $rows AS r CREATE (n:D {name: r.name, age: r.age})",
+        {"rows": [{"name": n, "age": a} for n, a in rows]},
+    )
+    got = eng.query(
+        "MATCH (n:D) RETURN count(*) AS c, sum(n.age) AS s"
+    ).first()
+    assert got["c"] == len(rows)
+    assert got["s"] == sum(a for _, a in rows)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=4),
+        min_size=1,
+        max_size=10,
+    ),
+    data=st.data(),
+)
+def test_prop_bulk_merge_set_semantics(spark, names, data):
+    """Bulk MERGE is set-semantics and idempotent: distinct names in,
+    distinct nodes out; re-merging any subset changes nothing."""
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    eng = CypherEngine(PropertyGraph(spark, {}, {}))
+    q = "UNWIND $rows AS r MERGE (n:M {name: r.name})"
+    eng.query(q, {"rows": [{"name": n} for n in names]})
+    count = "MATCH (n:M) RETURN count(*) AS c"
+    assert eng.query(count).first()["c"] == len(set(names))
+    subset = data.draw(st.lists(st.sampled_from(names), max_size=6))
+    if subset:
+        eng.query(q, {"rows": [{"name": n} for n in subset]})
+    assert eng.query(count).first()["c"] == len(set(names))
