@@ -304,6 +304,76 @@ def substring_span_pairs(
     )
 
 
+def strip_duplicate_spans(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Remove duplicated spans in place: for every shared window found
+    by :func:`substring_span_pairs`, drop the covered tokens from the
+    HIGHER-id document of the pair (one occurrence of each duplicated
+    passage survives, in the lowest-id doc — the removal rule of
+    exact-substring training-data dedup).  Returns ``df`` with
+    ``text_col`` rewritten and a ``dropped_tokens`` count per doc.
+
+    Scale shape: non-victim documents pass through untouched (one
+    anti-join, no explode); victims explode to (doc, token-position)
+    once, anti-join the covered-position set, and reassemble with a
+    JVM-side sort+transform aggregate — no Python in the hot path, two
+    shuffles (the position anti-join and the per-doc regroup)."""
+    victims = pairs.select(F.col("id_b").alias("__vid")).distinct()
+    covered = (
+        pairs.select(
+            F.col("id_b").alias("__vid"),
+            F.explode(
+                F.sequence(F.col("pos_b"), F.col("pos_b") + F.lit(k - 1))
+            ).alias("__tp"),
+        )
+        .distinct()
+    )
+    keyed = df.withColumn("__vid", F.col(id_col))
+    untouched = keyed.join(victims, "__vid", "left_anti").drop(
+        "__vid"
+    ).withColumn("dropped_tokens", F.lit(0).cast("long"))
+    vdocs = keyed.join(victims, "__vid", "left_semi")
+    toks = vdocs.select(
+        "__vid",
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__tp", "__w"),
+    )
+    kept = toks.join(covered, ["__vid", "__tp"], "left_anti")
+    rebuilt = kept.groupBy("__vid").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__tp", "__w"))
+                ),
+                lambda s: s["__w"],
+            ),
+        ).alias("__new_text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    out_victims = (
+        vdocs.withColumn(
+            "__ntok", F.size(F.split(F.col(text_col), " "))
+        )
+        .join(rebuilt, "__vid", "left")
+        .withColumn(
+            text_col, F.coalesce(F.col("__new_text"), F.lit(""))
+        )
+        .withColumn(
+            "dropped_tokens",
+            (F.col("__ntok") - F.coalesce(F.col("__kept"), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .drop("__vid", "__new_text", "__kept", "__ntok")
+    )
+    return untouched.unionByName(out_victims)
+
+
 # ----------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 60  # fits hash60's positive range

@@ -217,6 +217,65 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "substring_span_strip",
+    """
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+               FROM documents),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(words[i + 1:i + 8], ' ') AS shingle
+        FROM w, unnest(range(len(words) - 8 + 1)) AS t(i)
+        WHERE len(words) >= 8
+    ),
+    cov AS (
+        SELECT DISTINCT b.doc_id AS vid, b.pos + j AS tp
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id,
+        unnest(range(8)) AS r(j)
+    ),
+    toks AS (
+        SELECT doc_id, generate_subscripts(words, 1) - 1 AS tp,
+               unnest(words) AS tok
+        FROM w WHERE doc_id IN (SELECT vid FROM cov)
+    ),
+    keep AS (
+        SELECT t.doc_id, t.tp, t.tok
+        FROM toks t LEFT JOIN cov c ON c.vid = t.doc_id AND c.tp = t.tp
+        WHERE c.vid IS NULL
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text2,
+               count(*) AS keptn
+        FROM keep GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT vid FROM cov)
+                THEN COALESCE(r.text2, '') ELSE d.text END AS text,
+           CAST(CASE WHEN d.doc_id IN (SELECT vid FROM cov)
+                THEN len(string_split(d.text, ' ')) - COALESCE(r.keptn, 0)
+                ELSE 0 END AS BIGINT) AS dropped_tokens
+    FROM documents d LEFT JOIN reb r ON r.doc_id = d.doc_id
+    """,
+)
+def substring_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring dedup: every 8-token window
+    shared with a lower-id document is stripped from the higher-id one
+    (dedup.strip_duplicate_spans), keeping exactly one occurrence of
+    each duplicated passage corpus-wide.  The oracle replays window
+    mining, coverage expansion, and token-level reassembly in SQL, so
+    the rewritten TEXT itself is hash-checked, not just counts."""
+    from samyama_graph_spark.datapipe.dedup import (
+        strip_duplicate_spans,
+        substring_span_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = substring_span_pairs(docs, "text", "doc_id", k=8)
+    out = strip_duplicate_spans(docs, pairs, "text", "doc_id", k=8)
+    return out.select("doc_id", "text", "dropped_tokens")
+
+
 # ------------------------------------------------------------------ SimHash
 
 _SH_CHUNKS = 4

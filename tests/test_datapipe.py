@@ -1099,3 +1099,63 @@ def test_substring_span_pairs_sampling_subset(spark):
     assert sampled and sampled < full
     # 57 shared windows at 1/4 density: expect ~14, require >= 5
     assert len(sampled) >= 5
+
+
+def test_strip_duplicate_spans_planted(spark):
+    """The shared boilerplate run disappears from the higher-id doc
+    only; token order is preserved; non-victims pass through with
+    dropped_tokens = 0."""
+    from samyama_graph_spark.datapipe.dedup import (
+        strip_duplicate_spans,
+        substring_span_pairs,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + boiler + " outro"),
+            (2, boiler + " unique tail here"),
+            (3, "completely unrelated document text with many words"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = substring_span_pairs(docs, "text", "doc_id", k=8)
+    out = {
+        r["doc_id"]: (r["text"], r["dropped_tokens"])
+        for r in strip_duplicate_spans(
+            docs, pairs, "text", "doc_id", k=8
+        ).collect()
+    }
+    # doc 1 (lower id) keeps the passage; doc 3 untouched
+    assert out[1] == ("intro words " + boiler + " outro", 0)
+    assert out[3][1] == 0
+    # doc 2 loses exactly the 9 boilerplate tokens, keeps its tail
+    assert out[2] == ("unique tail here", 9)
+    # after stripping, the corpus has no shared 8-token window left
+    stripped = spark.createDataFrame(
+        [(k, v[0]) for k, v in out.items()], "doc_id long, text string"
+    )
+    assert substring_span_pairs(stripped, "text", "doc_id", k=8).count() == 0
+
+
+def test_strip_duplicate_spans_full_coverage(spark):
+    """A doc that is entirely boilerplate strips to the empty string."""
+    from samyama_graph_spark.datapipe.dedup import (
+        strip_duplicate_spans,
+        substring_span_pairs,
+    )
+
+    run = " ".join(f"t{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, run + " and more original content follows"), (2, run)],
+        "doc_id long, text string",
+    )
+    pairs = substring_span_pairs(docs, "text", "doc_id", k=8)
+    out = {
+        r["doc_id"]: (r["text"], r["dropped_tokens"])
+        for r in strip_duplicate_spans(
+            docs, pairs, "text", "doc_id", k=8
+        ).collect()
+    }
+    assert out[2] == ("", 12)
+    assert out[1][1] == 0
