@@ -112,6 +112,167 @@ def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 50,
+    lowercase: bool = True,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Train a byte-pair-encoding merge table on the corpus (Sennrich
+    et al. 2016), fully distributed: the corpus collapses once into a
+    (word, freq) frame, each round counts adjacent symbol pairs with a
+    transform/explode + one weighted groupBy (map-side partial agg) and
+    collects exactly ONE row (the argmax pair; ties break
+    lexicographically for determinism), then rewrites the symbol
+    arrays with a left-to-right aggregate-HOF scan — no Python in the
+    per-round hot path, the driver holds only the merge table
+    (tokenizer-scale metadata, like a centroid codebook).
+
+    Words carry the classic ``</w>`` end-of-word marker on their last
+    character.  Plan depth grows one HOF per round, so the vocab frame
+    localCheckpoints every ``checkpoint_every`` rounds (the frame is
+    distinct-words-sized, far smaller than the corpus).
+
+    Returns the ordered merge list ``[(left, right), ...]``.
+    """
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # word -> symbol array: chars, last one suffixed with </w>
+    chars = F.split(F.col("w"), "")
+    syms = F.transform(
+        chars,
+        lambda c, i: F.when(
+            i == F.size(chars) - 1, F.concat(c, F.lit("</w>"))
+        ).otherwise(c),
+    )
+    vocab = words.select(syms.alias("syms"), "freq")
+
+    merges: list[tuple[str, str]] = []
+    for rnd in range(num_merges):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.get("syms", i).alias("a"),
+                            F.get("syms", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(
+            F.desc("n"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        ab = a + b
+
+        def merge_scan(syms_col, a=a, b=b, ab=ab):
+            # left-to-right non-overlapping merge: append each symbol,
+            # fusing it with the accumulator's tail when (tail, x) is
+            # the merge pair.  get() is NULL-safe on the empty
+            # accumulator (NULL != a), so no ANSI index error.
+            return F.aggregate(
+                syms_col,
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, x: F.when(
+                    (F.get(acc, F.size(acc) - 1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(ab)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+
+        vocab = vocab.select(merge_scan(F.col("syms")).alias("syms"), "freq")
+        if (rnd + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+    lowercase: bool = True,
+) -> DataFrame:
+    """Encode text with a trained merge table: ``(id, tokens:
+    array<string>, n_tokens)``.  The merge-rank dict ships once as a
+    broadcast; each Arrow batch encodes in pandas with the standard
+    lowest-rank-first merge loop (applying M merges as M nested
+    JVM HOF passes would blow the plan up — the codebook-broadcast +
+    vectorized-worker split used by the SemDeDup/PQ paths)."""
+    import re as _re
+
+    spark = df.sparkSession
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+    pre = _re.compile(BPE_PRETOKEN_RE)
+
+    def encode_word(word: str, rk) -> list:
+        syms = [
+            c + "</w>" if i == len(word) - 1 else c
+            for i, c in enumerate(word)
+        ]
+        while len(syms) >= 2:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = rk.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+        return syms
+
+    def fn(batches):
+        rk = bc.value
+        cache: dict = {}
+        for pdf in batches:
+            toks = []
+            for t in pdf["__text"]:
+                t = t.lower() if lowercase else t
+                out = []
+                for w in pre.findall(t or ""):
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = encode_word(w, rk)
+                    out.extend(got)
+                toks.append(out)
+            pdf = pdf.drop(columns=["__text"])
+            pdf["tokens"] = toks
+            pdf["n_tokens"] = [len(t) for t in toks]
+            yield pdf
+
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
+    return src.mapInPandas(
+        fn, "id long, tokens array<string>, n_tokens long"
+    )
+
+
 def text_fingerprint(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:

@@ -217,6 +217,26 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training on the documents corpus:
+    20 merge rounds, each one weighted pair-count groupBy + a 1-row
+    argmax collect + a JVM-side scan rewrite of the symbol arrays
+    (text.bpe_train).  The iterative per-round argmax is not
+    SQL-expressible, so there is no DuckDB oracle; correctness is
+    pinned by the pure-Python reference-trainer parity test
+    (tests/test_datapipe.py: identical merge sequence, round for
+    round) and the lossless encode round-trip."""
+    from samyama_graph_spark.datapipe.text import bpe_train
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe_train(docs, "text", num_merges=20)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
 @query(
     "substring_span_strip",
     """

@@ -1159,3 +1159,102 @@ def test_strip_duplicate_spans_full_coverage(spark):
     }
     assert out[2] == ("", 12)
     assert out[1][1] == 0
+
+
+def _bpe_reference_train(words: dict, num_merges: int):
+    """Pure-Python Sennrich-style BPE trainer (ties break
+    lexicographically) — the independent oracle for bpe_train."""
+    vocab = {
+        tuple(
+            c + "</w>" if i == len(w) - 1 else c for i, c in enumerate(w)
+        ): f
+        for w, f in words.items()
+    }
+    merges = []
+    for _ in range(num_merges):
+        counts: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append(best)
+        a, b = best
+        out = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            out[tuple(merged)] = out.get(tuple(merged), 0) + f
+        vocab = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+    import re
+
+    from samyama_graph_spark.datapipe.text import (
+        BPE_PRETOKEN_RE, bpe_train,
+    )
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest low wide",
+        "the low road, the new road!",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, "text", num_merges=25, checkpoint_every=6)
+    words = Counter(
+        w for t in corpus for w in re.findall(BPE_PRETOKEN_RE, t.lower())
+    )
+    want = _bpe_reference_train(dict(words), 25)
+    assert got == want  # identical merge sequence, round for round
+    # the corpus exhausts its pairs before 25 merges — both sides must
+    # stop at the same point rather than pad
+    assert 15 <= len(got) <= 25
+
+
+def test_bpe_encode_roundtrip_and_parity(spark):
+    from samyama_graph_spark.datapipe.text import bpe_encode, bpe_train
+
+    corpus = ["banana bandana ban", "an anna and a banana", "band bann"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, "text", num_merges=12, checkpoint_every=5)
+    enc = {
+        r["id"]: r["tokens"]
+        for r in bpe_encode(docs, "text", "doc_id", merges).collect()
+    }
+    # lossless: stripping the markers reconstructs the pre-tokenized text
+    import re
+
+    from samyama_graph_spark.datapipe.text import BPE_PRETOKEN_RE
+
+    for i, t in enumerate(corpus):
+        joined = "".join(enc[i]).replace("</w>", "")
+        assert joined == "".join(re.findall(BPE_PRETOKEN_RE, t.lower()))
+    # trained merges compress the corpus the reference amount: every
+    # token is a contiguous merge product, so token counts shrink
+    n_chars = sum(
+        len(w)
+        for t in corpus
+        for w in re.findall(BPE_PRETOKEN_RE, t.lower())
+    )
+    n_tok = sum(len(v) for v in enc.values())
+    assert n_tok < n_chars
