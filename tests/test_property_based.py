@@ -270,3 +270,52 @@ def test_prop_bulk_merge_set_semantics(spark, names, data):
     if subset:
         eng.query(q, {"rows": [{"name": n} for n in subset]})
     assert eng.query(count).first()["c"] == len(set(names))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_prop_sparql_path_closure_parity(spark, edges):
+    """?x p+ ?y over an arbitrary (cyclic, self-looping) digraph equals
+    the Python transitive closure; ?x p* ?y adds the identity over all
+    graph terms (SPARQL 1.1 closure evaluation)."""
+    from samyama_graph_spark.rdf import RdfStore
+
+    ex = "http://e/"
+    st_ = RdfStore(spark)
+    st_.insert_ntriples(
+        "\n".join(f"<{ex}n{a}> <{ex}p> <{ex}n{b}> ." for a, b in edges)
+    )
+    # independent closure: iterate to fixpoint over the pair set
+    pairs = set(edges)
+    closure = set(pairs)
+    while True:
+        nxt = closure | {
+            (a, d) for a, b in closure for c, d in pairs if b == c
+        }
+        if nxt == closure:
+            break
+        closure = nxt
+    got_plus = {
+        (r["x"], r["y"])
+        for r in st_.sparql(
+            f"SELECT ?x ?y WHERE {{ ?x <{ex}p>+ ?y . }}"
+        ).collect()
+    }
+    assert got_plus == {(f"{ex}n{a}", f"{ex}n{b}") for a, b in closure}
+    terms = {n for e in edges for n in e}
+    want_star = {(f"{ex}n{a}", f"{ex}n{b}") for a, b in closure} | {
+        (f"{ex}n{t}", f"{ex}n{t}") for t in terms
+    }
+    got_star = {
+        (r["x"], r["y"])
+        for r in st_.sparql(
+            f"SELECT ?x ?y WHERE {{ ?x <{ex}p>* ?y . }}"
+        ).collect()
+    }
+    assert got_star == want_star
