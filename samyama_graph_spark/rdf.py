@@ -381,7 +381,13 @@ class RdfStore:
         Subqueries: a ``{ SELECT ... }`` block evaluates bottom-up
         with its own modifiers/aggregates (inheriting the outer
         PREFIXes), projects its SELECT list, and joins the outer group
-        on shared variables."""
+        on shared variables.
+
+        ``MINUS { ... }`` removes bindings matching the block on the
+        shared variables (kept whole when no variable is shared, per
+        the spec); ``FILTER [NOT] EXISTS { ... }`` is a correlated
+        semi/anti join on the shared variables (an uncorrelated EXISTS
+        keeps every row iff the pattern has any solution)."""
         return _sparql_select(self, query)
 
 
@@ -437,7 +443,8 @@ def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
             frame = frame.unionByName(f, allowMissingColumns=True)
         return frame
     (
-        base_text, optionals, filters, binds, values, graphs, subqueries,
+        base_text, optionals, filters, binds, values, graphs,
+        subqueries, minuses, exists_filters,
     ) = _split_blocks(body)
     frame = _bgp_frame(store, base_text, ns, counter)
     for sq in subqueries:
@@ -488,6 +495,31 @@ def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
             if shared
             else frame.join(of, F.lit(True), "left")
         )
+    for mbody in minuses:
+        # MINUS: drop bindings matching the right side on the SHARED
+        # variables; with no shared variables the left side is kept
+        # whole (the spec's empty-domain-intersection rule)
+        mf = _compile_group(store, mbody, ns, counter)
+        shared = [
+            c for c in mf.columns
+            if c in frame.columns and c.startswith("?")
+        ]
+        if shared:
+            frame = frame.join(mf.select(*shared), shared, "left_anti")
+    for negated, ebody in exists_filters:
+        # FILTER [NOT] EXISTS { P }: correlated semi/anti join on the
+        # shared variables; uncorrelated EXISTS keeps every row iff
+        # the pattern has any solution at all
+        ef = _compile_group(store, ebody, ns, counter)
+        shared = [
+            c for c in ef.columns
+            if c in frame.columns and c.startswith("?")
+        ]
+        how = "left_anti" if negated else "left_semi"
+        if shared:
+            frame = frame.join(ef.select(*shared), shared, how)
+        else:
+            frame = frame.join(ef.limit(1), F.lit(True), how)
     for bexpr in binds:
         var, col = _sparql_bind(bexpr, ns)
         if f"?{var}" in frame.columns:
@@ -882,6 +914,8 @@ def _split_blocks(body: str):
     values: list[tuple[str, str]] = []
     graphs: list[tuple[str, str]] = []
     subqueries: list[str] = []
+    minuses: list[str] = []
+    exists_filters: list[tuple[bool, str]] = []
     out: list[str] = []
     i, n = 0, len(body)
     while i < n:
@@ -904,6 +938,20 @@ def _split_blocks(body: str):
             j = i + mo.end()
             k = _scan_balanced(body, j, "{", "}")
             optionals.append(body[j:k - 1])
+            i = k
+            continue
+        mm = re.match(r"(?is)MINUS\s*\{", body[i:])
+        if mm:
+            j = i + mm.end()
+            k = _scan_balanced(body, j, "{", "}")
+            minuses.append(body[j:k - 1])
+            i = k
+            continue
+        me = re.match(r"(?is)FILTER\s+(NOT\s+)?EXISTS\s*\{", body[i:])
+        if me:
+            j = i + me.end()
+            k = _scan_balanced(body, j, "{", "}")
+            exists_filters.append((bool(me.group(1)), body[j:k - 1]))
             i = k
             continue
         mf = re.match(r"(?is)FILTER\s*\(", body[i:])
@@ -949,7 +997,10 @@ def _split_blocks(body: str):
             continue
         out.append(ch)
         i += 1
-    return "".join(out), optionals, filters, binds, values, graphs, subqueries
+    return (
+        "".join(out), optionals, filters, binds, values, graphs,
+        subqueries, minuses, exists_filters,
+    )
 
 
 _PATH_OPS = frozenset("/|^()*+?!")

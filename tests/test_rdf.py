@@ -774,3 +774,61 @@ def test_sparql_subquery(spark):
         """
     ).collect()
     assert [(r["p"], r["s"]) for r in got] == [(f"{_EX}p0", "10")]
+
+
+def test_sparql_minus_and_filter_exists(spark):
+    st = _family_store(spark)
+    # MINUS removes subjects that know someone
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?x WHERE {{
+            ?x ex:name ?n .
+            MINUS {{ ?x ex:knows ?y . }}
+        }} ORDER BY ?x
+        """
+    ).collect()
+    assert [r["x"] for r in got] == [f"{_EX}c", f"{_EX}d"]
+    # MINUS with no shared variables keeps the left side whole
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?x WHERE {{
+            ?x ex:name ?n .
+            MINUS {{ ?a ex:knows ?b . }}
+        }}
+        """
+    ).collect()
+    assert len(got) == 4
+    # FILTER EXISTS / NOT EXISTS: correlated semi / anti join
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n WHERE {{
+            ?x ex:name ?n .
+            FILTER EXISTS {{ ?x ex:parent ?p . }}
+        }} ORDER BY ?n
+        """
+    ).collect()
+    assert [r["n"] for r in got] == ["A", "B", "C"]
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n WHERE {{
+            ?x ex:name ?n .
+            FILTER NOT EXISTS {{ ?x ex:parent ?p . }}
+        }}
+        """
+    ).collect()
+    assert [r["n"] for r in got] == ["D"]
+    # uncorrelated EXISTS gates on any-solution
+    got = st.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?n WHERE {{
+            ?x ex:name ?n .
+            FILTER NOT EXISTS {{ ?a ex:enemy ?b . }}
+        }}
+        """
+    ).collect()
+    assert len(got) == 4  # no enemy triples -> nothing filtered
