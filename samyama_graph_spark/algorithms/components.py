@@ -12,9 +12,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from samyama_graph_spark.algorithms.util import (
+    DRIVER_EDGE_GUARD,
     checkpoint,
-    collect_if_small,
     driver_union_find,
+    edges_pdf_if_small,
     iteration_scope,
     partitioned,
     symmetrize,
@@ -115,7 +116,7 @@ def wcc(
     edges: DataFrame,
     max_iterations: int = 50,
     check_interval: int = 2,
-    driver_guard: int = 0,
+    driver_guard: int = DRIVER_EDGE_GUARD,
     variant: str = "hash_to_min",
 ) -> DataFrame:
     """Weakly connected components: ``(id, component)`` where component
@@ -134,12 +135,14 @@ def wcc(
     dominates the tiny per-round work, and batching checks cuts the
     scheduled-job count by the interval factor.
 
-    ``driver_guard > 0`` enables a guarded driver fast path: if the
-    edge list fits under the guard (one early-out CollectLimit probe),
-    components are settled by union-find on the driver — the right
-    call for post-filter graphs like dup-pair clusters or Borůvka
-    contraction, whose size is bounded by construction.  Components
-    are unique, so both paths return identical output.
+    ``driver_guard > 0`` (the default) enables a guarded driver fast
+    path: if the edge list fits under the guard (one early-out probe,
+    Arrow-batched transfer), components are settled by union-find on
+    the driver — the reference's own WCC is sequential
+    (community.rs:58), and post-filter graphs like dup-pair clusters
+    or Borůvka contraction are bounded by construction.  Components
+    are unique, so both paths return identical output; pass 0 to
+    force the distributed loop.
 
     ``variant='two_phase'`` switches to large-star/small-star
     contraction (wcc_two_phase) for very-high-diameter graphs.
@@ -149,9 +152,13 @@ def wcc(
     if variant != "hash_to_min":
         raise ValueError(f"unknown wcc variant {variant!r}")
     if driver_guard > 0:
-        rows = collect_if_small(edges, driver_guard, "src", "dst")
-        if rows is not None:
-            comp_map = driver_union_find((r[0], r[1]) for r in rows)
+        pdf = edges_pdf_if_small(
+            edges.select("src", "dst"), driver_guard
+        )
+        if pdf is not None:
+            comp_map = driver_union_find(
+                zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist())
+            )
             spark = edges.sparkSession
             if not comp_map:
                 return spark.createDataFrame([], "id long, component long")
@@ -216,7 +223,56 @@ def wcc(
     return comp
 
 
-def cdlp(edges: DataFrame, iterations: int = 10) -> DataFrame:
+def _cdlp_driver(spark, pdf, iterations):
+    """Vectorized synchronous label propagation over a collected edge
+    list — the same smallest-among-most-frequent rule as the
+    distributed loop, O(E log E) numpy per round (one lexsort over the
+    neighbor-label multiset).  Mirrors the reference's sequential
+    solver (cdlp.rs:84-120)."""
+    import numpy as np
+    import pandas as pd
+
+    src = pdf.iloc[:, 0].to_numpy(dtype=np.int64, copy=False)
+    dst = pdf.iloc[:, 1].to_numpy(dtype=np.int64, copy=False)
+    vid = np.unique(np.concatenate([src, dst]))
+    n = int(vid.size)
+    if n == 0:
+        return spark.createDataFrame([], "id long, label long")
+    si = np.searchsorted(vid, src)
+    di = np.searchsorted(vid, dst)
+    # neighbor multiset both directions: vertex recv[k] sees the label
+    # of nbr[k]; a reciprocal edge pair contributes twice, exactly like
+    # the reference's successors()/predecessors() double loop
+    recv = np.concatenate([di, si])
+    nbr = np.concatenate([si, di])
+    lab = np.arange(n, dtype=np.int64)  # label index == vertex index
+    for _ in range(iterations):
+        # count (vertex, neighbor-label) occurrences via a composite
+        # key; labels are always original vertex ids, and vid is sorted
+        # ascending, so min over label INDEX == min over label VALUE
+        key = recv * np.int64(n) + lab[nbr]
+        uk, cnt = np.unique(key, return_counts=True)
+        kv = uk // n
+        kl = uk % n
+        # per vertex: max count, ties -> smallest label
+        order = np.lexsort((kl, -cnt, kv))
+        kvs = kv[order]
+        first = np.ones(kvs.size, dtype=bool)
+        first[1:] = kvs[1:] != kvs[:-1]
+        new_lab = lab.copy()
+        new_lab[kvs[first]] = kl[order][first]
+        lab = new_lab
+    return spark.createDataFrame(
+        pd.DataFrame({"id": vid, "label": vid[lab]}),
+        schema="id long, label long",
+    )
+
+
+def cdlp(
+    edges: DataFrame,
+    iterations: int = 10,
+    driver_guard: int = DRIVER_EDGE_GUARD,
+) -> DataFrame:
     """Community detection by synchronous label propagation.
 
     LDBC/Graphalytics CDLP rule (reference cdlp.rs:84-120): each round
@@ -225,7 +281,16 @@ def cdlp(edges: DataFrame, iterations: int = 10) -> DataFrame:
     no dedup, so a reciprocal edge pair contributes the neighbor's
     label twice, exactly like the reference's successors()/
     predecessors() double loop.  Returns ``(id, label)``.
+
+    Driver fast path (same guard as BFS/SSSP/PageRank): below
+    ``driver_guard`` edges the propagation settles on the driver with
+    one numpy lexsort per round instead of one shuffle job per round;
+    the distributed loop below is the ≥guard path, same rule.
     """
+    spark = edges.sparkSession
+    pdf = edges_pdf_if_small(edges.select("src", "dst"), driver_guard)
+    if pdf is not None:
+        return _cdlp_driver(spark, pdf, iterations)
     with iteration_scope(edges.sparkSession, edges):
         fwd = edges.select("src", "dst")
         rev = edges.select(

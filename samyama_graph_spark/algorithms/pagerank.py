@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from samyama_graph_spark.algorithms.util import (
+    DRIVER_EDGE_GUARD,
+    collect_if_small,
+    edges_pdf_if_small,
     iteration_scope,
     partitioned,
     trace_plan,
@@ -31,18 +34,79 @@ from samyama_graph_spark.algorithms.util import (
 )
 
 
+def _pagerank_driver(spark, pdf, iterations, damping, vertex_ids):
+    """Vectorized power iteration over a collected edge list — same
+    fixpoint as the distributed loop (uniform init 1/N, dangling mass
+    redistributed uniformly), mirroring the reference's own sequential
+    solver (pagerank.rs:35).  O(E) numpy per iteration via bincount."""
+    import numpy as np
+    import pandas as pd
+
+    src = pdf.iloc[:, 0].to_numpy(dtype=np.int64, copy=False)
+    dst = pdf.iloc[:, 1].to_numpy(dtype=np.int64, copy=False)
+    parts = [src, dst]
+    if vertex_ids is not None:
+        parts.append(np.asarray(vertex_ids, dtype=np.int64))
+    vid = np.unique(np.concatenate(parts))
+    n = int(vid.size)
+    if n == 0:
+        return spark.createDataFrame([], "id long, rank double")
+    si = np.searchsorted(vid, src)
+    di = np.searchsorted(vid, dst)
+    out_deg = np.bincount(si, minlength=n)
+    dangling = out_deg == 0
+    safe_deg = np.where(dangling, 1, out_deg).astype(np.float64)
+    d = float(damping)
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(iterations):
+        contrib = rank / safe_deg
+        msg = np.bincount(di, weights=contrib[si], minlength=n)
+        dang = float(rank[dangling].sum())
+        rank = (1.0 - d) / n + d * dang / n + d * msg
+    # eager checkpoint: the public contract (and the distributed path)
+    # returns a MATERIALIZED frame, so multi-action callers (count +
+    # top-k) read stored blocks instead of re-serializing the local
+    # relation once per action
+    return spark.createDataFrame(
+        pd.DataFrame({"id": vid, "rank": rank}),
+        schema="id long, rank double",
+    ).localCheckpoint()
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
     vertices: DataFrame | None = None,
+    driver_guard: int = DRIVER_EDGE_GUARD,
 ) -> DataFrame:
     """Returns ``(id, rank)``; ranks sum to ~1.
 
     ``vertices`` may be passed to include isolated vertices; it must be
     a superset of the edge endpoints (the rank-sum bookkeeping assumes
     every edge source holds a rank).
+
+    Driver fast path (same guard as BFS/SSSP/MST/SCC): below
+    ``driver_guard`` edges the power iteration settles on the driver as
+    an O(E) numpy bincount per round — the reference's own solver is
+    sequential in-memory — instead of scheduling one shuffle job per
+    iteration.  The distributed loop below is the ≥guard path and is
+    semantically identical.
     """
+    spark = edges.sparkSession
+    pdf = edges_pdf_if_small(edges.select("src", "dst"), driver_guard)
+    if pdf is not None:
+        vrows = None
+        if vertices is not None:
+            vrows = collect_if_small(vertices, driver_guard, "id")
+        if vertices is None or vrows is not None:
+            return _pagerank_driver(
+                spark,
+                pdf,
+                iterations,
+                damping,
+                None if vrows is None else [r[0] for r in vrows],
+            )
     with iteration_scope(edges.sparkSession, edges):
         # persist the edge list hash-partitioned on src: every
         # iteration's rank join is then exchange-free on the edge side

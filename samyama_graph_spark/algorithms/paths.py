@@ -22,28 +22,11 @@ from samyama_graph_spark.algorithms.util import (
 
 
 def _edges_pdf_if_small(df: DataFrame, guard: int):
-    """The edge frame as a pandas DataFrame when it holds at most
-    ``guard`` rows, else None.  A large TRUSTWORTHY size estimate
-    (scan-shaped plan) skips the probe with no job at all; everything
-    else takes one bounded Arrow toPandas — never py4j Row objects
-    (their heap churn measurably degrades the rest of a session)."""
-    from samyama_graph_spark.algorithms.util import (
-        cardinality_estimate_trustworthy,
-        estimated_rows,
-    )
+    """Shared probe, kept as a module alias so existing plan tests and
+    the guard monkeypatch pattern keep working."""
+    from samyama_graph_spark.algorithms.util import edges_pdf_if_small
 
-    big_est = estimated_rows(df) > guard // 4
-    if big_est and cardinality_estimate_trustworthy(df):
-        return None
-    if big_est:
-        # untrustworthy (join-derived) big estimate: count-probe before
-        # shipping rows — limit().count() early-terminates with no row
-        # transfer, so an actually-over frame costs one long, not a
-        # guard-sized Arrow batch
-        if df.limit(guard + 1).count() > guard:
-            return None
-    pdf = df.limit(guard + 1).toPandas()
-    return None if len(pdf) > guard else pdf
+    return edges_pdf_if_small(df, guard)
 
 
 def _local_adj(pdf, directed: bool, weighted: bool):

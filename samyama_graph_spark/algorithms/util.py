@@ -168,6 +168,36 @@ def collect_if_small(
     return None if len(rows) > guard else rows
 
 
+def edges_pdf_if_small(df: DataFrame, guard: int):
+    """The frame as a pandas DataFrame when it holds at most ``guard``
+    rows, else None.  A large TRUSTWORTHY size estimate (scan-shaped
+    plan) skips the probe with no job at all; everything else takes one
+    bounded Arrow ``toPandas`` — never py4j Row objects (their heap
+    churn measurably degrades the rest of a session).  The probe in
+    front of every numpy driver fast path (bfs/sssp/pagerank/cdlp)."""
+    big_est = estimated_rows(df) > guard // 4
+    trusted = cardinality_estimate_trustworthy(df)
+    if big_est and trusted:
+        return None
+    if big_est:
+        # untrustworthy (join-derived) big estimate: count-probe before
+        # shipping rows — limit().count() early-terminates with no row
+        # transfer, so an actually-over frame costs one long, not a
+        # guard-sized Arrow batch
+        if df.limit(guard + 1).count() > guard:
+            return None
+    if trusted:
+        # trustworthy small estimate: the real count is bounded ~4x the
+        # estimate (still O(guard) rows, a few MB of Arrow), so skip
+        # the limit — CollectLimit runs the scan one-partition-at-a-
+        # time on the driver (measured 3-4x slower than the parallel
+        # scan for the same rows); a plain toPandas fans out
+        pdf = df.toPandas()
+    else:
+        pdf = df.limit(guard + 1).toPandas()
+    return None if len(pdf) > guard else pdf
+
+
 def cardinality_estimate_trustworthy(df: DataFrame) -> bool:
     """True when the optimized plan contains no join/aggregate — for
     scan/union/project/filter plans Catalyst's sizeInBytes tracks the

@@ -512,6 +512,73 @@ def test_bfs_sssp_driver_and_distributed_paths_agree(spark, monkeypatch):
     assert fast_s == slow_s and len(fast_s) > 10
 
 
+def test_pagerank_driver_and_distributed_paths_agree(spark):
+    """The numpy power-iteration fast path under DRIVER_EDGE_GUARD must
+    match the distributed one-job-per-iteration loop to well past the
+    gate's 6-decimal rounding — including dangling-mass handling
+    (sinks) and duplicate/parallel edges."""
+    from samyama_graph_spark.algorithms import pagerank
+
+    for seed in (5, 6):
+        edges = _random_digraph(spark, seed, n=50, m=160)
+        fast = {
+            r["id"]: r["rank"]
+            for r in pagerank(edges, iterations=4).collect()
+        }
+        slow = {
+            r["id"]: r["rank"]
+            for r in pagerank(edges, iterations=4, driver_guard=0).collect()
+        }
+        assert fast.keys() == slow.keys() and len(fast) > 20
+        for k in fast:
+            assert abs(fast[k] - slow[k]) < 1e-12, (seed, k)
+        assert abs(sum(fast.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_driver_vertices_superset(spark):
+    """Isolated vertices passed via ``vertices`` get base-rank rows on
+    the fast path, same as the distributed loop."""
+    from samyama_graph_spark.algorithms import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    fast = {
+        r["id"]: r["rank"]
+        for r in pagerank(edges, iterations=3, vertices=verts).collect()
+    }
+    slow = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edges, iterations=3, vertices=verts, driver_guard=0
+        ).collect()
+    }
+    assert set(fast) == {1, 2, 9}
+    for k in fast:
+        assert abs(fast[k] - slow[k]) < 1e-12
+
+
+def test_cdlp_driver_and_distributed_paths_agree(spark):
+    """The numpy lexsort fast path must reproduce the distributed CDLP
+    labels exactly — same smallest-among-most-frequent rule over the
+    in+out neighbor multiset, reciprocal edges counted twice."""
+    from samyama_graph_spark.algorithms import cdlp
+
+    for seed in (7, 8):
+        edges = _random_digraph(spark, seed, n=50, m=160)
+        for iters in (1, 3):
+            fast = {
+                r["id"]: r["label"]
+                for r in cdlp(edges, iterations=iters).collect()
+            }
+            slow = {
+                r["id"]: r["label"]
+                for r in cdlp(
+                    edges, iterations=iters, driver_guard=0
+                ).collect()
+            }
+            assert fast == slow and len(fast) > 20, (seed, iters)
+
+
 def test_wcc_two_phase_parity_and_rounds(spark):
     """Large-star/small-star WCC must equal union-find on a random
     graph, and must settle a 10k-node PATH in O(log^2 n) rounds —
