@@ -387,19 +387,67 @@ class RdfStore:
         shared variables (kept whole when no variable is shared, per
         the spec); ``FILTER [NOT] EXISTS { ... }`` is a correlated
         semi/anti join on the shared variables (an uncorrelated EXISTS
-        keeps every row iff the pattern has any solution)."""
+        keeps every row iff the pattern has any solution).
+
+        Query forms beyond SELECT: ``ASK`` returns a one-row
+        ``(ask boolean)`` frame (see also :meth:`ask`); ``CONSTRUCT
+        { template } WHERE { ... }`` instantiates the template's plain
+        triples per solution and returns a distinct ``(s, p, o)``
+        frame in the store's lexical form (solutions with an unbound
+        template variable are skipped, per spec); ``DESCRIBE <iri>`` /
+        ``DESCRIBE ?v WHERE { ... }`` returns every triple whose
+        subject or object is (a binding of) the resource — a
+        symmetric concise-bounded-description, computed as two
+        semi-joins.  ``HAVING (...)`` filters groups after
+        aggregation: conjunctions (&&) of ``AGG(?v) op number`` /
+        ``?alias op number`` comparisons.  Non-aggregate SELECT
+        expressions ``(expr AS ?alias)`` compile through the BIND
+        grammar."""
+        if _SPARQL_ASK_RE.match(query):
+            return _sparql_ask(self, query)
+        if _SPARQL_CONSTRUCT_RE.match(query):
+            return _sparql_construct(self, query)
+        if _SPARQL_DESCRIBE_RE.match(query):
+            return _sparql_describe(self, query)
         return _sparql_select(self, query)
+
+    def ask(self, query: str) -> bool:
+        """``ASK { ... }`` as a Python boolean."""
+        return bool(_sparql_ask(self, query).first()["ask"])
 
 
 _SPARQL_RE = re.compile(
     r"(?is)^\s*(?P<prefixes>(?:PREFIX\s+\S+\s+<[^>]*>\s*)*)"
     r"SELECT\s+(?P<distinct>DISTINCT\s+)?"
-    r"(?P<vars>\*|(?:(?:\?\w+|\([^()]*\([^()]*\)[^()]*\))\s*)+)"
+    r"(?P<vars>\*|(?:(?:\?\w+|\((?:[^()]|\([^()]*\))*\))\s*)+)"
     r"\s*WHERE\s*\{(?P<body>.*)\}\s*"
     r"(?:GROUP\s+BY\s+(?P<group>(?:\?\w+\s*)+))?"
+    r"(?:HAVING\s*\((?P<having>(?:[^()]|\([^()]*\))*)\)\s*)?"
     r"(?:ORDER\s+BY\s+(?P<order>(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)"
     r"(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*)\s*)?"
     r"(?:(?:LIMIT\s+(?P<limit>\d+)|OFFSET\s+(?P<offset>\d+))\s*){0,2}$"
+)
+_SPARQL_ASK_RE = re.compile(
+    r"(?is)^\s*(?P<prefixes>(?:PREFIX\s+\S+\s+<[^>]*>\s*)*)"
+    r"ASK\s*(?:WHERE\s*)?\{(?P<body>.*)\}\s*$"
+)
+_SPARQL_CONSTRUCT_RE = re.compile(
+    r"(?is)^\s*(?P<prefixes>(?:PREFIX\s+\S+\s+<[^>]*>\s*)*)"
+    r"CONSTRUCT\s*\{(?P<template>[^{}]*)\}\s*"
+    r"WHERE\s*\{(?P<body>.*)\}\s*"
+    r"(?:LIMIT\s+(?P<limit>\d+)\s*)?$"
+)
+_SPARQL_DESCRIBE_RE = re.compile(
+    r"(?is)^\s*(?P<prefixes>(?:PREFIX\s+\S+\s+<[^>]*>\s*)*)"
+    r"DESCRIBE\s+(?P<what>\?\w+|<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*[\w-])\s*"
+    r"(?:WHERE\s*\{(?P<body>.*)\}\s*)?$"
+)
+# one HAVING conjunct: an aggregate call or an alias/group variable,
+# compared against a numeric literal
+_HAVING_COND_RE = re.compile(
+    r"(?is)^\s*(?:(?P<fn>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*"
+    r"(?P<distinct>DISTINCT\s+)?(?P<target>\*|\?\w+)\s*\)|\?(?P<var>\w+))"
+    r"\s*(?P<op><=|>=|!=|=|<|>)\s*(?P<num>-?\d+(?:\.\d+)?)\s*$"
 )
 # (AGG(?v) AS ?alias) select expression; * only for COUNT
 _SPARQL_AGG_RE = re.compile(
@@ -785,16 +833,17 @@ def _sparql_select(
 
     sel = m.group("vars").strip()
     group_vars = re.findall(r"\?(\w+)", m.group("group") or "")
-    # select items: plain ?vars and (AGG(?v) AS ?alias) expressions
+    having = (m.groupdict().get("having") or "").strip()
+    # select items: plain ?vars, (AGG(?v) AS ?alias) aggregates, and
+    # (expr AS ?alias) non-aggregate expressions (BIND grammar)
     items: list[tuple] = []
     if sel != "*":
-        for tok in re.findall(r"\(\s*[^()]*\([^()]*\)[^()]*\)|\?\w+", sel):
+        for tok in re.findall(r"\((?:[^()]|\([^()]*\))*\)|\?\w+", sel):
             if tok.startswith("?"):
                 items.append(("var", tok[1:]))
-            else:
-                am = _SPARQL_AGG_RE.match(tok)
-                if not am:
-                    raise ValueError(f"unsupported select expression {tok}")
+                continue
+            am = _SPARQL_AGG_RE.match(tok)
+            if am:
                 fn, dist, target, alias = (
                     am.group(1).upper(), bool(am.group(2)),
                     am.group(3), am.group(4),
@@ -802,9 +851,50 @@ def _sparql_select(
                 if dist and fn not in ("COUNT", "SUM"):
                     raise ValueError(f"{fn}(DISTINCT ...) not supported")
                 items.append(("agg", fn, dist, target.lstrip("?"), alias))
+                continue
+            # non-aggregate select expression: reuse the BIND grammar
+            try:
+                var, col = _sparql_bind(tok[1:-1].strip(), ns)
+            except ValueError:
+                raise ValueError(f"unsupported select expression {tok}")
+            items.append(("expr", var, col))
     has_agg = any(it[0] == "agg" for it in items)
+    # HAVING conjuncts -> (hidden agg columns, post-agg predicates)
+    having_aggs: list = []
+    having_preds: list = []
+    if having:
+        if not (has_agg or group_vars):
+            raise ValueError("HAVING requires aggregation or GROUP BY")
+        for i, cond in enumerate(re.split(r"&&", having)):
+            hm = _HAVING_COND_RE.match(cond)
+            if not hm:
+                raise ValueError(f"unsupported HAVING condition {cond!r}")
+            if hm.group("fn"):
+                name = f"__hav{i}"
+                having_aggs.append(
+                    _sparql_agg_column(
+                        hm.group("fn").upper(),
+                        bool(hm.group("distinct")),
+                        hm.group("target").lstrip("?"),
+                    ).alias(name)
+                )
+                lhs = F.col(name).try_cast("double")
+            else:
+                lhs = F.col(hm.group("var")).try_cast("double")
+            op, rhs = hm.group("op"), float(hm.group("num"))
+            having_preds.append(
+                {
+                    "=": lhs == rhs, "!=": lhs != rhs,
+                    "<": lhs < rhs, "<=": lhs <= rhs,
+                    ">": lhs > rhs, ">=": lhs >= rhs,
+                }[op]
+            )
     if has_agg or group_vars:
         plain = [it[1] for it in items if it[0] == "var"]
+        if any(it[0] == "expr" for it in items):
+            raise ValueError(
+                "select expressions with aggregation are not supported"
+            )
         if set(plain) - set(group_vars):
             raise ValueError(
                 "non-aggregated SELECT variables must appear in GROUP BY"
@@ -813,7 +903,7 @@ def _sparql_select(
             _sparql_agg_column(it[1], it[2], it[3]).alias(it[4])
             for it in items
             if it[0] == "agg"
-        ]
+        ] + having_aggs
         gcols = [F.col(f"`?{g}`").alias(g) for g in group_vars]
         if not aggs:
             # projection-with-grouping (valid SPARQL: SELECT ?g ...
@@ -824,16 +914,21 @@ def _sparql_select(
             frame = frame.groupBy(*gcols).agg(*aggs)
         else:
             frame = frame.agg(*aggs)
-        # project in SELECT order
+        for pred in having_preds:
+            frame = frame.filter(pred)
+        # project in SELECT order (drops any hidden HAVING aggregates)
         order_cols = [
             it[1] if it[0] == "var" else it[4] for it in items
         ]
         frame = frame.select(*order_cols)
     elif sel != "*":
-        want = [f"?{v}" for _, v in items]
-        frame = frame.select(
-            *[F.col(f"`{w}`").alias(w[1:]) for w in want]
-        )
+        proj = []
+        for it in items:
+            if it[0] == "var":
+                proj.append(F.col(f"`?{it[1]}`").alias(it[1]))
+            else:  # expr
+                proj.append(it[2].alias(it[1]))
+        frame = frame.select(*proj)
     else:
         frame = frame.select(
             *[F.col(f"`{c}`").alias(c[1:]) for c in frame.columns if c.startswith("?")]
@@ -870,6 +965,85 @@ def _sparql_select(
     if m.group("limit"):
         frame = frame.limit(int(m.group("limit")))
     return frame
+
+
+def _verb_ns(prefixes: str) -> NamespaceRegistry:
+    ns = NamespaceRegistry()
+    for pfx, iri_ in _PREFIX_RE.findall(prefixes or ""):
+        ns.add_prefix(pfx, iri_)
+    return ns
+
+
+def _sparql_ask(store: RdfStore, query: str) -> DataFrame:
+    """ASK { P } -> one-row (ask boolean) frame: does the pattern have
+    any solution?  One early-terminating head(1) probe."""
+    m = _SPARQL_ASK_RE.match(query)
+    ns = _verb_ns(m.group("prefixes"))
+    frame = _compile_group(store, m.group("body"), ns, [0])
+    got = bool(frame.head(1))
+    return store.spark.createDataFrame([(got,)], "ask boolean")
+
+
+def _sparql_construct(store: RdfStore, query: str) -> DataFrame:
+    """CONSTRUCT { template } WHERE { P } -> distinct (s, p, o) frame.
+
+    Each template triple becomes one projection of the solution frame
+    (variables -> binding columns, constants -> literals); the
+    projections union and solutions with an unbound template variable
+    drop (the spec's instantiation rule).  LIMIT bounds the solution
+    sequence before instantiation."""
+    m = _SPARQL_CONSTRUCT_RE.match(query)
+    ns = _verb_ns(m.group("prefixes"))
+    frame = _compile_group(store, m.group("body"), ns, [0])
+    if m.group("limit"):
+        frame = frame.limit(int(m.group("limit")))
+    out = None
+    for stmt in _triple_statements(m.group("template")):
+        if len(stmt) % 3:
+            raise ValueError(f"bad CONSTRUCT template statement {stmt!r}")
+        for i in range(0, len(stmt), 3):
+            cols = []
+            for pos, tok in zip(("s", "p", "o"), stmt[i:i + 3]):
+                kind, val = _sparql_term(tok, ns)
+                cols.append(
+                    (F.col(f"`?{val}`") if kind == "var" else F.lit(val))
+                    .alias(pos)
+                )
+            leg = frame.select(*cols)
+            out = leg if out is None else out.unionByName(leg)
+    if out is None:
+        raise ValueError("empty CONSTRUCT template")
+    return out.filter(
+        F.col("s").isNotNull()
+        & F.col("p").isNotNull()
+        & F.col("o").isNotNull()
+    ).distinct()
+
+
+def _sparql_describe(store: RdfStore, query: str) -> DataFrame:
+    """DESCRIBE <iri> / DESCRIBE ?v WHERE { P } -> distinct (s, p, o)
+    triples whose subject or object is (a binding of) the resource —
+    a symmetric concise-bounded-description.  The binding set stays a
+    DataFrame: the subject and object legs are semi-joins (broadcast-
+    able at metadata scale), never a driver collect."""
+    m = _SPARQL_DESCRIBE_RE.match(query)
+    ns = _verb_ns(m.group("prefixes"))
+    what = m.group("what")
+    if what.startswith("?"):
+        if not m.group("body"):
+            raise ValueError("DESCRIBE ?var requires a WHERE clause")
+        frame = _compile_group(store, m.group("body"), ns, [0])
+        col = f"?{what[1:]}"
+        if col not in frame.columns:
+            raise ValueError(f"DESCRIBE variable {what} is not bound")
+        vals = frame.select(F.col(f"`{col}`").alias("val")).distinct()
+    else:
+        kind, val = _sparql_term(what, ns)
+        vals = store.spark.createDataFrame([(val,)], "val string")
+    base = store.df.select("s", "p", "o")
+    subj = base.join(vals, base["s"] == vals["val"], "left_semi")
+    obj = base.join(vals, base["o"] == vals["val"], "left_semi")
+    return subj.unionByName(obj).distinct()
 
 
 def _scan_balanced(body: str, start: int, open_ch: str, close_ch: str) -> int:
@@ -1006,17 +1180,13 @@ def _split_blocks(body: str):
 _PATH_OPS = frozenset("/|^()*+?!")
 
 
-def _bgp_frame(store: RdfStore, text: str, ns: NamespaceRegistry, counter):
-    """Triple patterns -> one DataFrame with ``?var`` columns (None when
-    the text holds no patterns).  Each pattern is a filtered scan;
-    shared variables equi-join.  The predicate position accepts SPARQL
-    1.1 property paths (``^`` inverse, ``/`` sequence, ``|``
-    alternative, ``*``/``+``/``?`` closures, parentheses); a statement
-    using path operators must be '.'-separated from its neighbors."""
-    # tokenize ('.' separates patterns; splitting the text on '.'
-    # would cut IRIs like example.org apart).  A lone '?' (not opening
-    # a variable) and the other path operator characters tokenize
-    # individually; the literal branch keeps ^^<datatype> atomic.
+def _triple_statements(text: str) -> list[list[str]]:
+    """Tokenize pattern text into '.'-separated statements ('.' can't
+    just split the string — it would cut IRIs like example.org apart).
+    A lone '?' (not opening a variable) and the other path operator
+    characters tokenize individually; the literal branch keeps
+    ^^<datatype> atomic.  Shared by WHERE-body BGPs and CONSTRUCT
+    templates."""
     tok_re = re.compile(
         r'<[^>]*>'
         r'|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^<[^>]*>)?'
@@ -1038,6 +1208,17 @@ def _bgp_frame(store: RdfStore, text: str, ns: NamespaceRegistry, counter):
         cur.append(tok)
     if cur:
         statements.append(cur)
+    return statements
+
+
+def _bgp_frame(store: RdfStore, text: str, ns: NamespaceRegistry, counter):
+    """Triple patterns -> one DataFrame with ``?var`` columns (None when
+    the text holds no patterns).  Each pattern is a filtered scan;
+    shared variables equi-join.  The predicate position accepts SPARQL
+    1.1 property paths (``^`` inverse, ``/`` sequence, ``|``
+    alternative, ``*``/``+``/``?`` closures, parentheses); a statement
+    using path operators must be '.'-separated from its neighbors."""
+    statements = _triple_statements(text)
     if not statements:
         return None
 

@@ -832,3 +832,144 @@ def test_sparql_minus_and_filter_exists(spark):
         """
     ).collect()
     assert len(got) == 4  # no enemy triples -> nothing filtered
+
+
+def test_sparql_ask(spark, store):
+    # bound pattern present / absent
+    assert store.ask(f"ASK {{ <{_EX}alice> <{_EX}knows> <{_EX}bob> . }}")
+    assert not store.ask(f"ASK {{ <{_EX}carol> <{_EX}knows> <{_EX}alice> . }}")
+    # WHERE keyword optional; variables and FILTER work inside
+    assert store.ask(
+        f"ASK WHERE {{ ?x <{_EX}age> ?a . FILTER(?a > 30) }}"
+    )
+    assert not store.ask(
+        f"ASK WHERE {{ ?x <{_EX}age> ?a . FILTER(?a > 40) }}"
+    )
+    # sparql() returns the one-row boolean frame form
+    df = store.sparql(f"ASK {{ ?x <{_EX}knows> ?y . }}")
+    assert df.columns == ["ask"] and df.first()["ask"] is True
+
+
+def test_sparql_construct(spark, store):
+    # rewrite knows-edges under a new predicate, adding a type triple
+    got = store.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        CONSTRUCT {{
+            ?a ex:friendOf ?b .
+            ?a ex:type "person" .
+        }}
+        WHERE {{ ?a ex:knows ?b . }}
+        """
+    ).collect()
+    triples = {(r["s"], r["p"], r["o"]) for r in got}
+    assert triples == {
+        (f"{_EX}alice", f"{_EX}friendOf", f"{_EX}bob"),
+        (f"{_EX}bob", f"{_EX}friendOf", f"{_EX}carol"),
+        (f"{_EX}alice", f"{_EX}type", "person"),
+        (f"{_EX}bob", f"{_EX}type", "person"),
+    }
+    # unbound OPTIONAL variable in the template -> that row drops
+    got = store.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        CONSTRUCT {{ ?a ex:knowsName ?n . }}
+        WHERE {{
+            ?a ex:knows ?b .
+            OPTIONAL {{ ?b ex:name ?n . }}
+        }}
+        """
+    ).collect()
+    triples = {(r["s"], r["p"], r["o"]) for r in got}
+    # alice->bob has name "Bob"; bob->carol has no carol name triple
+    assert triples == {(f"{_EX}alice", f"{_EX}knowsName", "Bob")}
+
+
+def test_sparql_describe(spark, store):
+    got = store.sparql(f"DESCRIBE <{_EX}bob>").collect()
+    triples = {(r["s"], r["p"], r["o"]) for r in got}
+    assert triples == {
+        (f"{_EX}bob", f"{_EX}knows", f"{_EX}carol"),
+        (f"{_EX}bob", f"{_EX}name", "Bob"),
+        (f"{_EX}alice", f"{_EX}knows", f"{_EX}bob"),
+    }
+    # DESCRIBE ?v WHERE: every binding's description unions
+    got = store.sparql(
+        f"PREFIX ex: <{_EX}> DESCRIBE ?x WHERE {{ ?x ex:age ?a . }}"
+    ).collect()
+    triples = {(r["s"], r["p"], r["o"]) for r in got}
+    assert triples == {
+        (f"{_EX}carol", f"{_EX}age", "33"),
+        (f"{_EX}bob", f"{_EX}knows", f"{_EX}carol"),
+    }
+    with pytest.raises(ValueError):
+        store.sparql("DESCRIBE ?x")
+
+
+def test_sparql_having(spark):
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        "\n".join(
+            f'<{_EX}p{i}> <{_EX}team> "{t}" .\n'
+            f'<{_EX}p{i}> <{_EX}score> "{s}"'
+            f"^^<http://www.w3.org/2001/XMLSchema#integer> ."
+            for i, (t, s) in enumerate(
+                [("red", 10), ("red", 2), ("blue", 33), ("blue", 9), ("blue", 9)]
+            )
+        )
+    )
+    # HAVING over a hidden aggregate (not in SELECT)
+    got = st.sparql(
+        f"""
+        SELECT ?t (SUM(?s) AS ?total)
+        WHERE {{ ?p <{_EX}team> ?t . ?p <{_EX}score> ?s . }}
+        GROUP BY ?t
+        HAVING (COUNT(?p) > 2)
+        """
+    ).collect()
+    assert [(r["t"], r["total"]) for r in got] == [("blue", 51.0)]
+    # HAVING over a SELECT alias, && conjunction
+    got = st.sparql(
+        f"""
+        SELECT ?t (COUNT(?p) AS ?n)
+        WHERE {{ ?p <{_EX}team> ?t . ?p <{_EX}score> ?s . }}
+        GROUP BY ?t
+        HAVING (?n >= 2 && SUM(?s) <= 20)
+        """
+    ).collect()
+    assert [(r["t"], r["n"]) for r in got] == [("red", 2)]
+    # projection-with-grouping + HAVING (no aggregates in SELECT)
+    got = st.sparql(
+        f"""
+        SELECT ?t
+        WHERE {{ ?p <{_EX}team> ?t . ?p <{_EX}score> ?s . }}
+        GROUP BY ?t
+        HAVING (AVG(?s) < 10)
+        """
+    ).collect()
+    assert [r["t"] for r in got] == ["red"]
+    with pytest.raises(ValueError):
+        st.sparql(
+            f"SELECT ?t WHERE {{ ?p <{_EX}team> ?t . }} HAVING (?t > 1)"
+        )
+
+
+def test_sparql_select_expressions(spark, store):
+    got = store.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        SELECT ?x (UCASE(?n) AS ?up) (STRLEN(?n) AS ?len)
+        WHERE {{ ?x ex:name ?n . FILTER(STRSTARTS(?n, "B")) }}
+        """
+    ).collect()
+    assert [(r["x"], r["up"], r["len"]) for r in got] == [
+        (f"{_EX}bob", "BOB", 3.0)
+    ]
+    # arithmetic over a numeric binding
+    got = store.sparql(
+        f"""
+        SELECT ?x (?a * 2 + 1 AS ?d)
+        WHERE {{ ?x <{_EX}age> ?a . }}
+        """
+    ).collect()
+    assert [(r["x"], r["d"]) for r in got] == [(f"{_EX}carol", 67.0)]
