@@ -1480,14 +1480,46 @@ def _path_rel(store: RdfStore, node, identity) -> DataFrame:
     raise ValueError(f"unsupported property path node {kind!r}")
 
 
-def _path_closure(rel: DataFrame, max_rounds: int = 20) -> DataFrame:
+def _path_closure(
+    rel: DataFrame, max_rounds: int = 20, driver_guard: int = 5_000
+) -> DataFrame:
     """Transitive closure (distinct node pairs) by path doubling: each
     round joins the reachable-pair set with itself, so round r covers
     paths up to 2^r hops — O(log diameter) rounds, convergence by pair
     count (cycle-safe: distinct pairs can only grow to a fixpoint).
     Superseded rounds unpersist; the returned frame's lineage is the
-    recomputable union-distinct chain."""
-    paths = rel.select("__ps", "__po").distinct().persist()
+    recomputable union-distinct chain.
+
+    Driver fast path (same pattern as the graph algorithms' edge
+    guard): below ``driver_guard`` base pairs the closure settles as
+    per-source BFS on the driver — RDF predicate relations in a query
+    are usually metadata-scale, and each doubling round otherwise
+    costs two scheduled jobs.  The distributed loop is the ≥guard
+    path; both yield the same distinct pair set."""
+    from samyama_graph_spark.algorithms.util import edges_pdf_if_small
+
+    base = rel.select("__ps", "__po")
+    pdf = edges_pdf_if_small(base, driver_guard)
+    if pdf is not None:
+        adj: dict = {}
+        for s, o in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
+            adj.setdefault(s, set()).add(o)
+        pairs: list = []
+        for src in adj:
+            seen: set = set()
+            stack = list(adj[src])
+            while stack:
+                v = stack.pop()
+                if v in seen:
+                    continue
+                seen.add(v)
+                stack.extend(adj.get(v, ()))
+            pairs.extend((src, v) for v in seen)
+        spark = rel.sparkSession
+        if not pairs:
+            return spark.createDataFrame([], "__ps string, __po string")
+        return spark.createDataFrame(pairs, "__ps string, __po string")
+    paths = base.distinct().persist()
     n = paths.count()
     for _ in range(max_rounds):
         ext = (

@@ -973,3 +973,27 @@ def test_sparql_select_expressions(spark, store):
         """
     ).collect()
     assert [(r["x"], r["d"]) for r in got] == [(f"{_EX}carol", 67.0)]
+
+
+def test_path_closure_driver_and_distributed_agree(spark):
+    """The guarded driver BFS closure and the distributed path-doubling
+    loop must produce the same distinct pair set — including cycles
+    and self-loops."""
+    import random
+
+    from samyama_graph_spark.rdf import _path_closure
+
+    rng = random.Random(13)
+    pairs = sorted(
+        {
+            (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+            for _ in range(60)
+        }
+    )
+    rel = spark.createDataFrame(pairs, "__ps string, __po string")
+    fast = {(r["__ps"], r["__po"]) for r in _path_closure(rel).collect()}
+    slow = {
+        (r["__ps"], r["__po"])
+        for r in _path_closure(rel, driver_guard=0).collect()
+    }
+    assert fast == slow and len(fast) > len(pairs)
