@@ -29,27 +29,171 @@ def _edges_pdf_if_small(df: DataFrame, guard: int):
     return edges_pdf_if_small(df, guard)
 
 
-def _local_adj(pdf, directed: bool, weighted: bool):
-    """Adjacency dict from a collected edge frame (both directions when
-    undirected; self-loops harmless — the visited/dist sets reject
-    them exactly like the distributed anti-joins)."""
-    adj: dict = {}
-    if weighted:
-        it = zip(
-            pdf.iloc[:, 0].tolist(),
-            pdf.iloc[:, 1].tolist(),
-            pdf.iloc[:, 2].tolist(),
-        )
-        for s, d, w in it:
-            adj.setdefault(int(s), []).append((int(d), float(w)))
-            if not directed:
-                adj.setdefault(int(d), []).append((int(s), float(w)))
-    else:
-        for s, d in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
-            adj.setdefault(int(s), []).append(int(d))
-            if not directed:
-                adj.setdefault(int(d), []).append(int(s))
-    return adj
+# BFS/SSSP settle driver-side under an ELEVATED guard: their fast paths
+# are vectorized numpy (int64/float64 arrays, ~16-24 B per edge), not
+# Python-object adjacency, so the driver-memory bound that caps the
+# other algorithms at DRIVER_EDGE_GUARD sits ~8x higher here.  The
+# multiplier composes with the monkeypatchable base guard (0 -> 0).
+_VEC_GUARD_MULT = 8
+
+
+def _csr(src, dst, n):
+    """(sorted dst array, indptr) CSR view of an edge index list."""
+    import numpy as np
+
+    order = np.argsort(src, kind="stable")
+    ss, dd = src[order], dst[order]
+    indptr = np.searchsorted(ss, np.arange(n + 1))
+    return dd, indptr, order
+
+
+def _gather(indptr, frontier):
+    """Flat neighbor-range gather: for each frontier vertex f, the
+    index range indptr[f]..indptr[f+1], concatenated; returns
+    (edge indices, per-edge frontier vertex)."""
+    import numpy as np
+
+    starts, ends = indptr[frontier], indptr[frontier + 1]
+    counts = ends - starts
+    total = int(counts.sum())
+    if total == 0:
+        return None, None
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    idx = np.repeat(starts - offs, counts) + np.arange(total)
+    par = np.repeat(frontier, counts)
+    return idx, par
+
+
+def _vec_graph(pdf, directed: bool, source: int, weighted: bool):
+    """Collected edge frame -> (vid, CSR arrays) with the source id
+    appended to the vertex set (an absent source still yields its own
+    one-row result, like the dict paths did)."""
+    import numpy as np
+
+    src = pdf.iloc[:, 0].to_numpy(dtype=np.int64, copy=False)
+    dst = pdf.iloc[:, 1].to_numpy(dtype=np.int64, copy=False)
+    w = (
+        pdf.iloc[:, 2].to_numpy(dtype=np.float64, copy=False)
+        if weighted
+        else None
+    )
+    if not directed:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        if w is not None:
+            w = np.concatenate([w, w])
+    vid = np.unique(np.concatenate([src, dst, [np.int64(source)]]))
+    n = int(vid.size)
+    si = np.searchsorted(vid, src)
+    di = np.searchsorted(vid, dst)
+    dd, indptr, order = _csr(si, di, n)
+    ww = w[order] if w is not None else None
+    return vid, n, dd, indptr, ww
+
+
+def _bfs_driver(spark, pdf, source, max_depth, directed):
+    """Vectorized multi-level BFS: one masked gather + lexsort per
+    level; min-parent determinism matches the distributed loop's
+    min(parent) aggregate (vid is sorted, so min index == min id)."""
+    import numpy as np
+    import pandas as pd
+
+    vid, n, dd, indptr, _ = _vec_graph(pdf, directed, source, weighted=False)
+    s_idx = int(np.searchsorted(vid, source))
+    depth = np.full(n, -1, dtype=np.int64)
+    parent = np.full(n, -1, dtype=np.int64)
+    depth[s_idx] = 0
+    frontier = np.array([s_idx], dtype=np.int64)
+    for d in range(1, max_depth + 1):
+        idx, par = _gather(indptr, frontier)
+        if idx is None:
+            break
+        neigh = dd[idx]
+        mask = depth[neigh] < 0
+        neigh, par = neigh[mask], par[mask]
+        if neigh.size == 0:
+            break
+        o2 = np.lexsort((par, neigh))
+        nn, pp = neigh[o2], par[o2]
+        first = np.ones(nn.size, dtype=bool)
+        first[1:] = nn[1:] != nn[:-1]
+        nn, pp = nn[first], pp[first]
+        depth[nn] = d
+        parent[nn] = pp
+        frontier = nn
+    vis = depth >= 0
+    # parent rides as float64 (NaN = no parent) and is nulled JVM-side:
+    # nullable-Int64 pandas extension arrays need Arrow, which a vanilla
+    # session may not have enabled
+    par_f = np.where(
+        parent[vis] >= 0, vid[parent[vis]].astype(np.float64), np.nan
+    )
+    out = pd.DataFrame(
+        {"id": vid[vis], "depth": depth[vis], "parent": par_f}
+    )
+    return spark.createDataFrame(
+        out, "id long, depth int, parent double"
+    ).select(
+        "id",
+        "depth",
+        F.when(F.isnan("parent"), F.lit(None))
+        .otherwise(F.col("parent"))
+        .cast("long")
+        .alias("parent"),
+    )
+
+
+def _sssp_driver(spark, pdf, source, max_rounds, directed):
+    """Vectorized frontier Bellman-Ford: per round one gather + one
+    (dist, parent) struct-min lexsort; strict-improvement rule and
+    tie-break identical to the distributed loop and the previous
+    dict-based path."""
+    import numpy as np
+    import pandas as pd
+
+    vid, n, dd, indptr, ww = _vec_graph(pdf, directed, source, weighted=True)
+    s_idx = int(np.searchsorted(vid, source))
+    dist = np.full(n, np.inf)
+    parent = np.full(n, -1, dtype=np.int64)
+    dist[s_idx] = 0.0
+    frontier = np.array([s_idx], dtype=np.int64)
+    for _ in range(max_rounds):
+        idx, par = _gather(indptr, frontier)
+        if idx is None:
+            break
+        cand_v = dd[idx]
+        cand_d = dist[par] + ww[idx]
+        # min (d, p) per v: lexsort keys are least-significant first
+        o2 = np.lexsort((par, cand_d, cand_v))
+        vv, dc, pp = cand_v[o2], cand_d[o2], par[o2]
+        first = np.ones(vv.size, dtype=bool)
+        first[1:] = vv[1:] != vv[:-1]
+        vv, dc, pp = vv[first], dc[first], pp[first]
+        imp = dc < dist[vv]
+        vv, dc, pp = vv[imp], dc[imp], pp[imp]
+        if vv.size == 0:
+            break
+        dist[vv] = dc
+        parent[vv] = pp
+        frontier = vv
+    vis = np.isfinite(dist)
+    # float64-NaN parent + JVM-side null, as in _bfs_driver (no Arrow
+    # dependence)
+    par_f = np.where(
+        parent[vis] >= 0, vid[parent[vis]].astype(np.float64), np.nan
+    )
+    out = pd.DataFrame(
+        {"id": vid[vis], "dist": dist[vis], "parent": par_f}
+    )
+    return spark.createDataFrame(
+        out, "id long, dist double, parent double"
+    ).select(
+        "id",
+        "dist",
+        F.when(F.isnan("parent"), F.lit(None))
+        .otherwise(F.col("parent"))
+        .cast("long")
+        .alias("parent"),
+    )
 
 
 def bfs(
@@ -74,26 +218,10 @@ def bfs(
     """
     spark = edges.sparkSession
     pdf = _edges_pdf_if_small(
-        edges.select("src", "dst"), DRIVER_EDGE_GUARD
+        edges.select("src", "dst"), DRIVER_EDGE_GUARD * _VEC_GUARD_MULT
     )
     if pdf is not None:
-        adj = _local_adj(pdf, directed, weighted=False)
-        visited = {int(source): (0, None)}
-        frontier = [int(source)]
-        for d in range(1, max_depth + 1):
-            preds: dict = {}
-            for u in frontier:
-                for v in adj.get(u, ()):
-                    if v not in visited and (v not in preds or u < preds[v]):
-                        preds[v] = u  # min-parent determinism
-            if not preds:
-                break
-            visited.update({v: (d, p) for v, p in preds.items()})
-            frontier = list(preds)
-        out = spark.createDataFrame(
-            [(v, d, p) for v, (d, p) in visited.items()],
-            "id long, depth int, parent long",
-        )
+        out = _bfs_driver(spark, pdf, source, max_depth, directed)
         return out if parents else out.select("id", "depth")
     if max_depth <= 2:
         # bounded shallow BFS: one lazy unrolled plan, zero per-depth
@@ -189,33 +317,11 @@ def sssp(
         edges.select(
             "src", "dst", F.col(weight_col).cast("double").alias("w")
         ),
-        DRIVER_EDGE_GUARD,
+        DRIVER_EDGE_GUARD * _VEC_GUARD_MULT,
     )
     if pdf is not None:
-        spark_l = edges.sparkSession
-        adj = _local_adj(pdf, directed, weighted=True)
-        dist: dict = {int(source): (0.0, None)}
-        frontier = [int(source)]
-        for _ in range(max_rounds):
-            cand: dict = {}
-            for u in frontier:
-                du = dist[u][0]
-                for v, w in adj.get(u, ()):
-                    key = (du + w, u)
-                    if v not in cand or key < cand[v]:
-                        cand[v] = key
-            improved = {
-                v: key
-                for v, key in cand.items()
-                if v not in dist or key[0] < dist[v][0]
-            }
-            if not improved:
-                break
-            dist.update(improved)
-            frontier = list(improved)
-        out = spark_l.createDataFrame(
-            [(v, d, p) for v, (d, p) in dist.items()],
-            "id long, dist double, parent long",
+        out = _sssp_driver(
+            edges.sparkSession, pdf, int(source), max_rounds, directed
         )
         return out if parents else out.select("id", "dist")
     e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
