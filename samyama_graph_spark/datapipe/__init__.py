@@ -30,6 +30,7 @@ from samyama_graph_spark.datapipe.dedup import (
     dup_clusters,
     embedding_near_dups,
     exact_dedup,
+    kmeans,
     minhash_incremental_pairs,
     minhash_index,
     minhash_index_read,

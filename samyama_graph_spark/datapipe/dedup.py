@@ -662,12 +662,7 @@ def semdedup(
         norm(vec).alias("nrm"),
     )
 
-    if centroid_mode == "broadcast":
-        assigned = _semdedup_assign_broadcast(base, k, iters, seed_ids)
-    elif centroid_mode == "vectorized":
-        assigned = _semdedup_assign_vectorized(base, k, iters, seed_ids)
-    else:
-        assigned = _semdedup_assign_literal(base, k, iters, seed_ids)
+    assigned = _assign_clusters(base, k, iters, seed_ids, centroid_mode)
     # three consumers below (both pair legs + the verdict join-back):
     # without the persist each re-runs the full assignment — for the
     # vectorized path that is three scan+matmul passes
@@ -706,6 +701,75 @@ def semdedup(
             ).alias("keep"),
         )
     )
+
+
+def _assign_clusters(
+    base: DataFrame,
+    k: int,
+    iters: int,
+    seed_ids: "list[int] | None",
+    centroid_mode: str,
+) -> DataFrame:
+    """Mode dispatch for the spherical k-means assignment shared by
+    :func:`semdedup` and :func:`kmeans` — ``base`` is (id, v, nrm)."""
+    if centroid_mode == "broadcast":
+        return _semdedup_assign_broadcast(base, k, iters, seed_ids)
+    if centroid_mode == "vectorized":
+        return _semdedup_assign_vectorized(base, k, iters, seed_ids)
+    return _semdedup_assign_literal(base, k, iters, seed_ids)
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: "int | None" = None,
+    iters: int = 2,
+    seed_ids: "list[int] | None" = None,
+    centroid_mode: str = "auto",
+    target_cluster_size: "int | None" = None,
+) -> DataFrame:
+    """Spherical k-means over an embedding column: ``(id, cluster)``.
+
+    The clustering SemDeDup uses (Abbas et al. 2023 run it at
+    k ~ 10^4-10^5 to partition web-scale corpora), exposed as a
+    first-class operator — domain balancing, stratified curation, and
+    per-cluster sampling all start from exactly this assignment.
+    Deterministic: centroids seed from the ``k`` lowest-id vectors
+    (or ``seed_ids``), assignment is cosine argmax with ties to the
+    lower cluster id, Lloyd rounds recompute the (cluster, dim) mean
+    grid distributed (empty clusters keep their centroid).
+
+    Scale shape (per ``centroid_mode`` — see :func:`semdedup`):
+    assignment is map-only in every mode; each Lloyd round adds one
+    grid aggregate whose output is k x dim floats.  Pass
+    ``target_cluster_size`` (with ``k=None``) to derive k from one
+    count job — the parameterization that keeps downstream
+    per-cluster work flat as the corpus grows.
+    """
+    if centroid_mode not in ("auto", "literal", "broadcast", "vectorized"):
+        raise ValueError(f"kmeans: unknown centroid_mode {centroid_mode!r}")
+    if target_cluster_size is not None:
+        if k is not None:
+            raise ValueError(
+                "kmeans: pass either k or target_cluster_size, not both"
+            )
+        n_rows = df.count()
+        k = max(1, -(-n_rows // int(target_cluster_size)))
+    elif k is None:
+        raise ValueError("kmeans: k or target_cluster_size required")
+    if centroid_mode == "auto":
+        centroid_mode = "literal" if k <= 32 else "vectorized"
+    from samyama_graph_spark.datapipe.similarity import norm
+
+    vec = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        vec.alias("v"),
+        norm(vec).alias("nrm"),
+    )
+    out = _assign_clusters(base, k, iters, seed_ids, centroid_mode)
+    return out.select("id", F.col("cluster").cast("long").alias("cluster"))
 
 
 def _semdedup_assign_literal(

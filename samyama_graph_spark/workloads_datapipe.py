@@ -1170,6 +1170,65 @@ def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_kmeans",
+    """
+    WITH
+    ee AS (SELECT vec_id AS id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                  generate_subscripts(embedding, 1) AS i
+           FROM embeddings),
+    sd AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cidx
+           FROM (SELECT DISTINCT id FROM ee ORDER BY id LIMIT 8)),
+    sv AS (SELECT sd.cidx, ee.i, ee.v FROM sd JOIN ee ON ee.id = sd.id),
+    sn AS (SELECT cidx, sqrt(sum(v * v)) AS snrm FROM sv GROUP BY cidx),
+    sims0 AS (SELECT ee.id, sv.cidx, sum(ee.v * sv.v) AS dp
+              FROM ee JOIN sv ON sv.i = ee.i
+              GROUP BY ee.id, sv.cidx),
+    best0 AS (SELECT id, cidx AS cluster FROM (
+                  SELECT s.id, s.cidx,
+                         row_number() OVER (
+                             PARTITION BY s.id
+                             ORDER BY s.dp / sn.snrm DESC, s.cidx
+                         ) AS rn
+                  FROM sims0 s JOIN sn ON sn.cidx = s.cidx) t
+              WHERE rn = 1),
+    cm AS (SELECT b.cluster, ee.i, avg(ee.v) AS v
+           FROM best0 b JOIN ee ON ee.id = b.id
+           GROUP BY b.cluster, ee.i),
+    cf AS (SELECT sv.cidx AS cluster, sv.i, coalesce(cm.v, sv.v) AS v
+           FROM sv LEFT JOIN cm ON cm.cluster = sv.cidx AND cm.i = sv.i),
+    cn2 AS (SELECT cluster, sqrt(sum(v * v)) AS cnrm FROM cf
+            GROUP BY cluster),
+    sims1 AS (SELECT ee.id, cf.cluster, sum(ee.v * cf.v) AS dp
+              FROM ee JOIN cf ON cf.i = ee.i
+              GROUP BY ee.id, cf.cluster),
+    best1 AS (SELECT id, CAST(cluster AS BIGINT) AS cluster FROM (
+                  SELECT s.id, s.cluster,
+                         row_number() OVER (
+                             PARTITION BY s.id
+                             ORDER BY s.dp / c.cnrm DESC, s.cluster
+                         ) AS rn
+                  FROM sims1 s JOIN cn2 c ON c.cluster = s.cluster) t
+              WHERE rn = 1)
+    SELECT id, cluster FROM best1
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means as a first-class curation operator (the
+    SemDeDup partition, exposed): k=8 lowest-id seeds, ONE distributed
+    Lloyd round (grid-mean centroid update; empty clusters keep their
+    seed), cosine-argmax re-assignment on the vectorized
+    (broadcast-codebook mapInPandas) path.  The oracle replays seeds,
+    first assignment, the mean update, and the final assignment —
+    every per-vector cluster id is hash-checked."""
+    from samyama_graph_spark.datapipe.dedup import kmeans
+
+    return kmeans(
+        _embs(spark, sf_dir), "embedding", "vec_id",
+        k=8, iters=1, centroid_mode="vectorized",
+    )
+
+
+@query(
     "events_asof_join",
     """
     WITH v AS (

@@ -1258,3 +1258,69 @@ def test_bpe_encode_roundtrip_and_parity(spark):
     )
     n_tok = sum(len(v) for v in enc.values())
     assert n_tok < n_chars
+
+
+def test_kmeans_first_class(spark):
+    """kmeans (the SemDeDup partition exposed as an operator): numpy
+    parity on planted clusters, literal/vectorized mode parity, and
+    the target_cluster_size parameterization."""
+    import numpy as np
+
+    from samyama_graph_spark.datapipe.dedup import kmeans
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 10, (4, 6))
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(15):
+            rows.append((vid, (centers[c] + rng.normal(0, 0.05, 6)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    lit = {
+        r["id"]: r["cluster"]
+        for r in kmeans(
+            df, "embedding", "vec_id", k=4, iters=2,
+            centroid_mode="literal",
+        ).collect()
+    }
+    vec = {
+        r["id"]: r["cluster"]
+        for r in kmeans(
+            df, "embedding", "vec_id", k=4, iters=2,
+            centroid_mode="vectorized",
+        ).collect()
+    }
+    assert lit == vec and len(lit) == len(rows)
+
+    # numpy reference: 4 lowest-id seeds, 2 Lloyd rounds, cosine argmax
+    X = np.array([r[1] for r in rows])
+    C = X[:4].copy()
+
+    def assign(C):
+        sims = (X @ C.T) / (
+            np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)
+        )
+        return sims.argmax(1)
+
+    for _ in range(2):
+        a = assign(C)
+        for c in range(4):
+            if (a == c).any():
+                C[c] = X[a == c].mean(0)
+    a = assign(C)
+    for i, (vid_, _) in enumerate(rows):
+        assert lit[vid_] == int(a[i])
+
+    # derived-k parameterization: ceil(60 / 20) = 3 clusters
+    tcs = kmeans(
+        df, "embedding", "vec_id", target_cluster_size=20, iters=0
+    )
+    assert tcs.select("cluster").distinct().count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmeans(df, "embedding", "vec_id", k=4, target_cluster_size=10)
+    with _pytest.raises(ValueError):
+        kmeans(df, "embedding", "vec_id")
