@@ -28,7 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from samyama_graph_spark.algorithms.util import symmetrize
+from samyama_graph_spark.algorithms.util import (
+    DRIVER_EDGE_GUARD,
+    edges_pdf_if_small,
+    symmetrize,
+)
 
 
 def _pinned(df: DataFrame) -> DataFrame:
@@ -54,8 +58,8 @@ def closure_edges(
     ``te`` = (src, dst, ws: array of third vertices).  Public so
     callers that need BOTH lcc and the total triangle count (e.g. two
     registry workloads over the same projected graph) can compute the
-    closure once, checkpoint it, and feed ``lcc_from_closure`` /
-    ``triangle_total``.
+    closure once, checkpoint it, and feed ``_per_vertex_triangles``
+    (the ≥guard leg of :func:`triangle_stats`).
 
     ``canonical=True`` asserts the input is already a distinct
     src<dst edge set, skipping the canonicalization shuffle.
@@ -121,46 +125,108 @@ def _per_vertex_triangles(te: DataFrame) -> DataFrame:
     return uv.unionByName(w).groupBy("id").agg(F.sum("t").alias("triangles"))
 
 
-def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
-    """``(id, triangles)`` — number of triangles through each vertex."""
-    deg, te = closure_edges(edges)
+def _triangle_stats_driver(spark, pdf):
+    """Vectorized per-vertex (deg, triangles) from a collected edge
+    list: degree-orient, enumerate wedges grouped by out-degree (each
+    distinct block size vectorizes to one triu_indices gather), close
+    them with a sorted-key membership probe — the numpy mirror of the
+    distributed closure join, same orientation, same counts."""
+    import numpy as np
+    import pandas as pd
+
+    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64, copy=False)
+    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64, copy=False)
+    # canonicalize: undirected distinct pairs u < v, self-loops dropped
+    u = np.minimum(a, b)
+    v = np.maximum(a, b)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    vid = np.unique(np.concatenate([u, v]))
+    n = int(vid.size)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "id long, deg long, triangles long"
+        )
+    ui = np.searchsorted(vid, u)
+    wi = np.searchsorted(vid, v)
+    pair_key = np.unique(ui * np.int64(n) + wi)
+    ui, wi = pair_key // n, pair_key % n
+    deg = np.bincount(ui, minlength=n) + np.bincount(wi, minlength=n)
+    # orient low-(deg, id) -> high: out-degrees bounded O(sqrt m)
+    ka = deg[ui] * np.int64(n) + ui
+    kb = deg[wi] * np.int64(n) + wi
+    fwd = ka < kb
+    osrc = np.where(fwd, ui, wi)
+    odst = np.where(fwd, wi, ui)
+    order = np.lexsort((odst, osrc))
+    osrc, odst = osrc[order], odst[order]
+    indptr = np.searchsorted(osrc, np.arange(n + 1))
+    okeys = osrc * np.int64(n) + odst  # sorted ascending by build
+    counts = indptr[1:] - indptr[:-1]
+    tri = np.zeros(n, dtype=np.int64)
+    for c in np.unique(counts):
+        if c < 2:
+            continue
+        blocks = np.where(counts == c)[0]
+        gather = indptr[blocks][:, None] + np.arange(c)[None, :]
+        NM = odst[gather]  # (len(blocks), c) out-neighbor matrix
+        iu, ju = np.triu_indices(int(c), 1)
+        A = NM[:, iu].ravel()
+        B = NM[:, ju].ravel()
+        apex = np.repeat(blocks, iu.size)
+        # closing edge carries the same orientation
+        kA = deg[A] * np.int64(n) + A
+        kB = deg[B] * np.int64(n) + B
+        lo = np.where(kA < kB, A, B)
+        hi = np.where(kA < kB, B, A)
+        q = lo * np.int64(n) + hi
+        pos = np.searchsorted(okeys, q)
+        hit = (pos < okeys.size) & (okeys[np.minimum(pos, okeys.size - 1)] == q)
+        for arr in (apex[hit], A[hit], B[hit]):
+            tri += np.bincount(arr, minlength=n)
+    out = pd.DataFrame({"id": vid, "deg": deg, "triangles": tri})
+    return spark.createDataFrame(out, "id long, deg long, triangles long")
+
+
+def triangle_stats(
+    edges: DataFrame,
+    canonical: bool = False,
+    driver_guard: int = DRIVER_EDGE_GUARD,
+) -> DataFrame:
+    """Per-vertex ``(id, deg, triangles)`` over the undirected closure
+    — the one frame LCC, per-vertex triangle counts, and the global
+    total (sum/3) all derive from.
+
+    Driver fast path (same guard as the other algorithms): below
+    ``driver_guard`` pairs the degree-oriented wedge closing runs as
+    vectorized numpy on the driver; the distributed closure join is
+    the ≥guard path, same orientation and counts."""
+    pdf = edges_pdf_if_small(edges.select("src", "dst"), driver_guard)
+    if pdf is not None:
+        return _triangle_stats_driver(edges.sparkSession, pdf)
+    deg, te = closure_edges(edges, canonical)
     te = _pinned(te)  # three consumers in _per_vertex_triangles
     per_vertex = _per_vertex_triangles(te)
-    verts = deg.select("id")
-    return verts.join(per_vertex, "id", "left").fillna(0, subset=["triangles"])
+    return (
+        deg.join(per_vertex, "id", "left")
+        .fillna(0, subset=["triangles"])
+        .select("id", "deg", "triangles")
+    )
 
 
-def triangle_total(te: DataFrame) -> int:
-    """Total triangle count from a closure frame: sum of per-edge
-    closure counts (each triangle counted exactly once, at its
-    orientation-apex edge)."""
-    total = te.agg(F.sum(F.size("ws"))).first()[0]
-    return int(total or 0)
+def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
+    """``(id, triangles)`` — number of triangles through each vertex."""
+    return triangle_stats(edges).select("id", "triangles")
 
 
 def triangle_count(edges: DataFrame, canonical: bool = False) -> int:
-    """Total triangle count of the undirected graph."""
-    _, te = closure_edges(edges, canonical)
-    return triangle_total(te)
-
-
-def lcc_from_closure(deg: DataFrame, te: DataFrame) -> DataFrame:
-    """LCC from a precomputed (degrees, closure) pair — both sides
-    should be pinned or checkpointed by the caller when reused."""
-    tri = _per_vertex_triangles(te)
-    return (
-        deg.join(tri, "id", "left")
-        .fillna(0, subset=["triangles"])
-        .select(
-            "id",
-            F.when(
-                F.col("deg") >= 2,
-                F.col("triangles") / (F.col("deg") * (F.col("deg") - 1) / 2.0),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("lcc"),
-        )
+    """Total triangle count of the undirected graph: every triangle
+    touches exactly three vertices, so sum(per-vertex)/3.  Routes
+    through :func:`triangle_stats` (driver fast path under the guard)."""
+    total = (
+        triangle_stats(edges, canonical).agg(F.sum("triangles")).first()[0]
     )
+    return int(total or 0) // 3
 
 
 def lcc(
@@ -179,13 +245,21 @@ def lcc(
 
     Degrees come from the SAME pinned canonical-pairs frame the
     triangle pipeline builds, so the expensive input projection (e.g.
-    a co-order self-join) is evaluated exactly once.
+    a co-order self-join) is evaluated exactly once.  Small graphs
+    take :func:`triangle_stats`' vectorized driver path.
     """
     if directed:
         return lcc_directed(edges)
-    deg, te = closure_edges(edges, canonical)
-    te = _pinned(te)
-    return lcc_from_closure(deg, te)
+    stats = triangle_stats(edges, canonical)
+    return stats.select(
+        "id",
+        F.when(
+            F.col("deg") >= 2,
+            F.col("triangles") / (F.col("deg") * (F.col("deg") - 1) / 2.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
 
 
 def lcc_directed(edges: DataFrame) -> DataFrame:

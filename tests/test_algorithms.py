@@ -611,3 +611,23 @@ def test_wcc_two_phase_parity_and_rounds(spark):
     assert len(rows) == n
     assert all(r["component"] == 0 for r in rows)
     assert stats["rounds"] <= 25, stats
+
+
+def test_triangle_stats_driver_and_distributed_agree(spark):
+    """The vectorized wedge-closing fast path must match the
+    distributed closure join — degrees and per-vertex triangle counts
+    — on random graphs with duplicate/reversed edges and self-loops."""
+    from samyama_graph_spark.algorithms.topology import triangle_stats
+
+    for seed in (3, 4):
+        edges = _random_digraph(spark, seed, n=40, m=200)
+        fast = {
+            r["id"]: (r["deg"], r["triangles"])
+            for r in triangle_stats(edges).collect()
+        }
+        slow = {
+            r["id"]: (r["deg"], r["triangles"])
+            for r in triangle_stats(edges, driver_guard=0).collect()
+        }
+        assert fast == slow and len(fast) > 20, seed
+        assert any(t > 0 for _, t in fast.values())
