@@ -21,6 +21,7 @@ from samyama_graph_spark.datapipe.corpus import (
     corpus_filter,
     length_buckets,
     pii_scrub,
+    quality_buckets,
     repetition_metrics,
     tfidf_top_terms,
     unigram_logprob,

@@ -345,3 +345,54 @@ def unigram_logprob(
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 3,
+    labels: "list[str] | None" = None,
+) -> DataFrame:
+    """Quantile-bucket rows by a quality score — the CCNet curation
+    move (Wenzek et al. 2020): split the corpus into head/middle/tail
+    by LM perplexity, then train on the head, downweight the middle,
+    drop the tail.  Adds ``bucket`` (0 = lowest scores) and, when
+    ``labels`` is given (lowest bucket first), a ``bucket_label``.
+
+    Scale shape: ONE distributed ``percentile_disc`` aggregate ships
+    the n-1 exact boundaries to the driver (n floats — never a global
+    sort or a single-partition rank window), then bucketing is a
+    map-only literal projection.  Deterministic tie rule: rows equal
+    to a boundary fall in the LOWER bucket (percentile_disc returns
+    the smallest value whose cumulative rank reaches p; strict ``>``
+    comparisons replay identically in any engine).
+    """
+    if n_buckets < 2:
+        raise ValueError("quality_buckets: need n_buckets >= 2")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(
+            f"quality_buckets: {n_buckets} buckets need {n_buckets} labels"
+        )
+    qs = df.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / n_buckets}) WITHIN GROUP "
+                f"(ORDER BY {score_col})"
+            ).alias(f"q{i}")
+            for i in range(1, n_buckets)
+        ]
+    ).first()
+    score = F.col(score_col)
+    bucket = None
+    for i in range(1, n_buckets):
+        step = F.when(
+            score > F.lit(float(qs[f"q{i}"])), 1
+        ).otherwise(0)
+        bucket = step if bucket is None else bucket + step
+    out = df.withColumn("bucket", bucket.cast("int"))
+    if labels is not None:
+        lab = F.array(*[F.lit(x) for x in labels])
+        out = out.withColumn(
+            "bucket_label", F.element_at(lab, F.col("bucket") + 1)
+        )
+    return out

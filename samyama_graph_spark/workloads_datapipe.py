@@ -2075,3 +2075,55 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from samyama_graph_spark.datapipe.corpus import unigram_logprob
 
     return unigram_logprob(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "quality_quantile_buckets",
+    """
+    WITH tok AS (
+        SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    t2 AS (SELECT id, term FROM tok WHERE term <> ''),
+    counts AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY term),
+    total AS (SELECT SUM(cnt) AS tot FROM counts),
+    logp AS (
+        SELECT term, LN(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) AS logp
+        FROM counts, total
+    ),
+    scored AS (
+        SELECT id, ROUND(AVG(logp), 6) AS s
+        FROM t2 JOIN logp USING (term) GROUP BY id
+    ),
+    qs AS (
+        SELECT percentile_disc(1.0/3) WITHIN GROUP (ORDER BY s) AS q1,
+               percentile_disc(2.0/3) WITHIN GROUP (ORDER BY s) AS q2
+        FROM scored
+    )
+    SELECT id,
+           CAST(CASE WHEN s > q1 THEN 1 ELSE 0 END
+                + CASE WHEN s > q2 THEN 1 ELSE 0 END AS INT) AS bucket,
+           CASE CAST(CASE WHEN s > q1 THEN 1 ELSE 0 END
+                     + CASE WHEN s > q2 THEN 1 ELSE 0 END AS INT)
+                WHEN 0 THEN 'tail' WHEN 1 THEN 'middle' ELSE 'head'
+           END AS bucket_label
+    FROM scored, qs
+    """,
+)
+def quality_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020): score
+    every document with the unigram LM proxy, compute the two exact
+    tercile boundaries with ONE distributed percentile_disc aggregate
+    (two floats to the driver — no global sort), and bucket map-only.
+    The oracle replays scores, boundaries, and the strict-> tie rule,
+    so every per-doc bucket assignment is hash-checked."""
+    from samyama_graph_spark.datapipe.corpus import (
+        quality_buckets,
+        unigram_logprob,
+    )
+
+    scored = unigram_logprob(_docs(spark, sf_dir), "text", "doc_id")
+    out = quality_buckets(
+        scored, "avg_logprob", 3, labels=["tail", "middle", "head"]
+    )
+    return out.select("id", "bucket", "bucket_label")

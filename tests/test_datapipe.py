@@ -1324,3 +1324,30 @@ def test_kmeans_first_class(spark):
         kmeans(df, "embedding", "vec_id", k=4, target_cluster_size=10)
     with _pytest.raises(ValueError):
         kmeans(df, "embedding", "vec_id")
+
+
+def test_quality_buckets(spark):
+    """Quantile bucketing: exact tercile boundaries, rows equal to a
+    boundary land in the LOWER bucket, labels map lowest-first."""
+    import pytest as _pytest
+
+    from samyama_graph_spark.datapipe.corpus import quality_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate([1, 1, 2, 3, 4, 5, 6, 7, 9])],
+        "id long, s double",
+    )
+    out = {
+        r["id"]: (r["bucket"], r["bucket_label"])
+        for r in quality_buckets(
+            df, "s", 3, labels=["tail", "middle", "head"]
+        ).collect()
+    }
+    # 9 rows: q1 = percentile_disc(1/3) = 2, q2 = percentile_disc(2/3) = 5
+    # bucket 0: s <= 2 (incl. the boundary tie), 1: 2 < s <= 5, 2: s > 5
+    assert [out[i][0] for i in range(9)] == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert out[0][1] == "tail" and out[4][1] == "middle" and out[8][1] == "head"
+    with _pytest.raises(ValueError):
+        quality_buckets(df, "s", 1)
+    with _pytest.raises(ValueError):
+        quality_buckets(df, "s", 3, labels=["a", "b"])
