@@ -391,10 +391,11 @@ class RdfStore:
 
         Query forms beyond SELECT: ``ASK`` returns a one-row
         ``(ask boolean)`` frame (see also :meth:`ask`); ``CONSTRUCT
-        { template } WHERE { ... }`` instantiates the template's plain
-        triples per solution and returns a distinct ``(s, p, o)``
-        frame in the store's lexical form (solutions with an unbound
-        template variable are skipped, per spec); ``DESCRIBE <iri>`` /
+        { template } WHERE { ... }`` (and the 1.1 ``CONSTRUCT WHERE
+        { plain triples }`` shorthand) instantiates the template's
+        plain triples per solution and returns a distinct ``(s, p,
+        o)`` frame in the store's lexical form (solutions with an
+        unbound template variable are skipped, per spec); ``DESCRIBE <iri>`` /
         ``DESCRIBE ?v WHERE { ... }`` returns every triple whose
         subject or object is (a binding of) the resource — a
         symmetric concise-bounded-description, computed as two
@@ -405,6 +406,8 @@ class RdfStore:
         grammar."""
         if _SPARQL_ASK_RE.match(query):
             return _sparql_ask(self, query)
+        if _SPARQL_CONSTRUCT_WHERE_RE.match(query):
+            return _sparql_construct(self, query, shorthand=True)
         if _SPARQL_CONSTRUCT_RE.match(query):
             return _sparql_construct(self, query)
         if _SPARQL_DESCRIBE_RE.match(query):
@@ -437,9 +440,18 @@ _SPARQL_CONSTRUCT_RE = re.compile(
     r"WHERE\s*\{(?P<body>.*)\}\s*"
     r"(?:LIMIT\s+(?P<limit>\d+)\s*)?$"
 )
+# SPARQL 1.1 shorthand: CONSTRUCT WHERE { plain triples } — the
+# pattern doubles as the template
+_SPARQL_CONSTRUCT_WHERE_RE = re.compile(
+    r"(?is)^\s*(?P<prefixes>(?:PREFIX\s+\S+\s+<[^>]*>\s*)*)"
+    r"CONSTRUCT\s+WHERE\s*\{(?P<body>[^{}]*)\}\s*"
+    r"(?:LIMIT\s+(?P<limit>\d+)\s*)?$"
+)
+_DESCRIBE_TERM = r"(?:\?\w+|<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*[\w-])"
 _SPARQL_DESCRIBE_RE = re.compile(
     r"(?is)^\s*(?P<prefixes>(?:PREFIX\s+\S+\s+<[^>]*>\s*)*)"
-    r"DESCRIBE\s+(?P<what>\?\w+|<[^>]*>|[A-Za-z_][\w-]*:[\w.-]*[\w-])\s*"
+    r"DESCRIBE\s+(?P<what>" + _DESCRIBE_TERM
+    + r"(?:\s+" + _DESCRIBE_TERM + r")*)\s*"
     r"(?:WHERE\s*\{(?P<body>.*)\}\s*)?$"
 )
 # one HAVING conjunct: an aggregate call or an alias/group variable,
@@ -984,21 +996,30 @@ def _sparql_ask(store: RdfStore, query: str) -> DataFrame:
     return store.spark.createDataFrame([(got,)], "ask boolean")
 
 
-def _sparql_construct(store: RdfStore, query: str) -> DataFrame:
+def _sparql_construct(
+    store: RdfStore, query: str, shorthand: bool = False
+) -> DataFrame:
     """CONSTRUCT { template } WHERE { P } -> distinct (s, p, o) frame.
 
     Each template triple becomes one projection of the solution frame
     (variables -> binding columns, constants -> literals); the
     projections union and solutions with an unbound template variable
     drop (the spec's instantiation rule).  LIMIT bounds the solution
-    sequence before instantiation."""
-    m = _SPARQL_CONSTRUCT_RE.match(query)
+    sequence before instantiation.  ``shorthand`` handles the SPARQL
+    1.1 ``CONSTRUCT WHERE { plain triples }`` form, where the pattern
+    doubles as the template."""
+    if shorthand:
+        m = _SPARQL_CONSTRUCT_WHERE_RE.match(query)
+        template = m.group("body")
+    else:
+        m = _SPARQL_CONSTRUCT_RE.match(query)
+        template = m.group("template")
     ns = _verb_ns(m.group("prefixes"))
     frame = _compile_group(store, m.group("body"), ns, [0])
     if m.group("limit"):
         frame = frame.limit(int(m.group("limit")))
     out = None
-    for stmt in _triple_statements(m.group("template")):
+    for stmt in _triple_statements(template):
         if len(stmt) % 3:
             raise ValueError(f"bad CONSTRUCT template statement {stmt!r}")
         for i in range(0, len(stmt), 3):
@@ -1028,18 +1049,29 @@ def _sparql_describe(store: RdfStore, query: str) -> DataFrame:
     able at metadata scale), never a driver collect."""
     m = _SPARQL_DESCRIBE_RE.match(query)
     ns = _verb_ns(m.group("prefixes"))
-    what = m.group("what")
-    if what.startswith("?"):
+    whats = re.findall(_DESCRIBE_TERM, m.group("what"))
+    var_whats = [w for w in whats if w.startswith("?")]
+    consts = [
+        _sparql_term(w, ns)[1] for w in whats if not w.startswith("?")
+    ]
+    frame = None
+    if var_whats:
         if not m.group("body"):
             raise ValueError("DESCRIBE ?var requires a WHERE clause")
         frame = _compile_group(store, m.group("body"), ns, [0])
-        col = f"?{what[1:]}"
+    vals = None
+    for w in var_whats:
+        col = f"?{w[1:]}"
         if col not in frame.columns:
-            raise ValueError(f"DESCRIBE variable {what} is not bound")
-        vals = frame.select(F.col(f"`{col}`").alias("val")).distinct()
-    else:
-        kind, val = _sparql_term(what, ns)
-        vals = store.spark.createDataFrame([(val,)], "val string")
+            raise ValueError(f"DESCRIBE variable {w} is not bound")
+        leg = frame.select(F.col(f"`{col}`").alias("val"))
+        vals = leg if vals is None else vals.unionByName(leg)
+    if consts:
+        cdf = store.spark.createDataFrame(
+            [(c,) for c in consts], "val string"
+        )
+        vals = cdf if vals is None else vals.unionByName(cdf)
+    vals = vals.distinct()
     base = store.df.select("s", "p", "o")
     subj = base.join(vals, base["s"] == vals["val"], "left_semi")
     obj = base.join(vals, base["o"] == vals["val"], "left_semi")

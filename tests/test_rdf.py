@@ -997,3 +997,38 @@ def test_path_closure_driver_and_distributed_agree(spark):
         for r in _path_closure(rel, driver_guard=0).collect()
     }
     assert fast == slow and len(fast) > len(pairs)
+
+
+def test_sparql_construct_where_shorthand(spark, store):
+    """SPARQL 1.1 CONSTRUCT WHERE { triples }: the pattern doubles as
+    the template — equivalent to the explicit two-block form."""
+    short = store.sparql(
+        f"PREFIX ex: <{_EX}> CONSTRUCT WHERE {{ ?a ex:knows ?b . }}"
+    ).collect()
+    full = store.sparql(
+        f"""
+        PREFIX ex: <{_EX}>
+        CONSTRUCT {{ ?a ex:knows ?b . }} WHERE {{ ?a ex:knows ?b . }}
+        """
+    ).collect()
+    s1 = {(r["s"], r["p"], r["o"]) for r in short}
+    s2 = {(r["s"], r["p"], r["o"]) for r in full}
+    assert s1 == s2 == {
+        (f"{_EX}alice", f"{_EX}knows", f"{_EX}bob"),
+        (f"{_EX}bob", f"{_EX}knows", f"{_EX}carol"),
+    }
+
+
+def test_sparql_describe_resource_list(spark, store):
+    """DESCRIBE accepts a resource list (vars and IRIs mixed): the
+    union of each resource's description."""
+    got = store.sparql(
+        f"PREFIX ex: <{_EX}> DESCRIBE ?x <{_EX}alice> WHERE {{ ?x ex:age ?a . }}"
+    ).collect()
+    triples = {(r["s"], r["p"], r["o"]) for r in got}
+    assert triples == {
+        (f"{_EX}carol", f"{_EX}age", "33"),
+        (f"{_EX}bob", f"{_EX}knows", f"{_EX}carol"),
+        (f"{_EX}alice", f"{_EX}knows", f"{_EX}bob"),
+        (f"{_EX}alice", f"{_EX}name", "Alice"),
+    }
