@@ -319,3 +319,82 @@ def test_prop_sparql_path_closure_parity(spark, edges):
         ).collect()
     }
     assert got_star == want_star
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_prop_triangle_stats_vs_bruteforce(spark, edges):
+    """The vectorized wedge-closing driver kernel must equal a literal
+    brute-force triangle count on arbitrary multigraphs (duplicates,
+    reversals, self-loops)."""
+    from samyama_graph_spark.algorithms.topology import triangle_stats
+
+    pairs = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    verts = sorted({x for e in pairs for x in e})
+    nbrs = {v: set() for v in verts}
+    for u, v in pairs:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    expect = {}
+    for v in verts:
+        t = 0
+        ns = sorted(nbrs[v])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                if (ns[i], ns[j]) in pairs:
+                    t += 1
+        expect[v] = (len(nbrs[v]), t)
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        r["id"]: (r["deg"], r["triangles"])
+        for r in triangle_stats(df).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=40,
+    ),
+    iters=st.integers(1, 3),
+)
+def test_prop_cdlp_driver_vs_naive(spark, edges, iters):
+    """The lexsort CDLP kernel must equal a literal implementation of
+    the smallest-among-most-frequent rule over the in+out neighbor
+    multiset (reciprocal edges counted twice)."""
+    from collections import Counter
+
+    from samyama_graph_spark.algorithms import cdlp
+
+    verts = sorted({x for e in edges for x in e})
+    nbr_multiset = {v: [] for v in verts}
+    for u, v in edges:
+        nbr_multiset[v].append(u)
+        nbr_multiset[u].append(v)
+    lab = {v: v for v in verts}
+    for _ in range(iters):
+        new = {}
+        for v in verts:
+            if not nbr_multiset[v]:
+                new[v] = lab[v]
+                continue
+            cnt = Counter(lab[u] for u in nbr_multiset[v])
+            top = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == top)
+        lab = new
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {
+        r["id"]: r["label"] for r in cdlp(df, iterations=iters).collect()
+    }
+    assert got == lab
