@@ -91,7 +91,12 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(spark, sf_dir, "events")
+    # NOT spread: the events entries are join/window-bound (as-of,
+    # range, rollups) — their first aggregation re-shuffles anyway, so
+    # a load-time repartition only adds an exchange (A/B measured
+    # ~+0.4 s on events_asof_join at sf0.1); the documents/embeddings
+    # entries by contrast do regex/vector work ON the scan and win.
+    return load_tables(spark, sf_dir, ["events"])["events"]
 
 
 # ------------------------------------------------------------- exact dedup
