@@ -431,7 +431,12 @@ def simhash_near_dups(
     chunk catches pairs differing in fewer than ``chunks`` chunks.
     Bucket-join per chunk, then exact popcount(xor) verification.
     """
-    sig = simhash(df, text_col, id_col)
+    # pin the signature frame: the bucket self-join consumes it on BOTH
+    # legs and Catalyst does not reuse the 60-column aggregation
+    # exchange across them (measured: the full pipeline paid the
+    # signature pass twice)
+    sig = simhash(df, text_col, id_col).persist()
+    sig.count()
     cand = _simhash_candidates(sig, chunks).select(
         "x", "y", "sx", "sy"
     ).distinct()
@@ -1078,7 +1083,9 @@ def simhash_dup_stats(
     """
     import math
 
-    sig = simhash(df, text_col, id_col)
+    # pinned for the same two-leg reuse as simhash_near_dups
+    sig = simhash(df, text_col, id_col).persist()
+    sig.count()
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
     cand = (
