@@ -121,24 +121,19 @@ def _bfs_driver(spark, pdf, source, max_depth, directed):
         parent[nn] = pp
         frontier = nn
     vis = depth >= 0
-    # parent rides as float64 (NaN = no parent) and is nulled JVM-side:
-    # nullable-Int64 pandas extension arrays need Arrow, which a vanilla
-    # session may not have enabled
-    par_f = np.where(
-        parent[vis] >= 0, vid[parent[vis]].astype(np.float64), np.nan
-    )
+    # parent rides as int64 with a -1 "no parent" sentinel and is
+    # nulled JVM-side (nullif) — never through float64/NaN, which
+    # would silently corrupt vertex ids above 2^53
+    par_l = np.where(parent[vis] >= 0, vid[parent[vis]], np.int64(-1))
     out = pd.DataFrame(
-        {"id": vid[vis], "depth": depth[vis], "parent": par_f}
+        {"id": vid[vis], "depth": depth[vis], "parent": par_l}
     )
     return spark.createDataFrame(
-        out, "id long, depth int, parent double"
+        out, "id long, depth int, parent long"
     ).select(
         "id",
         "depth",
-        F.when(F.isnan("parent"), F.lit(None))
-        .otherwise(F.col("parent"))
-        .cast("long")
-        .alias("parent"),
+        F.nullif(F.col("parent"), F.lit(-1)).alias("parent"),
     )
 
 
@@ -176,23 +171,18 @@ def _sssp_driver(spark, pdf, source, max_rounds, directed):
         parent[vv] = pp
         frontier = vv
     vis = np.isfinite(dist)
-    # float64-NaN parent + JVM-side null, as in _bfs_driver (no Arrow
-    # dependence)
-    par_f = np.where(
-        parent[vis] >= 0, vid[parent[vis]].astype(np.float64), np.nan
-    )
+    # int64 -1 sentinel + JVM-side nullif, as in _bfs_driver (ids
+    # above 2^53 survive intact)
+    par_l = np.where(parent[vis] >= 0, vid[parent[vis]], np.int64(-1))
     out = pd.DataFrame(
-        {"id": vid[vis], "dist": dist[vis], "parent": par_f}
+        {"id": vid[vis], "dist": dist[vis], "parent": par_l}
     )
     return spark.createDataFrame(
-        out, "id long, dist double, parent double"
+        out, "id long, dist double, parent long"
     ).select(
         "id",
         "dist",
-        F.when(F.isnan("parent"), F.lit(None))
-        .otherwise(F.col("parent"))
-        .cast("long")
-        .alias("parent"),
+        F.nullif(F.col("parent"), F.lit(-1)).alias("parent"),
     )
 
 

@@ -188,11 +188,17 @@ def edges_pdf_if_small(df: DataFrame, guard: int):
             return None
     if trusted:
         # trustworthy small estimate: the real count is bounded ~4x the
-        # estimate (still O(guard) rows, a few MB of Arrow), so skip
-        # the limit — CollectLimit runs the scan one-partition-at-a-
-        # time on the driver (measured 3-4x slower than the parallel
-        # scan for the same rows); a plain toPandas fans out
-        pdf = df.toPandas()
+        # estimate for typical parquet, but dictionary/RLE-heavy edge
+        # lists can compress far past that, so an UNBOUNDED toPandas
+        # here could materialize an arbitrarily large frame before the
+        # post-hoc len() check.  Bound with a widened 8x limit: a
+        # no-op Arrow-size-wise when the frame is genuinely small, and
+        # a hard ceiling (8*guard rows of Arrow, a few tens of MB)
+        # when the estimate lied.  The tight guard+1 limit is NOT used
+        # because CollectLimit's incremental partition scan measured
+        # 3-4x slower than the parallel scan for the same rows; at 8x
+        # the scale-up rounds amortize.
+        pdf = df.limit(guard * 8 + 1).toPandas()
     else:
         pdf = df.limit(guard + 1).toPandas()
     return None if len(pdf) > guard else pdf

@@ -382,6 +382,16 @@ def quality_buckets(
             for i in range(1, n_buckets)
         ]
     ).first()
+    if qs[0] is None:
+        # empty input (or all-NULL scores): percentile_disc returns
+        # NULL boundaries — emit the schema-stable frame with a NULL
+        # bucket rather than crashing on float(None)
+        out = df.withColumn("bucket", F.lit(None).cast("int"))
+        if labels is not None:
+            out = out.withColumn(
+                "bucket_label", F.lit(None).cast("string")
+            )
+        return out
     score = F.col(score_col)
     bucket = None
     for i in range(1, n_buckets):
@@ -389,7 +399,12 @@ def quality_buckets(
             score > F.lit(float(qs[f"q{i}"])), 1
         ).otherwise(0)
         bucket = step if bucket is None else bucket + step
-    out = df.withColumn("bucket", bucket.cast("int"))
+    # NULL scores get a NULL bucket (every `>` is NULL → the when-chain
+    # yields 0 otherwise, which would silently file them as lowest)
+    out = df.withColumn(
+        "bucket",
+        F.when(score.isNull(), F.lit(None)).otherwise(bucket).cast("int"),
+    )
     if labels is not None:
         lab = F.array(*[F.lit(x) for x in labels])
         out = out.withColumn(

@@ -23,6 +23,29 @@ from samyama_graph_spark.datapipe.common import (
     word_shingles,
 )
 
+# Most-recent pinned SimHash signature frame (see _pin_signature).
+_PINNED_SIGS: list[DataFrame] = []
+
+
+def _pin_signature(sig: DataFrame) -> DataFrame:
+    """Persist + eagerly materialize a signature frame that a self-join
+    consumes on BOTH legs (Catalyst does not reuse the wide aggregation
+    exchange across them).  Long-session hygiene: only the most recent
+    signature stays cached — pinning a new one unpersists the previous,
+    so repeated calls never accumulate blocks until eviction; inside an
+    ``iteration_scope`` the scope cleanup covers it as well."""
+    from samyama_graph_spark.algorithms.util import _ACTIVE_SCOPES
+
+    sig = sig.persist()
+    sig.count()
+    while _PINNED_SIGS:
+        _PINNED_SIGS.pop().unpersist(blocking=False)
+    _PINNED_SIGS.append(sig)
+    if _ACTIVE_SCOPES:
+        _ACTIVE_SCOPES[-1].append(sig)
+    return sig
+
+
 # ------------------------------------------------------------------ exact
 
 
@@ -432,11 +455,9 @@ def simhash_near_dups(
     Bucket-join per chunk, then exact popcount(xor) verification.
     """
     # pin the signature frame: the bucket self-join consumes it on BOTH
-    # legs and Catalyst does not reuse the 60-column aggregation
-    # exchange across them (measured: the full pipeline paid the
-    # signature pass twice)
-    sig = simhash(df, text_col, id_col).persist()
-    sig.count()
+    # legs (measured: without the pin the full pipeline paid the
+    # 60-column signature pass twice)
+    sig = _pin_signature(simhash(df, text_col, id_col))
     cand = _simhash_candidates(sig, chunks).select(
         "x", "y", "sx", "sy"
     ).distinct()
@@ -1084,8 +1105,7 @@ def simhash_dup_stats(
     import math
 
     # pinned for the same two-leg reuse as simhash_near_dups
-    sig = simhash(df, text_col, id_col).persist()
-    sig.count()
+    sig = _pin_signature(simhash(df, text_col, id_col))
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
     cand = (

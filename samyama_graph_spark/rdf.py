@@ -991,8 +991,13 @@ def _sparql_ask(store: RdfStore, query: str) -> DataFrame:
     any solution?  One early-terminating head(1) probe."""
     m = _SPARQL_ASK_RE.match(query)
     ns = _verb_ns(m.group("prefixes"))
-    frame = _compile_group(store, m.group("body"), ns, [0])
-    got = bool(frame.head(1))
+    if not m.group("body").strip():
+        # empty group pattern = one empty solution (SPARQL algebra
+        # unit): ASK {} is true, with no job at all
+        got = True
+    else:
+        frame = _compile_group(store, m.group("body"), ns, [0])
+        got = bool(frame.head(1))
     return store.spark.createDataFrame([(got,)], "ask boolean")
 
 
@@ -1015,7 +1020,13 @@ def _sparql_construct(
         m = _SPARQL_CONSTRUCT_RE.match(query)
         template = m.group("template")
     ns = _verb_ns(m.group("prefixes"))
-    frame = _compile_group(store, m.group("body"), ns, [0])
+    if not m.group("body").strip():
+        # empty WHERE = one empty solution: instantiate the template
+        # once (only all-constant template triples survive the
+        # unbound-variable drop below)
+        frame = store.spark.range(1)
+    else:
+        frame = _compile_group(store, m.group("body"), ns, [0])
     if m.group("limit"):
         frame = frame.limit(int(m.group("limit")))
     out = None
@@ -1026,10 +1037,18 @@ def _sparql_construct(
             cols = []
             for pos, tok in zip(("s", "p", "o"), stmt[i:i + 3]):
                 kind, val = _sparql_term(tok, ns)
-                cols.append(
-                    (F.col(f"`?{val}`") if kind == "var" else F.lit(val))
-                    .alias(pos)
-                )
+                if kind == "var":
+                    # a template variable the WHERE never binds yields
+                    # no triple (spec instantiation rule) — NULL here,
+                    # dropped by the isNotNull filter below
+                    col = (
+                        F.col(f"`?{val}`")
+                        if f"?{val}" in frame.columns
+                        else F.lit(None).cast("string")
+                    )
+                else:
+                    col = F.lit(val)
+                cols.append(col.alias(pos))
             leg = frame.select(*cols)
             out = leg if out is None else out.unionByName(leg)
     if out is None:

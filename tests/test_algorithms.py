@@ -512,6 +512,24 @@ def test_bfs_sssp_driver_and_distributed_paths_agree(spark, monkeypatch):
     assert fast_s == slow_s and len(fast_s) > 10
 
 
+def test_bfs_sssp_driver_ids_above_2_53(spark):
+    """Vertex ids above 2^53 survive the driver fast path intact:
+    parents ride as int64 with a -1 sentinel, never through float64
+    (r8 advice — NaN-in-double silently corrupted huge ids)."""
+    import samyama_graph_spark.algorithms.paths as P
+
+    big = 2**60 + 12345  # not representable in float64
+    edges = spark.createDataFrame(
+        [(1, big, 1.0), (big, 7, 2.0)], "src long, dst long, weight double"
+    )
+    b = {r["id"]: r["parent"] for r in
+         P.bfs(edges, 1, max_depth=5, parents=True).collect()}
+    assert b == {1: None, big: 1, 7: big}
+    s = {r["id"]: (r["dist"], r["parent"]) for r in
+         P.sssp(edges, 1, max_rounds=5, parents=True).collect()}
+    assert s == {1: (0.0, None), big: (1.0, 1), 7: (3.0, big)}
+
+
 def test_pagerank_driver_and_distributed_paths_agree(spark):
     """The numpy power-iteration fast path under DRIVER_EDGE_GUARD must
     match the distributed one-job-per-iteration loop to well past the

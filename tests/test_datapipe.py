@@ -1351,3 +1351,22 @@ def test_quality_buckets(spark):
         quality_buckets(df, "s", 1)
     with _pytest.raises(ValueError):
         quality_buckets(df, "s", 3, labels=["a", "b"])
+
+
+def test_quality_buckets_empty_and_null_scores(spark):
+    """Edge hardening (r8 advice): empty input yields the schema-stable
+    frame with NULL buckets instead of float(None) TypeError; NULL
+    scores bucket as NULL instead of silently landing in bucket 0."""
+    from samyama_graph_spark.datapipe.corpus import quality_buckets
+
+    empty = spark.createDataFrame([], "id long, s double")
+    out = quality_buckets(empty, "s", 3, labels=["t", "m", "h"])
+    assert [f.name for f in out.schema] == ["id", "s", "bucket", "bucket_label"]
+    assert out.count() == 0
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 5.0), (2, 9.0), (3, None)], "id long, s double"
+    )
+    got = {r["id"]: r["bucket"] for r in quality_buckets(df, "s", 3).collect()}
+    assert got[3] is None
+    assert got[0] == 0 and got[2] == 2

@@ -848,6 +848,22 @@ def test_sparql_ask(spark, store):
     # sparql() returns the one-row boolean frame form
     df = store.sparql(f"ASK {{ ?x <{_EX}knows> ?y . }}")
     assert df.columns == ["ask"] and df.first()["ask"] is True
+    # spec algebra unit: the empty group pattern has exactly one
+    # (empty) solution, so ASK {} is true (r8 advice fix)
+    assert store.ask("ASK { }")
+    assert store.ask("ASK WHERE {}")
+
+
+def test_sparql_construct_empty_where(spark, store):
+    """CONSTRUCT with an empty WHERE instantiates the template once:
+    constant triples materialize, variable triples drop (r8 advice)."""
+    got = store.sparql(
+        f"CONSTRUCT {{ <{_EX}a> <{_EX}p> <{_EX}b> . ?x <{_EX}q> ?y . }} "
+        "WHERE { }"
+    ).collect()
+    assert [(r["s"], r["p"], r["o"]) for r in got] == [
+        (f"{_EX}a", f"{_EX}p", f"{_EX}b")
+    ]
 
 
 def test_sparql_construct(spark, store):
