@@ -85,7 +85,72 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — diagnostics only
             return -1
 
-    for name, spec in sorted(bench_set.items()):
+    def session_health() -> dict:
+        """Per-entry session snapshot: JVM heap in use, live threads,
+        and shuffle/local-dir file accumulation — the evidence needed
+        to pin in-suite slowdowns on a specific leaking resource."""
+        out: dict[str, int] = {}
+        try:
+            jvm = spark.sparkContext._jvm
+            rt = jvm.java.lang.Runtime.getRuntime()
+            out["heap_mb"] = int(
+                (rt.totalMemory() - rt.freeMemory()) / 1048576
+            )
+            out["threads"] = (
+                jvm.java.lang.management.ManagementFactory
+                .getThreadMXBean().getThreadCount()
+            )
+        except Exception:  # noqa: BLE001 — diagnostics only
+            pass
+        try:
+            import glob
+
+            files = 0
+            by = 0
+            for d in glob.glob("/tmp/blockmgr-*"):
+                for root, _dirs, fs in os.walk(d):
+                    files += len(fs)
+                    for fn in fs:
+                        try:
+                            by += os.path.getsize(os.path.join(root, fn))
+                        except OSError:
+                            pass
+            out["shuffle_files"] = files
+            out["shuffle_mb"] = by // 1048576
+        except Exception:  # noqa: BLE001 — diagnostics only
+            pass
+        return out
+
+    # Sweep order (r8 verdict: the in-suite inflation of the floor-
+    # sensitive entries tracked SESSION HISTORY, not any predecessor):
+    # three bands instead of one alphabetical pass —
+    #   0: structured-streaming entries FIRST — their micro-batch
+    #      machinery (state-store providers, per-batch listener
+    #      traffic) is the most sensitive to accumulated session
+    #      state, and measured 1.5-2x inflated when run last;
+    #   1: job-floor-bound entries (point reads, iterative graph
+    #      kernels, the 12-statement write pipeline) while the JVM
+    #      thread pools / heap are still small;
+    #   2: shuffle/heap-heavy datapipe entries LAST — they're
+    #      throughput-bound, so accumulated state costs them the
+    #      least, and their 1-2 GB heap spikes stop landing in front
+    #      of floor-sensitive neighbors.
+    # Alphabetical within a band keeps the order deterministic.
+    _HEAVY = {
+        "corpus_pipeline_e2e", "dedup_exact", "minhash_lsh_dedup",
+        "ngram_jaccard_block", "simhash_dedup", "substring_span_dedup",
+        "embedding_kmeans", "semdedup_verdicts", "quality_quantile_buckets",
+        "text_metrics", "text_fingerprints", "knn_ivf_top10",
+        "multimodal_png_stats", "sequence_packing", "events_asof_join",
+    }
+
+    def band(name: str) -> int:
+        if name.startswith("streaming_"):
+            return 0
+        return 2 if name in _HEAVY else 1
+
+    ordered = sorted(bench_set.items(), key=lambda kv: (band(kv[0]), kv[0]))
+    for name, spec in ordered:
         print(f"# bench: {name}", file=sys.stderr, flush=True)
         samples: list[float] = []
         failed = False
@@ -106,6 +171,7 @@ def main() -> None:
         env[name] = {
             "load1": round(load_entry, 2),
             "gc_ms": jvm_gc_ms() - gc0,
+            **session_health(),
         }
         if failed or not samples:
             timings[name] = -1.0

@@ -1531,8 +1531,50 @@ def _path_rel(store: RdfStore, node, identity) -> DataFrame:
     raise ValueError(f"unsupported property path node {kind!r}")
 
 
+def _closure_pairs_vec(src_idx, dst_idx, n: int, pair_budget: int):
+    """Transitive closure over integer vertex indices as (root, node)
+    pairs via SIMULTANEOUS multi-source BFS on a CSR view — per round
+    one flat neighbor gather + one unique-key dedup, all numpy (the
+    same kernel family as algorithms/paths._bfs_driver; no per-source
+    Python loop).  Returns (roots, nodes) arrays, or None when the
+    closure exceeds ``pair_budget`` pairs (dense reachability can be
+    O(V^2) — the caller falls back to the distributed loop rather
+    than materializing that on the driver)."""
+    import numpy as np
+
+    from samyama_graph_spark.algorithms.paths import _csr
+
+    dd, indptr, _ = _csr(src_idx, dst_idx, n)
+    # pair key = root * n + node (n < 2^31 here, so no int64 overflow)
+    base_keys = np.unique(src_idx.astype(np.int64) * n + dst_idx)
+    seen = base_keys
+    frontier = base_keys
+    while frontier.size:
+        fr, fn = frontier // n, frontier % n
+        starts, ends = indptr[fn], indptr[fn + 1]
+        counts = ends - starts
+        total = int(counts.sum())
+        if total == 0:
+            break
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        idx = np.repeat(starts - offs, counts) + np.arange(total)
+        keys = np.repeat(fr, counts) * n + dd[idx]
+        keys = np.unique(keys)
+        # drop pairs already known (sorted-merge membership test;
+        # seen is non-empty inside the loop — it starts as base_keys)
+        pos = np.minimum(np.searchsorted(seen, keys), seen.size - 1)
+        fresh = keys[seen[pos] != keys]
+        if fresh.size == 0:
+            break
+        if seen.size + fresh.size > pair_budget:
+            return None
+        seen = np.union1d(seen, fresh)
+        frontier = fresh
+    return seen // n, seen % n
+
+
 def _path_closure(
-    rel: DataFrame, max_rounds: int = 20, driver_guard: int = 5_000
+    rel: DataFrame, max_rounds: int = 20, driver_guard: int = 50_000
 ) -> DataFrame:
     """Transitive closure (distinct node pairs) by path doubling: each
     round joins the reachable-pair set with itself, so round r covers
@@ -1542,34 +1584,41 @@ def _path_closure(
     recomputable union-distinct chain.
 
     Driver fast path (same pattern as the graph algorithms' edge
-    guard): below ``driver_guard`` base pairs the closure settles as
-    per-source BFS on the driver — RDF predicate relations in a query
-    are usually metadata-scale, and each doubling round otherwise
-    costs two scheduled jobs.  The distributed loop is the ≥guard
-    path; both yield the same distinct pair set."""
+    guard): below ``driver_guard`` base pairs the closure settles via
+    the vectorized multi-source-BFS kernel (_closure_pairs_vec, the
+    numpy CSR family the algorithms package uses — r8 advice replaced
+    the old Python-dict BFS and raised the guard 10x to match) — RDF
+    predicate relations in a query are usually metadata-scale, and
+    each doubling round otherwise costs two scheduled jobs.  The
+    distributed loop is the ≥guard path, and also the fallback when
+    the closure itself would exceed ~4M pairs on the driver; all
+    paths yield the same distinct pair set."""
     from samyama_graph_spark.algorithms.util import edges_pdf_if_small
 
     base = rel.select("__ps", "__po")
     pdf = edges_pdf_if_small(base, driver_guard)
     if pdf is not None:
-        adj: dict = {}
-        for s, o in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
-            adj.setdefault(s, set()).add(o)
-        pairs: list = []
-        for src in adj:
-            seen: set = set()
-            stack = list(adj[src])
-            while stack:
-                v = stack.pop()
-                if v in seen:
-                    continue
-                seen.add(v)
-                stack.extend(adj.get(v, ()))
-            pairs.extend((src, v) for v in seen)
+        import numpy as np
+        import pandas as pd
+
         spark = rel.sparkSession
-        if not pairs:
+        if len(pdf) == 0:
             return spark.createDataFrame([], "__ps string, __po string")
-        return spark.createDataFrame(pairs, "__ps string, __po string")
+        s = pdf.iloc[:, 0].to_numpy(dtype=object)
+        o = pdf.iloc[:, 1].to_numpy(dtype=object)
+        # factorize IRI/literal strings to dense indices for the kernel
+        vid = np.unique(np.concatenate([s, o]))
+        si = np.searchsorted(vid, s)
+        oi = np.searchsorted(vid, o)
+        got = _closure_pairs_vec(si, oi, int(vid.size), pair_budget=4_000_000)
+        if got is not None:
+            roots, nodes = got
+            out = pd.DataFrame({"__ps": vid[roots], "__po": vid[nodes]})
+            return spark.createDataFrame(
+                out, "__ps string, __po string"
+            )
+        # closure too dense for the driver: fall through to the
+        # distributed doubling loop below
     paths = base.distinct().persist()
     n = paths.count()
     for _ in range(max_rounds):

@@ -553,20 +553,26 @@ GATE_ORDER: list[str] = [
     "node_scan_filter",
     "node_by_id",
     "label_edge_counts",
-    # Cypher engine end-to-end (§2 #6-33, 41-47, 60-61)
+    # Cypher engine end-to-end (§2 #6-33, 41-47, 60-61).  Round-9
+    # rotation: four narrow Cypher-twin rows left the gate for the new
+    # r8 curation operators (below) — their operator families keep
+    # LIVE gate coverage through richer rows: OPTIONAL MATCH via
+    # ldbc_ic1/ic10 (left-join legs with real rows), EXISTS/NOT EXISTS
+    # semi/anti via ldbc_ic10, WITH-barrier + UNWIND via
+    # cypher_call_subquery and the write pipeline's UNWIND $rows MERGE
+    # ingestion, CASE/expression projection via ldbc_bi4 and
+    # text_metrics; all four rotated-out rows (cypher_optional_match,
+    # cypher_exists, cypher_with_unwind, cypher_case_projection) stay
+    # REGISTRY+pytest DuckDB-oracled.
     "cypher_flagship",
     "cypher_two_hop_agg",
-    "cypher_optional_match",
-    "cypher_exists",
     # UNION family: BI-1 unions two COMPLETE aggregate queries (the
     # richer exercise of the same executor path — the reference parses
     # but cannot execute it, executor/mod.rs:2828); the plain
     # cypher_union row stays pytest-oracled
     "ldbc_bi1_posting_summary",
-    "cypher_with_unwind",
     "order_skip_limit",
     "agg_stats",
-    "cypher_case_projection",
     "cypher_var_length",
     "cypher_shortest_paths",
     "cypher_call_subquery",
@@ -593,6 +599,12 @@ GATE_ORDER: list[str] = [
     "minhash_lsh_dedup",
     "ngram_jaccard_block",
     "simhash_dedup",
+    # r9 rotation in: exact substring-span dedup (Lee et al. 2022's
+    # span-level signal, oracled shingle-join + count) and the
+    # spherical k-means curation partition (seeds + one Lloyd round
+    # replayed in SQL, every per-vector cluster id hash-checked)
+    "substring_span_dedup",
+    "embedding_kmeans",
     # embedding-dedup family: SemDeDup is the richer row (deterministic
     # clustering + exact within-cluster cosine + survivor verdicts, all
     # replayed); the LSH-bucketed pair miner stays pytest-oracled
@@ -600,9 +612,14 @@ GATE_ORDER: list[str] = [
     "knn_lsh_top10",
     "knn_ivf_top10",
     # text analysis (metrics entry also carries normalization columns;
-    # fingerprints entry also carries the BPE pre-tokenizer counts)
+    # fingerprints entry also carries the BPE pre-tokenizer counts);
+    # r9 rotation in: CCNet head/middle/tail quality-quantile
+    # bucketing (exact percentile boundaries + per-doc buckets
+    # hash-checked; BPE merge training stays pytest-pinned — its
+    # per-round argmax is not SQL-expressible)
     "text_metrics",
     "text_fingerprints",
+    "quality_quantile_buckets",
     # training-data pipeline end-to-end: gate -> exact dedup -> MinHash
     # near-dup closure -> split, composed oracle (subsumes the
     # dedup_clusters closure row and the doc_split_sample split row,
@@ -630,13 +647,15 @@ GATE_ORDER: list[str] = [
     # members (incl. Jaya at or_solve_convex's exact config) against
     # the same analytic optimum; the single-algorithm row stays pytest
     "or_solve_portfolio",
-    # RDF / SPARQL (§2 #62): one gate row for the family — property
-    # paths (transitive closure ex:next+ composed in a /-sequence,
-    # oracled by a DuckDB recursive CTE) is the deepest machinery;
+    # RDF / SPARQL (§2 #62): property paths (transitive closure
+    # ex:next+ composed in a /-sequence, oracled by a DuckDB recursive
+    # CTE) is the deepest machinery; r9 rotation adds CONSTRUCT
+    # (template instantiation + distinct triples, full SQL oracle);
     # rdf_sparql_bgp, rdf_sparql_modifiers (FILTER/OPTIONAL/ORDER/
     # OFFSET) and rdf_sparql_aggregates (UNION groups + GROUP BY
     # COUNT/SUM/MAX) stay pytest-oracled
     "rdf_sparql_paths",
+    "rdf_sparql_construct",
     # structured streaming
     "streaming_windows",
     "streaming_stateful_totals",

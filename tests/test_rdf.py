@@ -1015,6 +1015,38 @@ def test_path_closure_driver_and_distributed_agree(spark):
     assert fast == slow and len(fast) > len(pairs)
 
 
+def test_path_closure_vec_kernel_and_budget_fallback(spark):
+    """The vectorized multi-source-BFS closure kernel (r8 advice:
+    replaced the dict BFS with the numpy CSR family): chain + cycle +
+    self-loop exactness, and a tiny pair budget returns None so
+    _path_closure falls back to the distributed loop."""
+    import numpy as np
+
+    from samyama_graph_spark.rdf import _closure_pairs_vec, _path_closure
+
+    # 0->1->2->3 chain with a 3->1 back edge (cycle) and 0->0 self-loop
+    src = np.array([0, 1, 2, 3, 0], dtype=np.int64)
+    dst = np.array([1, 2, 3, 1, 0], dtype=np.int64)
+    roots, nodes = _closure_pairs_vec(src, dst, 4, pair_budget=1_000)
+    got = set(zip(roots.tolist(), nodes.tolist()))
+    want = {(0, 0), (0, 1), (0, 2), (0, 3),
+            (1, 1), (1, 2), (1, 3),
+            (2, 1), (2, 2), (2, 3),
+            (3, 1), (3, 2), (3, 3)}
+    assert got == want
+    assert _closure_pairs_vec(src, dst, 4, pair_budget=5) is None
+    # end-to-end: a dense 20-clique closure exceeds a tiny budget only
+    # in the kernel; _path_closure must still answer via the
+    # distributed doubling loop with identical pairs
+    pairs = [(f"v{i}", f"v{j}") for i in range(12) for j in range(12)
+             if i != j]
+    rel = spark.createDataFrame(pairs, "__ps string, __po string")
+    fast = {(r["__ps"], r["__po"]) for r in _path_closure(rel).collect()}
+    slow = {(r["__ps"], r["__po"])
+            for r in _path_closure(rel, driver_guard=0).collect()}
+    assert fast == slow and len(fast) == 144  # full clique incl. i->i
+
+
 def test_sparql_construct_where_shorthand(spark, store):
     """SPARQL 1.1 CONSTRUCT WHERE { triples }: the pattern doubles as
     the template — equivalent to the explicit two-block form."""
