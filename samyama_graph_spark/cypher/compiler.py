@@ -179,22 +179,39 @@ class Compiler:
         return edges
 
     def _node_source(self, label: str | None, var: str) -> DataFrame:
-        """One-struct-column DataFrame for a node variable."""
+        """One-struct-column DataFrame for a node variable.
+
+        Memoized on the graph object, validated by the label table's
+        frame identity (a write to the label swaps the frame and the
+        entry self-invalidates; ``_carry_stats_from`` copies the cache
+        across versions so untouched labels keep their hit).  The
+        struct-packing select costs ~3 py4j round trips per column —
+        ~40 ms per call on a wide table, paid once per (label, var)
+        instead of once per statement in interactive write sessions."""
         if label is not None:
-            try:
-                df = self.g.node_df(label)
-            except KeyError:
+            cache = self.g.__dict__.setdefault("_nodesrc_cache", {})
+            cur = self.g.nodes.get(label)
+            hit = cache.get((label, var))
+            if hit is not None and hit[0] is cur and cur is not None:
+                return hit[1]
+            df = cur
+            if df is None:
                 # unknown label matches nothing (reference label_index
                 # miss -> empty scan, operator.rs:1981), not an error
                 df = self.g.spark.createDataFrame([], "id long")
             fields = [F.col(c).alias(c) for c in df.columns]
             fields.append(F.array(F.lit(label)).alias("_labels"))
-        else:
-            df = self.g.unified_nodes()
-            fields = [
-                F.col(c).alias(c) for c in df.columns if c != "labels"
-            ]
-            fields.append(F.col("labels").alias("_labels"))
+            out = df.select(F.struct(*fields).alias(var))
+            if cur is not None:
+                cache[(label, var)] = (cur, out)
+            return out
+        # the unified (label-less) source depends on EVERY table's
+        # identity — not worth a composite validator; built per call
+        df = self.g.unified_nodes()
+        fields = [
+            F.col(c).alias(c) for c in df.columns if c != "labels"
+        ]
+        fields.append(F.col("labels").alias("_labels"))
         return df.select(F.struct(*fields).alias(var))
 
     def _edge_source(self, types: list[str], var: str, direction: str) -> DataFrame:

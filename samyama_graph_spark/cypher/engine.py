@@ -93,10 +93,22 @@ class CypherEngine:
 
     @property
     def graph(self) -> PropertyGraph:
+        # staged literal CREATEs (see _try_stage_literal_create) must
+        # become visible to ANY graph access — reads, procedures,
+        # direct callers — so the getter is the flush barrier
+        if getattr(self, "_staged", None):
+            self._flush_staged()
         return self._graph
 
     @graph.setter
     def graph(self, g: PropertyGraph) -> None:
+        # an external swap while CREATEs are staged: apply them to the
+        # graph they targeted first (the swap then discards that
+        # version, same as it discards any other prior write)
+        if getattr(self, "_staged", None) and getattr(
+            self, "_graph", None
+        ) is not g:
+            self._flush_staged()
         # The id-allocation watermark is only valid for graphs produced
         # by this engine's own write path; a caller swapping in a
         # different graph must not inherit it (stale hints could mint
@@ -106,11 +118,188 @@ class CypherEngine:
             self._id_hint = None
         self._graph = g
 
+    # ------------------------------------------------- staged literal writes
+    def _ensure_id_base(self) -> int:
+        """Current next-free-id watermark, scanning max(id) per table
+        only on the first write of a session (same contract as
+        WriteExecutor._next_id_base)."""
+        from pyspark.sql import functions as F
+
+        if getattr(self, "_id_hint", None) is None:
+            cur = 0
+            for df in self._graph.nodes.values():
+                m = df.agg(F.max("id")).first()[0]
+                if m is not None:
+                    cur = max(cur, int(m))
+            self._id_hint = cur + 1
+        return self._id_hint
+
+    def _try_stage_literal_create(
+        self, sq, params: dict[str, Any] | None
+    ) -> DataFrame | None:
+        """Stage an all-literal CREATE statement (no reads, no RETURN)
+        instead of materializing a graph version for it.
+
+        Consecutive literal CREATEs — the fixture-build and interactive-
+        ingest hot path — fold into ONE multi-row LocalRelation per
+        label/edge-type at the next graph access, so a run of N
+        statements costs one graph version and one union layer instead
+        of N of each (plus zero WriteExecutor/Catalyst work per
+        statement now).  Ids are minted driver-side from the same
+        watermark the write path uses; the returned summary frame is
+        identical to the eager path's.  Returns None when the statement
+        needs the full executor (bound vars, computed properties,
+        RETURN), which also flushes anything already staged."""
+        from samyama_graph_spark.cypher import ast as A
+        from samyama_graph_spark.cypher.writes import (
+            CompileError,
+            _literal_row,
+            _sql_literal,
+            _static_value,
+        )
+
+        if sq.ret is not None or not sq.clauses:
+            return None
+        if not all(isinstance(c, A.CreateClause) for c in sq.clauses):
+            return None
+        p = params or {}
+        # pass 1 — validate + build row specs WITHOUT touching engine
+        # state, so a non-stageable statement (computed props, missing
+        # label/type, unencodable value) falls back cleanly to the
+        # eager path, which raises the canonical error
+        specs: list[tuple[list[str], list[dict], list]] = []
+        try:
+            for clause in sq.clauses:
+                for path in clause.paths:
+                    labels = []
+                    rows = []
+                    for np in path.nodes:
+                        label = np.labels[0] if np.labels else None
+                        if label is None:
+                            return None
+                        props = {
+                            k: _static_value(v, p)
+                            for k, v in np.properties.items()
+                        }
+                        for v in props.values():
+                            _sql_literal(v)  # must be SQL-encodable
+                        labels.append(label)
+                        rows.append(props)
+                    erows = []
+                    for i, ep in enumerate(path.edges):
+                        et = ep.types[0] if ep.types else None
+                        if et is None:
+                            return None
+                        props = {
+                            k: _static_value(v, p)
+                            for k, v in ep.properties.items()
+                        }
+                        for v in props.values():
+                            _sql_literal(v)
+                        erows.append((i, ep, et, props))
+                    specs.append((labels, rows, erows))
+        except (CompileError, KeyError):
+            return None
+        # pass 2 — mint ids and stage (no fallible steps left)
+        staged_nodes: list[tuple[str, dict]] = []
+        staged_edges: list[tuple[str, dict, str, str]] = []
+        n_new = 0
+        for labels, rows, erows in specs:
+            base = self._ensure_id_base()
+            ids = list(range(base, base + len(rows)))
+            self._id_hint = base + len(rows)
+            for label, props, nid in zip(labels, rows, ids):
+                staged_nodes.append((label, {"id": nid, **props}))
+            for i, ep, et, props in erows:
+                si, di = (i, i + 1) if ep.direction != "in" else (i + 1, i)
+                staged_edges.append((
+                    et,
+                    {"src": ids[si], "dst": ids[di], **props},
+                    labels[si],
+                    labels[di],
+                ))
+            n_new += len(rows)
+        st = getattr(self, "_staged", None) or {"nodes": {}, "edges": []}
+        for label, row in staged_nodes:
+            st["nodes"].setdefault(label, []).append(row)
+        st["edges"].extend(staged_edges)
+        self._staged = st
+        # at-rest vector layouts go stale the moment the write is
+        # ACCEPTED (not just at flush): queryNodes must brute-force
+        # against the post-write graph — same contract as the eager path
+        for idx in self.catalog.indexes.values():
+            if idx.kind == "vector":
+                idx.options.pop("layout_path", None)
+        return _literal_row(
+            self._graph.spark,
+            {
+                "nodes_created": n_new,
+                "edges_created": len(staged_edges),
+                "properties_set": 0,
+                "nodes_deleted": 0,
+            },
+        )
+
+    def _flush_staged(self) -> None:
+        """Apply every staged literal CREATE as ONE batched append per
+        label/edge-type, producing a single new graph version (with the
+        same touched-table, vector-index-invalidation, version-bump,
+        and periodic-compaction bookkeeping as the eager write path)."""
+        from samyama_graph_spark.cypher.writes import (
+            WriteExecutor,
+            _literal_rows,
+        )
+
+        st = self._staged
+        self._staged = None
+        spark = self._graph.spark
+        wx = WriteExecutor(self._graph, {}, id_hint=self._id_hint)
+        for label, rows in st["nodes"].items():
+            cols = ["id"]
+            for r in rows:
+                cols.extend(k for k in r if k not in cols)
+            wx._append_nodes(
+                label, _literal_rows(spark, cols, rows), n=len(rows)
+            )
+        groups: dict[tuple[str, str, str], list[dict]] = {}
+        for et, row, sl, dl in st["edges"]:
+            groups.setdefault((et, sl, dl), []).append(row)
+        for (et, sl, dl), rows in groups.items():
+            cols = ["src", "dst"]
+            for r in rows:
+                cols.extend(k for k in r if k not in cols)
+            wx._append_edges(
+                et,
+                _literal_rows(spark, cols, rows),
+                n=len(rows),
+                src_label=sl,
+                dst_label=dl,
+            )
+        new_graph = wx._current_graph()
+        touched = getattr(self, "_touched_tables", set())
+        touched.update(("n", k) for k in st["nodes"])
+        touched.update(("e", et) for et, *_ in st["edges"])
+        self._touched_tables = touched
+        self._graph = new_graph  # direct: the id watermark stays valid
+        for idx in self.catalog.indexes.values():
+            if idx.kind == "vector":
+                idx.options.pop("layout_path", None)
+        self.catalog.version += 1
+        self._id_hint = wx.id_hint
+        self._writes = getattr(self, "_writes", 0) + 1
+        if self._writes % 8 == 0:
+            self._graph = self._graph.compacted(touched=self._touched_tables)
+            self._touched_tables = set()
+
     def _try_ddl(self, text: str) -> DataFrame | None:
         """DDL short-circuit before parsing (the reference planner does
         the same, planner.rs:293-378).  Index DDL is metadata on Spark
-        — parquet stats/partition pruning replace B-trees (catalog.py)."""
-        spark = self.graph.spark
+        — parquet stats/partition pruning replace B-trees (catalog.py).
+        Raw ``_graph`` here: catalog DDL needs only the session, and the
+        property getter would otherwise flush staged CREATEs on every
+        statement; paths that DO read graph data (ANALYZE, procedures,
+        SHOW label estimates) use ``self.graph`` below and flush."""
+        spark = self._graph.spark
         m = _DDL_INDEX.match(text)
         if m:
             props = [p.strip() for p in m.group(3).split(",")]
@@ -266,6 +455,13 @@ class CypherEngine:
             return ddl
         ast = self._parse_cached(text)
         if len(ast.parts) == 1 and has_write_clause(ast.parts[0]):
+            # all-literal CREATE: stage it (folds consecutive CREATE
+            # statements into one batched graph version at the next
+            # graph access) instead of paying a WriteExecutor pass and
+            # a union layer per statement
+            staged = self._try_stage_literal_create(ast.parts[0], params)
+            if staged is not None:
+                return staged
             wx = WriteExecutor(
                 self.graph, params, id_hint=getattr(self, "_id_hint", None)
             )

@@ -405,7 +405,10 @@ class PropertyGraph:
         gates the WCOJ broadcast (a memory-safety decision) — a stale
         low estimate after bulk CREATEs could authorize broadcasting a
         multi-GB adjacency side."""
-        attrs = ["_count_cache", "_deg_cache"]
+        # _nodesrc_cache entries validate by frame identity at lookup
+        # (compiler._node_source), so carrying them is always safe:
+        # untouched labels keep their hit, written labels self-miss
+        attrs = ["_count_cache", "_deg_cache", "_nodesrc_cache"]
         if edge_counts:
             attrs.append("_ecount_cache")
         for attr in attrs:

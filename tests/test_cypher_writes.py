@@ -335,3 +335,44 @@ def test_unwind_bulk_merge_multi_key_and_nulls(spark):
     assert (
         eng.query("MATCH (n:Pair) RETURN count(*) AS c").first()["c"] == 3
     )
+
+
+def test_staged_literal_creates_fold_and_flush(spark):
+    """Consecutive all-literal CREATE statements stage instead of
+    producing one graph version each: a run of N statements is ONE
+    batched append per label at the next graph access.  Semantics are
+    identical to the eager path — ids mint in statement order, the
+    per-statement summary counters match, and the first read sees all
+    staged rows; a computed-property CREATE falls back to the eager
+    executor (after flushing)."""
+    from samyama_graph_spark.cypher.engine import CypherEngine
+    from samyama_graph_spark.graph import PropertyGraph
+
+    eng = CypherEngine(PropertyGraph(spark, {}, {}))
+    s1 = eng.query("CREATE (a:P {name: 'a'})").collect()[0]
+    assert (s1.nodes_created, s1.edges_created) == (1, 0)
+    s2 = eng.query(
+        "CREATE (b:P {name: 'b'})-[:R {w: 2}]->(c:Q {name: 'c'})"
+    ).collect()[0]
+    assert (s2.nodes_created, s2.edges_created) == (2, 1)
+    assert eng._staged is not None  # nothing flushed yet
+    eng.query("CREATE (d:P {name: 'd', tags: ['x', 'y']})")
+    # parameters resolve at stage time like the eager path
+    eng.query("CREATE (e:P {name: $nm})", {"nm": "it's"})
+    got = {
+        r["name"]: r["id"]
+        for r in eng.query("MATCH (p:P) RETURN p.name AS name, id(p) AS id")
+        .collect()
+    }
+    assert eng._staged is None  # the read flushed
+    assert sorted(got) == ["a", "b", "d", "it's"]
+    assert got["a"] < got["b"] < got["d"] < got["it's"]  # statement order
+    edge = eng.query(
+        "MATCH (x:P)-[r:R]->(y:Q) "
+        "RETURN x.name AS xn, y.name AS yn, r.w AS w"
+    ).collect()
+    assert [(e.xn, e.yn, e.w) for e in edge] == [("b", "c", 2)]
+    lst = eng.query(
+        "MATCH (p:P {name: 'd'}) RETURN p.tags AS tags"
+    ).first()["tags"]
+    assert list(lst) == ["x", "y"]
