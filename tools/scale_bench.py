@@ -53,6 +53,10 @@ ENTRIES = [
     "substring_span_dedup",
     "sssp_weighted",
     "dedup_exact",
+    # round-9 extensions: the newly gate-rotated curation operators
+    # (one Lloyd round of spherical k-means; CCNet quantile bucketing)
+    "embedding_kmeans",
+    "quality_quantile_buckets",
 ]
 
 
