@@ -411,3 +411,95 @@ def quality_buckets(
             "bucket_label", F.element_at(lab, F.col("bucket") + 1)
         )
     return out
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, table A1)
+    as one MAP-ONLY projection: per-document metrics plus the combined
+    ``passes`` verdict.
+
+    Metrics (all computed with JVM higher-order functions on the
+    split arrays — zero shuffles, zero Python, so the filter runs at
+    full scan speed on 100 TB):
+
+    - ``n_words`` / ``mean_word_len`` — whitespace tokens;
+    - ``alpha_word_frac`` — fraction of words containing a letter;
+    - ``symbol_word_ratio`` — '#' and '...'/'…' occurrences per word;
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` — newline-split
+      lines starting with a bullet / ending with an ellipsis;
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — duplicate-line and
+      duplicate-line-character fractions (array_distinct delta — the
+      within-document dedup signal, no explode needed);
+    - ``stop_hits`` — DISTINCT members of the 8-word Gopher stop list
+      present ('the be to of and that have with').
+
+    ``passes`` applies the paper's thresholds: 50 <= n_words <= 100000,
+    3 <= mean_word_len <= 10, symbol_word_ratio <= 0.1,
+    bullet_line_frac <= 0.9, ellipsis_line_frac <= 0.3,
+    alpha_word_frac >= 0.8, stop_hits >= 2, dup_line_frac <= 0.3,
+    dup_line_char_frac <= 0.3.
+    """
+    text = F.col(text_col)
+    words = F.filter(tokens(text), lambda w: w != F.lit(""))
+    lines = F.split(text, "\n")
+    n_words = F.size(words)
+    sum_word_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ell = (
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3
+        + F.length(text) - F.length(F.replace(text, F.lit("…")))
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))
+    )
+    n_ell_line = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("(\\.\\.\\.|…)$"))
+    )
+    dlines = F.array_distinct(lines)
+    sum_line_len = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    sum_dline_len = F.aggregate(
+        dlines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    stops = F.array(*[
+        F.lit(s)
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+    ])
+    stop_hits = F.size(
+        F.array_intersect(F.transform(words, F.lower), stops)
+    )
+
+    def frac(num, den):
+        return F.when(den > 0, F.round(num / den, 6)).otherwise(0.0)
+
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        frac(sum_word_len, n_words).alias("mean_word_len"),
+        frac(n_alpha, n_words).alias("alpha_word_frac"),
+        frac(n_hash + n_ell, n_words).alias("symbol_word_ratio"),
+        frac(n_bullet, n_lines).alias("bullet_line_frac"),
+        frac(n_ell_line, n_lines).alias("ellipsis_line_frac"),
+        frac(n_lines - F.size(dlines), n_lines).alias("dup_line_frac"),
+        frac(sum_line_len - sum_dline_len, sum_line_len).alias(
+            "dup_line_char_frac"
+        ),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("dup_line_char_frac") <= 0.3),
+    )

@@ -348,8 +348,10 @@ class RdfStore:
         numeric/non-numeric bindings group numerics first in either
         direction).  OPTIONAL and UNION nest recursively (each
         OPTIONAL body is a full group, so FILTERs and further
-        OPTIONAL/UNION inside it work; a nested FILTER sees only its
-        own group's variables).
+        OPTIONAL/UNION inside it work; a nested FILTER may reference
+        outer-group variables, in which case it becomes part of the
+        left-join condition per the spec's LeftJoin(P1, P2, expr)
+        algebra — a failing row keeps the outer binding unextended).
 
         Property paths (SPARQL 1.1 §9): the predicate position accepts
         ``^path`` inverse, ``p1/p2`` sequence, ``p1|p2`` alternative,
@@ -487,14 +489,22 @@ def _sparql_term(tok: str, ns: NamespaceRegistry):
     return ("value", ns.expand(tok))
 
 
-def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
+def _compile_group(
+    store: RdfStore, body: str, ns, counter,
+    outer_vars: frozenset = frozenset(), deferred: list | None = None,
+) -> DataFrame:
     """One group's pattern algebra, RECURSIVE: a union-of-groups body
     compiles each branch and concatenates by name; otherwise BGP
     joins, then OPTIONAL left joins (each OPTIONAL body is itself a
     full group, so OPTIONAL and UNION nest), then FILTER predicates —
-    the result has one ``?var`` column per bound variable.  FILTERs
-    inside an OPTIONAL see only that group's variables (outer-variable
-    references in nested filters are not supported)."""
+    the result has one ``?var`` column per bound variable.
+
+    A FILTER inside an OPTIONAL may reference OUTER variables (the
+    spec's LeftJoin(P1, P2, expr) algebra): when ``deferred`` is given
+    (the OPTIONAL compile path passes it), top-level filters whose
+    variables are not all bound in this group but ARE covered by
+    ``outer_vars`` are returned via ``deferred`` and become part of
+    the caller's left-join condition instead of an inner filter."""
     unioned = _union_groups(body)
     if unioned is not None:
         frames = [_compile_group(store, g, ns, counter) for g in unioned]
@@ -541,13 +551,48 @@ def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
     if frame is None:
         raise ValueError("empty group pattern")
     for opt in optionals:
-        of = _compile_group(store, opt, ns, counter)
+        opt_deferred: list[str] = []
+        of = _compile_group(
+            store, opt, ns, counter,
+            outer_vars=frozenset(
+                c for c in frame.columns if c.startswith("?")
+            ),
+            deferred=opt_deferred,
+        )
         if of is None:
             continue
         shared = [
             c for c in of.columns
             if c in frame.columns and c.startswith("?")
         ]
+        if opt_deferred:
+            # LeftJoin(P1, P2, expr): the outer-referencing FILTER is
+            # part of the JOIN CONDITION — a failing row keeps the
+            # outer binding with NULL extension, it does not drop it
+            # (which a post-join filter would wrongly do)
+            import functools as _ft
+            import operator as _op
+
+            of_cols = set(of.columns)
+
+            def _resolve(name, _L=frame, _R=of, _rc=of_cols):
+                col = f"?{name}"
+                return _R[col] if col in _rc else _L[col]
+
+            cond = _ft.reduce(
+                _op.and_,
+                [frame[c] == of[c] for c in shared],
+                F.lit(True),
+            )
+            for fexpr in opt_deferred:
+                cond = cond & _sparql_filter(fexpr, ns, var_col=_resolve)
+            keep_l = [frame[c].alias(c) for c in frame.columns]
+            keep_r = [
+                of[c].alias(c) for c in of.columns
+                if c not in set(frame.columns)
+            ]
+            frame = frame.join(of, cond, "left").select(*keep_l, *keep_r)
+            continue
         # OPTIONAL = left outer join on the shared variables (SPARQL's
         # left-join algebra); no shared vars -> every binding extends
         frame = (
@@ -586,6 +631,14 @@ def _compile_group(store: RdfStore, body: str, ns, counter) -> DataFrame:
             raise ValueError(f"BIND target ?{var} is already bound")
         frame = frame.withColumn(f"?{var}", col)
     for fexpr in filters:
+        if deferred is not None:
+            need = set(re.findall(r"\?\w+", fexpr))
+            have = {c for c in frame.columns if c.startswith("?")}
+            if not need <= have and need <= (have | outer_vars):
+                # references outer variables: becomes part of the
+                # caller's left-join condition (LeftJoin expr)
+                deferred.append(fexpr)
+                continue
         frame = frame.filter(_sparql_filter(fexpr, ns))
     return frame
 
@@ -1646,7 +1699,7 @@ _FILTER_TOK = re.compile(
 )
 
 
-def _sparql_filter(expr: str, ns: NamespaceRegistry):
+def _sparql_filter(expr: str, ns: NamespaceRegistry, var_col=None):
     """FILTER expression -> Spark Column predicate.
 
     Grammar (recursive descent): ||, &&, !, parentheses, comparisons
@@ -1654,7 +1707,15 @@ def _sparql_filter(expr: str, ns: NamespaceRegistry):
     variables, and the builtins regex(?v, "pat"), bound(?v),
     contains(?v, "s"), strstarts(?v, "s").  A numeric literal operand
     coerces the variable side to double (SPARQL's numeric comparison);
-    everything else compares as the stored string."""
+    everything else compares as the stored string.
+
+    ``var_col`` (name -> Column) overrides how a ?variable resolves —
+    the left-join condition path uses it to route outer variables to
+    the outer frame and inner ones to the OPTIONAL body."""
+    if var_col is None:
+        def var_col(name: str):
+            return F.col(f"`?{name}`")
+
     toks = _FILTER_TOK.findall(expr)
     pos = [0]
 
@@ -1685,7 +1746,7 @@ def _sparql_filter(expr: str, ns: NamespaceRegistry):
     def as_col(side, other):
         kind, val = side
         if kind == "var":
-            c = F.col(f"`?{val}`")
+            c = var_col(val)
             return c.cast("double") if other[0] == "num" else c
         return F.lit(val)
 
@@ -1710,7 +1771,7 @@ def _sparql_filter(expr: str, ns: NamespaceRegistry):
             v = take()
             if not v.startswith("?"):
                 raise ValueError(f"{fn}() needs a variable in {expr!r}")
-            col = F.col(f"`?{v[1:]}`")
+            col = var_col(v[1:])
             if fn == "bound":
                 take(")")
                 return col.isNotNull()

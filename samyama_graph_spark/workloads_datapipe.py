@@ -2132,3 +2132,82 @@ def quality_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "avg_logprob", 3, labels=["tail", "middle", "head"]
     )
     return out.select("id", "bucket", "bucket_label")
+
+
+@query(
+    "gopher_quality_rules",
+    """
+    WITH w AS (
+        SELECT doc_id AS id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS words,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT id,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CASE WHEN len(words) > 0 THEN round(
+                CAST(coalesce(list_sum(list_transform(words,
+                    x -> length(x))), 0) AS DOUBLE) / len(words), 6)
+                ELSE 0.0 END AS mean_word_len,
+            CASE WHEN len(words) > 0 THEN round(
+                CAST(len(list_filter(words,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
+            CASE WHEN len(words) > 0 THEN round(
+                ((length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) / 3.0
+                 + (length(text) - length(replace(text, '…', ''))))
+                / len(words), 6) ELSE 0.0 END AS symbol_word_ratio,
+            CASE WHEN len(lines) > 0 THEN round(
+                CAST(len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+                / len(lines), 6) ELSE 0.0 END AS bullet_line_frac,
+            CASE WHEN len(lines) > 0 THEN round(
+                CAST(len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                    AS DOUBLE)
+                / len(lines), 6) ELSE 0.0 END AS ellipsis_line_frac,
+            CASE WHEN len(lines) > 0 THEN round(
+                CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                / len(lines), 6) ELSE 0.0 END AS dup_line_frac,
+            CASE WHEN coalesce(list_sum(list_transform(lines,
+                    l -> length(l))), 0) > 0 THEN round(
+                CAST(coalesce(list_sum(list_transform(lines,
+                        l -> length(l))), 0)
+                     - coalesce(list_sum(list_transform(
+                        list_distinct(lines), l -> length(l))), 0)
+                    AS DOUBLE)
+                / coalesce(list_sum(list_transform(lines,
+                    l -> length(l))), 0), 6) ELSE 0.0 END
+                AS dup_line_char_frac,
+            CAST(len(list_distinct(list_intersect(
+                list_transform(words, x -> lower(x)),
+                ['the','be','to','of','and','that','have','with']
+            ))) AS BIGINT) AS stop_hits
+        FROM w
+    )
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND stop_hits >= 2
+            AND dup_line_frac <= 0.3
+            AND dup_line_char_frac <= 0.3) AS passes
+    FROM m
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher quality-filter rule set (Rae et al. 2021, table
+    A1) over the documents corpus: per-doc word/line/symbol/stop-word
+    /duplicate-line metrics plus the combined ``passes`` verdict, all
+    in one map-only JVM-HOF projection (zero shuffles — the 100 TB
+    posture of a pre-training quality pass).  The oracle replays every
+    metric and threshold in DuckDB list functions, so each per-doc
+    verdict is hash-checked."""
+    from samyama_graph_spark.datapipe.corpus import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), "text", "doc_id")

@@ -1370,3 +1370,40 @@ def test_quality_buckets_empty_and_null_scores(spark):
     got = {r["id"]: r["bucket"] for r in quality_buckets(df, "s", 3).collect()}
     assert got[3] is None
     assert got[0] == 0 and got[2] == 2
+
+
+def test_gopher_rules_rich_text(spark):
+    """Gopher rule metrics on hand-built docs exercising the line and
+    symbol paths the synthetic corpus lacks (no newlines/symbols):
+    bullets, ellipsis endings, duplicate lines, symbol ratios, the
+    stop-word requirement, and the combined verdict."""
+    from samyama_graph_spark.datapipe.corpus import gopher_rules
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + [f"word{i}" for i in range(60)]
+    )
+    bullets = "\n".join(["- item one", "- item two", "* item three",
+                         "plain line"])
+    dups = "\n".join(["same line"] * 3 + ["other line"])
+    symbols = "lots # of # tags # here ..."
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dups), (4, symbols), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r.asDict() for r in
+           gopher_rules(df, "text", "doc_id").collect()}
+
+    assert out[1]["n_words"] == 65 and out[1]["stop_hits"] == 5
+    assert out[1]["passes"] is True
+
+    assert out[2]["bullet_line_frac"] == 0.75  # 3 of 4 lines
+    assert out[2]["passes"] is False  # too few words anyway
+
+    assert out[3]["dup_line_frac"] == 0.5  # 4 lines, 2 distinct
+    # 36 chars of lines total, 19 distinct ("same line"+"other line")
+    assert abs(out[3]["dup_line_char_frac"] - (36 - 19) / 36) < 1e-6
+
+    assert out[4]["symbol_word_ratio"] == 0.666667  # (3 + 1) / 6 words
+    assert out[4]["ellipsis_line_frac"] == 1.0
+
+    assert out[5]["n_words"] == 0 and out[5]["passes"] is False

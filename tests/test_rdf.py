@@ -1080,3 +1080,44 @@ def test_sparql_describe_resource_list(spark, store):
         (f"{_EX}alice", f"{_EX}knows", f"{_EX}bob"),
         (f"{_EX}alice", f"{_EX}name", "Alice"),
     }
+
+
+def test_sparql_optional_filter_outer_variable(spark):
+    """A FILTER inside OPTIONAL referencing an OUTER variable is the
+    spec's LeftJoin(P1, P2, expr) condition: rows failing it keep the
+    outer binding with a NULL extension — they are NOT dropped (which
+    a post-join filter would wrongly do).  W3C SPARQL 1.1 §6.2."""
+    st = RdfStore(spark)
+    st.insert_ntriples(f"""
+<{_EX}a> <{_EX}age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<{_EX}b> <{_EX}age> "50"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<{_EX}a> <{_EX}cap> "40"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<{_EX}b> <{_EX}cap> "40"^^<http://www.w3.org/2001/XMLSchema#integer> .
+""")
+    got = {
+        (r["?x"], r["?c"])
+        for r in st.sparql(
+            f"""
+            SELECT ?x ?c WHERE {{
+                ?x <{_EX}age> ?a .
+                OPTIONAL {{ ?x <{_EX}cap> ?c . FILTER(?a < 40) }}
+            }}
+            """
+        ).collect()
+    }
+    # a (age 30 < 40): extended with its cap; b (age 50): kept, NULL cap
+    assert got == {(f"{_EX}a", "40"), (f"{_EX}b", None)}
+    # inner-only filters keep the old path: cap > 99 matches nothing,
+    # both rows survive unextended
+    got2 = {
+        (r["?x"], r["?c"])
+        for r in st.sparql(
+            f"""
+            SELECT ?x ?c WHERE {{
+                ?x <{_EX}age> ?a .
+                OPTIONAL {{ ?x <{_EX}cap> ?c . FILTER(?c > 99) }}
+            }}
+            """
+        ).collect()
+    }
+    assert got2 == {(f"{_EX}a", None), (f"{_EX}b", None)}
