@@ -1400,10 +1400,13 @@ def test_gopher_rules_rich_text(spark):
     assert out[2]["passes"] is False  # too few words anyway
 
     assert out[3]["dup_line_frac"] == 0.5  # 4 lines, 2 distinct
-    # 36 chars of lines total, 19 distinct ("same line"+"other line")
-    assert abs(out[3]["dup_line_char_frac"] - (36 - 19) / 36) < 1e-6
+    # 37 chars of lines total (3x"same line"=27 + "other line"=10),
+    # 19 distinct
+    assert abs(out[3]["dup_line_char_frac"] - (37 - 19) / 37) < 1e-5
 
-    assert out[4]["symbol_word_ratio"] == 0.666667  # (3 + 1) / 6 words
+    # whitespace tokens: lots # of # tags # here ... = 8 words;
+    # symbols: 3 hashes + 1 '...' = 4
+    assert out[4]["symbol_word_ratio"] == 0.5
     assert out[4]["ellipsis_line_frac"] == 1.0
 
     assert out[5]["n_words"] == 0 and out[5]["passes"] is False

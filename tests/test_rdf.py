@@ -1095,7 +1095,7 @@ def test_sparql_optional_filter_outer_variable(spark):
 <{_EX}b> <{_EX}cap> "40"^^<http://www.w3.org/2001/XMLSchema#integer> .
 """)
     got = {
-        (r["?x"], r["?c"])
+        (r["x"], r["c"])
         for r in st.sparql(
             f"""
             SELECT ?x ?c WHERE {{
@@ -1110,7 +1110,7 @@ def test_sparql_optional_filter_outer_variable(spark):
     # inner-only filters keep the old path: cap > 99 matches nothing,
     # both rows survive unextended
     got2 = {
-        (r["?x"], r["?c"])
+        (r["x"], r["c"])
         for r in st.sparql(
             f"""
             SELECT ?x ?c WHERE {{
