@@ -23,11 +23,11 @@ from samyama_graph_spark.datapipe.common import (
     word_shingles,
 )
 
-# Most-recent pinned SimHash signature frame (see _pin_signature).
+# Most-recent pinned reused frame (see _pin_frame).
 _PINNED_SIGS: list[DataFrame] = []
 
 
-def _pin_signature(sig: DataFrame) -> DataFrame:
+def _pin_frame(sig: DataFrame) -> DataFrame:
     """Persist + eagerly materialize a signature frame that a self-join
     consumes on BOTH legs (Catalyst does not reuse the wide aggregation
     exchange across them).  Long-session hygiene: only the most recent
@@ -457,7 +457,7 @@ def simhash_near_dups(
     # pin the signature frame: the bucket self-join consumes it on BOTH
     # legs (measured: without the pin the full pipeline paid the
     # 60-column signature pass twice)
-    sig = _pin_signature(simhash(df, text_col, id_col))
+    sig = _pin_frame(simhash(df, text_col, id_col))
     cand = _simhash_candidates(sig, chunks).select(
         "x", "y", "sx", "sy"
     ).distinct()
@@ -1026,6 +1026,12 @@ def _components_from_pairs(
     from samyama_graph_spark.algorithms.components import wcc
     from samyama_graph_spark.algorithms.util import DRIVER_EDGE_GUARD
 
+    # NOT pinned: the wcc guard does consume this frame twice (count
+    # probe + bounded collect), but an interleaved A/B measured the
+    # persist STRICTLY WORSE (median 11.8 s vs 5.9 s for the corpus
+    # entry) — the cache build of the pair rows plus the lost
+    # whole-stage fusion into the probe costs more than the second
+    # execution of the candidate pipeline saves at gate scale
     edges = pairs.select(
         F.col("x").cast("long").alias("src"),
         F.col("y").cast("long").alias("dst"),
@@ -1105,7 +1111,7 @@ def simhash_dup_stats(
     import math
 
     # pinned for the same two-leg reuse as simhash_near_dups
-    sig = _pin_signature(simhash(df, text_col, id_col))
+    sig = _pin_frame(simhash(df, text_col, id_col))
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
     cand = (
