@@ -191,14 +191,16 @@ def edges_pdf_if_small(df: DataFrame, guard: int):
         # estimate for typical parquet, but dictionary/RLE-heavy edge
         # lists can compress far past that, so an UNBOUNDED toPandas
         # here could materialize an arbitrarily large frame before the
-        # post-hoc len() check.  Bound with a widened 8x limit: a
-        # no-op Arrow-size-wise when the frame is genuinely small, and
-        # a hard ceiling (8*guard rows of Arrow, a few tens of MB)
-        # when the estimate lied.  The tight guard+1 limit is NOT used
+        # post-hoc len() check.  Guard with an exact count FIRST (a
+        # cheap parallel no-column scan on scan-shaped plans — one
+        # long to the driver, zero row transfer), then a PLAIN
+        # toPandas: limit().toPandas() is not used on this branch
         # because CollectLimit's incremental partition scan measured
-        # 3-4x slower than the parallel scan for the same rows; at 8x
-        # the scale-up rounds amortize.
-        pdf = df.limit(guard * 8 + 1).toPandas()
+        # 1.5-4x slower than the parallel Arrow collect for the same
+        # rows (even with an 8x-widened limit).
+        if df.count() > guard:
+            return None
+        pdf = df.toPandas()
     else:
         pdf = df.limit(guard + 1).toPandas()
     return None if len(pdf) > guard else pdf
