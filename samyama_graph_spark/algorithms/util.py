@@ -179,13 +179,16 @@ def edges_pdf_if_small(df: DataFrame, guard: int):
     trusted = cardinality_estimate_trustworthy(df)
     if big_est and trusted:
         return None
-    if big_est:
-        # untrustworthy (join-derived) big estimate: count-probe before
-        # shipping rows — limit().count() early-terminates with no row
-        # transfer, so an actually-over frame costs one long, not a
-        # guard-sized Arrow batch
-        if df.limit(guard + 1).count() > guard:
-            return None
+    # Untrustworthy (join-derived) big estimates go STRAIGHT to the
+    # bounded Arrow collect — no count-probe.  Both paths early-
+    # terminate via the limit when the frame is genuinely over guard,
+    # so the probe's only saving was the guard-sized Arrow batch
+    # (~16 B/row on edge frames, a few MB) while its cost was a FULL
+    # second execution of the upstream pipeline whenever the frame was
+    # actually small — the common case (e.g. the dup-pair closure ran
+    # its whole minhash candidate pipeline twice).  collect_if_small
+    # keeps its probe: py4j Row objects there are ~50x Arrow's cost
+    # and their heap churn measurably degraded neighboring queries.
     if trusted:
         # trustworthy small estimate: the real count is bounded ~4x the
         # estimate for typical parquet, but dictionary/RLE-heavy edge
