@@ -260,3 +260,43 @@ def neighbor_sample_sql(
         f"QUALIFY row_number() OVER (PARTITION BY {src_expr} "
         f"ORDER BY {h}, {dst_expr}) <= {k}"
     )
+
+
+def source_quota(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    quota: int,
+    order_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-source document quota — the domain-balancing stage of a web
+    pipeline (cap every domain/source at ``quota`` docs so a handful
+    of boilerplate-heavy hosts cannot dominate the mixture; C4 and
+    RefinedWeb both apply a form of this).
+
+    Keeps the ``quota`` best rows per source: ranked by ``order_col``
+    (descending by default — "best first"), ties and the no-order_col
+    case broken by ascending id, so survivor selection is fully
+    deterministic and oracle-replayable.  Adds the 1-based ``rank``.
+
+    Scale shape: ONE shuffle on the source key and a per-key
+    row_number — no global sort.  Per-key work is a heap-free running
+    count after the partition-local sort; a pathologically hot key
+    (one domain = half the corpus) serializes on one task, in which
+    case pre-filter that key or raise spark.sql.shuffle.partitions —
+    the quota output itself is bounded at quota rows per key either
+    way.
+    """
+    from pyspark.sql import Window
+
+    order = []
+    if order_col is not None:
+        c = F.col(order_col)
+        order.append(c.desc() if descending else c.asc())
+    order.append(F.col(id_col).asc())
+    w = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= quota)
+    )

@@ -2211,3 +2211,32 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from samyama_graph_spark.datapipe.corpus import gopher_rules
 
     return gopher_rules(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "source_quota_sample",
+    """
+    SELECT doc_id, source, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rank
+        FROM documents
+    ) WHERE rank <= 10
+    """,
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing (C4/RefinedWeb-style per-host caps): keep the
+    10 longest documents per source, deterministic tie-break on doc
+    id.  One shuffle on the source key, per-key row_number, no global
+    sort; every surviving (doc, source, rank) row is hash-checked
+    against the oracle's identical window."""
+    from samyama_graph_spark.datapipe.sampling import source_quota
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    out = source_quota(
+        docs, "doc_id", "source", quota=10, order_col="n_chars"
+    )
+    return out.select("doc_id", "source", F.col("rank").cast("int"))

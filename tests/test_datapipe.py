@@ -1410,3 +1410,28 @@ def test_gopher_rules_rich_text(spark):
     assert out[4]["ellipsis_line_frac"] == 1.0
 
     assert out[5]["n_words"] == 0 and out[5]["passes"] is False
+
+
+def test_source_quota_determinism_and_bounds(spark):
+    """Per-source quota: exact per-key cap, best-first ordering, and
+    the id tie-break make survivor selection deterministic."""
+    from samyama_graph_spark.datapipe.sampling import source_quota
+
+    rows = [(i, f"s{i % 3}", float(i % 5)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    out = source_quota(df, "doc_id", "source", 4, order_col="q").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["rank"], r["doc_id"], r["q"]))
+    assert all(len(v) == 4 for v in by_src.values())
+    for v in by_src.values():
+        v.sort()
+        qs = [q for _, _, q in v]
+        assert qs == sorted(qs, reverse=True)  # best first
+        # ties (equal q) broken by ascending id
+        for (r1, i1, q1), (r2, i2, q2) in zip(v, v[1:]):
+            if q1 == q2:
+                assert i1 < i2
+    # no order_col: lowest ids survive
+    out2 = source_quota(df, "doc_id", "source", 2).collect()
+    assert {r["doc_id"] for r in out2 if r["source"] == "s0"} == {0, 3}
