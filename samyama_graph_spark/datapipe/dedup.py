@@ -1349,3 +1349,85 @@ def minhash_incremental_pairs(
     out = _pair_jaccard(sh_needed, cand).filter(F.col("jacc") >= threshold)
     nb.unpersist()
     return out
+
+
+# --------------------------------------------- cross-document line dedup
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """CCNet-style corpus-wide LINE (paragraph) dedup: every non-empty
+    line keeps exactly its FIRST occurrence corpus-wide — earliest
+    (doc id, position) wins — and all later occurrences are removed
+    in place, including repeats inside one document.  Empty lines are
+    structure, not content, and always survive.  Returns ``df`` with
+    ``text_col`` rewritten plus a ``removed_lines`` count per doc.
+
+    The line granularity complements :func:`substring_span_pairs`
+    (fixed k-token windows): boilerplate that repeats as whole lines
+    (navigation, licenses, sig blocks) is exactly what CCNet's
+    paragraph-hash pass removes before document-level dedup.
+
+    Scale shape: explode to (doc, pos, line), ONE shuffle on the line
+    hash to pick the argmin occupant (min struct aggregate — no
+    window, so a line duplicated a billion times still reduces with
+    map-side combine), broadcast-join verdicts back, one per-doc
+    regroup with a JVM sort+transform reassembly.  No Python in the
+    row path; the whole pass is two shuffles.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__ln"),
+    )
+    content = lines.filter(F.col("__ln") != "")
+    first = content.groupBy(F.xxhash64("__ln").alias("__h")).agg(
+        F.min(F.struct("__id", "__pos")).alias("__keep")
+    )
+    verdict = content.join(
+        first, F.xxhash64(content["__ln"]) == first["__h"]
+    ).select(
+        "__id",
+        "__pos",
+        (
+            (F.col("__keep.__id") == F.col("__id"))
+            & (F.col("__keep.__pos") == F.col("__pos"))
+        ).alias("__is_first"),
+    )
+    kept = (
+        lines.join(verdict, ["__id", "__pos"], "left")
+        .filter(F.coalesce(F.col("__is_first"), F.lit(True)))
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__ln"))
+                    ),
+                    lambda s: s["__ln"],
+                ),
+                "\n",
+            ).alias("__new_text"),
+            F.count(F.lit(1)).alias("__kept_n"),
+        )
+    )
+    total = df.select(
+        F.col(id_col).alias("__id"),
+        (F.size(F.split(F.col(text_col), "\n"))).alias("__total_n"),
+    )
+    out = (
+        df.join(kept, df[id_col] == kept["__id"], "left")
+        .join(total, df[id_col] == total["__id"], "left")
+        .select(
+            *[
+                F.coalesce(F.col("__new_text"), F.lit("")).alias(c)
+                if c == text_col
+                else F.col(c)
+                for c in df.columns
+            ],
+            (F.col("__total_n") - F.coalesce(F.col("__kept_n"), F.lit(0)))
+            .cast("long")
+            .alias("removed_lines"),
+        )
+    )
+    return out

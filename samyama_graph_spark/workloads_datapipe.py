@@ -2240,3 +2240,55 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "source", quota=10, order_col="n_chars"
     )
     return out.select("doc_id", "source", F.col("rank").cast("int"))
+
+
+@query(
+    "dedup_lines_corpuswide",
+    """
+    WITH l0 AS (
+        SELECT doc_id AS id, string_split(text, chr(10)) AS l
+        FROM documents
+    ),
+    lines AS (
+        SELECT id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS ln
+        FROM l0
+    ),
+    ranked AS (
+        SELECT id, pos,
+               row_number() OVER (PARTITION BY ln ORDER BY id, pos) AS rn
+        FROM lines WHERE ln <> ''
+    ),
+    dropped AS (SELECT id, pos FROM ranked WHERE rn > 1),
+    keptl AS (
+        SELECT l.id, l.pos, l.ln
+        FROM lines l LEFT JOIN dropped d
+          ON d.id = l.id AND d.pos = l.pos
+        WHERE d.id IS NULL
+    ),
+    reb AS (
+        SELECT id, string_agg(ln, chr(10) ORDER BY pos) AS text2,
+               count(*) AS keptn
+        FROM keptl GROUP BY id
+    ),
+    tot AS (
+        SELECT doc_id AS id,
+               len(string_split(text, chr(10))) AS totn
+        FROM documents
+    )
+    SELECT d.doc_id, COALESCE(r.text2, '') AS text,
+           CAST(t.totn - COALESCE(r.keptn, 0) AS BIGINT) AS removed_lines
+    FROM documents d
+    LEFT JOIN reb r ON r.id = d.doc_id
+    JOIN tot t ON t.id = d.doc_id
+    """,
+)
+def dedup_lines_corpuswide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide line/paragraph dedup: every non-empty
+    line keeps its FIRST occurrence ((doc id, position) argmin) and
+    later occurrences are stripped in place.  The oracle replays the
+    hash-free equivalent (rank over the literal line), so the
+    rewritten text of every document is hash-checked."""
+    from samyama_graph_spark.datapipe.dedup import dedup_lines
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return dedup_lines(docs, "text", "doc_id")

@@ -1435,3 +1435,27 @@ def test_source_quota_determinism_and_bounds(spark):
     # no order_col: lowest ids survive
     out2 = source_quota(df, "doc_id", "source", 2).collect()
     assert {r["doc_id"] for r in out2 if r["source"] == "s0"} == {0, 3}
+
+
+def test_dedup_lines_keep_first_semantics(spark):
+    """Cross-document line dedup: first (doc, pos) occurrence survives,
+    later occurrences (including within-doc repeats) strip, empty
+    lines always survive, fully-duplicated docs empty out."""
+    from samyama_graph_spark.datapipe.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nboiler\nbeta"),
+            (2, "boiler\ngamma\n\nboiler"),
+            (3, "boiler"),
+            (4, "delta\ndelta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["text"], r["removed_lines"])
+           for r in dedup_lines(df, "text", "doc_id").collect()}
+    assert out[1] == ("alpha\nboiler\nbeta", 0)  # first occurrence kept
+    # doc 2: both boiler copies strip, the empty line survives
+    assert out[2] == ("gamma\n", 2)
+    assert out[3] == ("", 1)  # fully duplicated -> empty text
+    assert out[4] == ("delta", 1)  # within-doc repeat strips too
