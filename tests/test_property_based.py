@@ -398,3 +398,68 @@ def test_prop_cdlp_driver_vs_naive(spark, edges, iters):
         r["id"]: r["label"] for r in cdlp(df, iterations=iters).collect()
     }
     assert got == lab
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(max_size=25),
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.booleans(),
+            st.none(),
+            st.lists(st.integers(min_value=-100, max_value=100), max_size=4),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_sql_literal_row_roundtrip(spark, values):
+    """The write path's one-round-trip literal encoding (_sql_literal /
+    _literal_row) must reproduce every driver value exactly — strings
+    with quotes/backslashes/newlines, extreme ints, float edge cases,
+    booleans, NULLs, int arrays."""
+    from samyama_graph_spark.cypher.writes import _literal_row
+
+    cols = {f"c{i}": v for i, v in enumerate(values)}
+    row = _literal_row(spark, cols).first()
+    for i, v in enumerate(values):
+        got = row[f"c{i}"]
+        if isinstance(v, float):
+            assert got == v or (got != got and v != v)
+        elif isinstance(v, list):
+            assert list(got or []) == v or (got is None and v == [])
+        else:
+            assert got == v, (got, v)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "", "boiler"]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dedup_lines_idempotent(spark, docs):
+    """Corpus-wide line dedup is a FIXPOINT operator: running it on its
+    own output changes nothing (every surviving line is, by
+    construction, the unique first occurrence)."""
+    from samyama_graph_spark.datapipe.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    once = dedup_lines(df, "text", "doc_id").select("doc_id", "text")
+    twice = dedup_lines(once, "text", "doc_id")
+    got1 = {r["doc_id"]: r["text"] for r in once.collect()}
+    got2 = {r["doc_id"]: (r["text"], r["removed_lines"])
+            for r in twice.collect()}
+    for k, t in got1.items():
+        assert got2[k] == (t, 0), (k, t, got2[k])
