@@ -811,3 +811,36 @@ def test_edges_pdf_count_probe_no_row_ship(spark, monkeypatch):
     small = big.limit(100)
     pdf = _edges_pdf_if_small(small, 10_000)
     assert pdf is not None and len(pdf) == 100
+
+
+def test_gopher_rules_is_map_only(spark, sf_dir):
+    """The Gopher rule-set projection must be a pure map pass: zero
+    Exchange, zero Python — the property that lets the quality filter
+    run at scan speed on 100 TB."""
+    from samyama_graph_spark.datapipe.corpus import gopher_rules
+    from samyama_graph_spark.loaders import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    plan = _plan(gopher_rules(docs, "text", "doc_id"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_dedup_lines_two_shuffles(spark, sf_dir):
+    """Corpus-wide line dedup = the argmin aggregate on the line hash
+    plus the per-doc reassembly regroup (plus their join back) — no
+    window, no Python, no cartesian stage."""
+    import re
+
+    from samyama_graph_spark.datapipe.dedup import dedup_lines
+    from samyama_graph_spark.loaders import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    plan = _plan(dedup_lines(docs.select("doc_id", "text"), "text", "doc_id"))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # argmin groupBy, reassembly groupBy, and the verdict/result joins:
+    # bounded small constant, NEVER data-dependent
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 6, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
