@@ -7,9 +7,22 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully materialized (collect) — results are small
 (aggregations / top-k), so driver transfer is negligible and the
 timing covers the complete plan execution.  Per-query time is the
-median of 3 runs, matching the reference's benchmark methodology
-(BASELINE.md: all reference numbers are 3-run medians); cold-run
-total is also reported.
+median of 3 ACCEPTED runs, matching the reference's benchmark
+methodology (BASELINE.md: all reference numbers are 3-run medians);
+cold-run total is also reported.
+
+Sample acceptance (the load gate): this microVM has sporadic
+minutes-long slow phases (2-4x inflation) with NO load-average
+signature, so load1 cannot gate samples.  Instead a fixed
+single-threaded CPU probe (~15 ms busy loop) runs immediately before
+and after every sample; co-tenant steal inflates the probe exactly
+like it inflates the query, while our own JVM's GC does not (and GC
+cost SHOULD count against the query).  A sample is accepted iff both
+adjacent probes are within PROBE_TOL of the best probe observed this
+process.  Entries left with <2 accepted samples defer to a second
+pass at the end of the sweep, which first waits (bounded) for a clean
+probe.  The reported number is the median of accepted samples — one
+rule, applied inline, no post-hoc minima.
 """
 
 from __future__ import annotations
@@ -92,7 +105,73 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     env: dict[str, dict] = {}
+    accepted_n: dict[str, int] = {}
+    dirty: list[str] = []
     total = 0.0
+
+    # ---- CPU-contention probe (see module docstring) ----------------
+    PROBE_TOL = 1.4
+
+    def _probe_once() -> float:
+        t0 = time.perf_counter()
+        x = 0x9E3779B9
+        for _ in range(120_000):
+            x = (x * 6364136223846793005 + 1442695040888963407) & (
+                (1 << 64) - 1
+            )
+        # fold x in so the loop can't be optimized away
+        _sink[0] = x
+        return time.perf_counter() - t0
+
+    def probe() -> float:
+        """Fixed single-threaded busy loop, ~15 ms on an idle core.
+        Pure integer arithmetic — no allocation, no syscalls — so its
+        wall time tracks available CPU and nothing else.  Best of two
+        back-to-back loops: a transient spike from OUR OWN JVM (a GC
+        thread finishing the previous entry's cleanup) dissipates
+        within one loop and must not reject an honest sample, while a
+        co-tenant phase (minutes long) inflates both."""
+        return min(_probe_once(), _probe_once())
+
+    _sink = [0]
+    probe_best = min(probe() for _ in range(10))
+
+    def probed_sample(fn) -> tuple[float, bool, float, float]:
+        """One timed execution bracketed by probes.  Returns
+        (elapsed, accepted, p_before, p_after) and refines the global
+        probe baseline."""
+        nonlocal probe_best
+        p0 = probe()
+        t0 = time.perf_counter()
+        fn()
+        elapsed = time.perf_counter() - t0
+        p1 = probe()
+        probe_best = min(probe_best, p0, p1)
+        ok = max(p0, p1) <= probe_best * PROBE_TOL
+        return elapsed, ok, p0, p1
+
+    # shared across all deferrals: a persistently-busy box must not
+    # stall the suite by up to 60 s per deferred entry
+    quiet_wait_left = [180.0]
+
+    def wait_for_quiet(budget_s: float = 60.0) -> bool:
+        """Poll the probe until the box looks clean or budget runs
+        out.  Used only by the deferred second pass; draws from a
+        GLOBAL 180 s budget shared by every deferral."""
+        nonlocal probe_best
+        budget_s = min(budget_s, quiet_wait_left[0])
+        start = time.perf_counter()
+        deadline = start + budget_s
+        ok = False
+        while time.perf_counter() < deadline:
+            p = probe()
+            probe_best = min(probe_best, p)
+            if p <= probe_best * PROBE_TOL:
+                ok = True
+                break
+            time.sleep(2.0)
+        quiet_wait_left[0] -= time.perf_counter() - start
+        return ok
 
     def jvm_gc_ms() -> int:
         """Cumulative JVM GC time — per-entry deltas localize whether a
@@ -173,36 +252,42 @@ def main() -> None:
             return 0
         return 2 if name in _HEAVY else 1
 
-    ordered = sorted(bench_set.items(), key=lambda kv: (band(kv[0]), kv[0]))
-    for name, spec in ordered:
-        print(f"# bench: {name}", file=sys.stderr, flush=True)
-        samples: list[float] = []
-        failed = False
+    # every sample ever taken: name -> list of (elapsed, p_before,
+    # p_after).  Acceptance is re-evaluated against the FINAL probe
+    # baseline at reporting time, so a run that STARTS inside a slow
+    # phase (initial baseline inflated) still rejects those early
+    # samples once a clean probe has been seen.
+    all_samples: dict[str, list[tuple[float, float, float]]] = {}
+
+    def run_entry(name, spec) -> bool:
+        """Take `runs` probed samples of one entry.  Returns True if
+        at least 2 were accepted under the CURRENT baseline."""
+        rows = all_samples.setdefault(name, [])
         try:
             load_entry = os.getloadavg()[0]
         except OSError:
             load_entry = -1.0
         gc0 = jvm_gc_ms()
-        for i in range(runs):
-            t0 = time.perf_counter()
+        n_ok = 0
+        for _ in range(runs):
             try:
-                spec.fn(spark, sf_dir).collect()
+                elapsed, ok, p0, p1 = probed_sample(
+                    lambda: spec.fn(spark, sf_dir).collect()
+                )
             except Exception as e:  # noqa: BLE001 — record failures, keep benching
                 print(f"# FAIL {name}: {e}", file=sys.stderr)
-                failed = True
-                break
-            samples.append(time.perf_counter() - t0)
+                timings[name] = -1.0
+                return True  # don't defer a failing entry
+            rows.append((elapsed, p0, p1))
+            n_ok += 1 if ok else 0
         env[name] = {
             "load1": round(load_entry, 2),
             "gc_ms": jvm_gc_ms() - gc0,
             **session_health(),
         }
-        if failed or not samples:
-            timings[name] = -1.0
-            continue
-        cold[name] = round(samples[0], 4)
-        timings[name] = round(statistics.median(samples), 4)
-        total += timings[name]
+        return n_ok >= min(2, runs)
+
+    def post_entry_cleanup() -> None:
         # drop cached/checkpointed blocks a query pinned, so storage
         # doesn't accumulate across the suite and skew later timings.
         # Python gc first: py4j proxies on the driver are what keep the
@@ -245,43 +330,65 @@ def main() -> None:
                 pass
             spark.sparkContext._jvm.System.gc()
 
-    # Second-chance pass: this microVM has sporadic multi-second slow
-    # phases (2-4x, minutes long, no load-average signature) that can
-    # poison all three samples of whichever entries run inside one.
-    # Re-measure the slowest entries once the sweep ends — several
-    # minutes later, i.e. almost surely a different phase.  A blanket
-    # min-of-two-medians is a downward-biased estimator, so the retry
-    # median is adopted ONLY when the original run is provably
-    # phase-poisoned (retry < original/1.5 — far outside honest 3-run
-    # median jitter on this box); otherwise the original stands.  Every
-    # adoption is recorded in `retried` {name: pre_retry_median} in the
-    # output line so the substitution is always visible.  Skipped when
-    # a subset run was requested (debug hook) to keep sweeps fast.
-    retry_medians: dict[str, float] = {}
+    ordered = sorted(bench_set.items(), key=lambda kv: (band(kv[0]), kv[0]))
+    deferred: list[tuple[str, object]] = []
+    for name, spec in ordered:
+        print(f"# bench: {name}", file=sys.stderr, flush=True)
+        if not run_entry(name, spec):
+            print(f"# phase-poisoned, deferring: {name}", file=sys.stderr)
+            deferred.append((name, spec))
+        post_entry_cleanup()
+
+    # Deferred pass: entries whose first-pass samples were taken inside
+    # a slow phase (adjacent probes over tolerance).  By the time the
+    # sweep ends, minutes have passed; wait (bounded) for a clean probe
+    # and resample once.  All samples — first pass and deferred — land
+    # in `all_samples`; the final acceptance rule below sorts them out.
+    # `retried` records each deferred entry's FIRST-PASS median so the
+    # substitution stays visible in the output line.
     retried: dict[str, float] = {}
-    if not only and runs > 1:
-        worst = sorted(
-            (n for n in timings if timings[n] > 1.0),
-            key=lambda n: -timings[n],
-        )[:10]
-        for name in worst:
-            print(f"# bench retry: {name}", file=sys.stderr, flush=True)
-            samples = []
-            ok = True
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                try:
-                    bench_set[name].fn(spark, sf_dir).collect()
-                except Exception:  # noqa: BLE001
-                    ok = False
-                    break
-                samples.append(time.perf_counter() - t0)
-            if ok and samples:
-                retry_medians[name] = round(statistics.median(samples), 4)
-                if retry_medians[name] < timings[name] / 1.5:
-                    retried[name] = timings[name]
-                    total += retry_medians[name] - timings[name]
-                    timings[name] = retry_medians[name]
+    for name, spec in deferred:
+        first_pass = [e for e, _p0, _p1 in all_samples.get(name, [])]
+        if first_pass:
+            retried[name] = round(statistics.median(first_pass), 4)
+        print(f"# deferred resample: {name}", file=sys.stderr, flush=True)
+        if not wait_for_quiet(60.0):
+            print("# box never went quiet", file=sys.stderr)
+        run_entry(name, spec)
+        post_entry_cleanup()
+
+    # Final acceptance: re-evaluate EVERY sample against the best probe
+    # observed across the whole process (a run that started inside a
+    # phase rejects its early samples retroactively).  The entry value
+    # is the median of accepted samples; an entry with zero accepted
+    # samples falls back to the median of everything and is flagged in
+    # `dirty` — its number is known-inflated, not silently blessed.
+    for name in all_samples:
+        if timings.get(name) == -1.0:
+            continue
+        rows = all_samples[name]
+        if not rows:
+            timings[name] = -1.0
+            continue
+        acc = [
+            e
+            for e, p0, p1 in rows
+            if max(p0, p1) <= probe_best * PROBE_TOL
+        ]
+        accepted_n[name] = len(acc)
+        if not acc:
+            dirty.append(name)
+            acc = [e for e, _p0, _p1 in rows]
+        cold[name] = round(rows[0][0], 4)
+        timings[name] = round(statistics.median(acc), 4)
+        total += timings[name]
+    # drop retried entries whose deferred pass didn't actually change
+    # the reported value (no phase after all, or phase persisted)
+    retried = {
+        k: v
+        for k, v in retried.items()
+        if k in timings and abs(v - timings[k]) / max(v, 1e-9) > 0.10
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -298,8 +405,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold_run": cold,
-        "retry_medians": retry_medians,
         "retried": retried,
+        # the acceptance-rule audit trail: every sample with its two
+        # adjacent probe times, the final baseline, and per-entry
+        # accepted counts — enough to recompute every median by hand
+        "samples": {
+            n: [[round(e, 4), round(p0, 5), round(p1, 5)] for e, p0, p1 in v]
+            for n, v in all_samples.items()
+        },
+        "probe_best_sec": round(probe_best, 5),
+        "probe_tolerance": PROBE_TOL,
+        "accepted_samples": accepted_n,
+        "dirty": dirty,
         # per-entry environment at measurement time: loadavg when the
         # entry started + JVM GC-time delta across its runs — the
         # evidence needed to attribute in-suite slow phases to
@@ -329,9 +446,12 @@ def main() -> None:
                 "sf": sf_val,
                 "load1_at_start": round(load1, 2),
                 "load1_at_end": round(load1_end, 2),
-                # phase-poisoned entries whose retry median replaced the
-                # original; value = the replaced (pre-retry) median
+                # phase-poisoned entries resampled after a deferral;
+                # value = the replaced first-pass median
                 "retried": {k: round(v, 2) for k, v in retried.items()},
+                # entries with ZERO probe-accepted samples: their value
+                # is a median of known-inflated runs, trust accordingly
+                "dirty": dirty,
             },
             separators=(",", ":"),
         )
