@@ -549,9 +549,16 @@ def load_all_workloads() -> dict[str, QuerySpec]:
 # ---------------------------------------------------------------------------
 
 GATE_ORDER: list[str] = [
-    # scans / point lookups / metadata counts (§2 #1-5)
+    # scans / point lookups / metadata counts (§2 #1-5).  Round-10
+    # rotation: node_by_id (point read; scan family stays live via
+    # node_scan_filter and every Cypher row's label scans),
+    # cypher_introspection (job-free SHOW projection), and
+    # knn_lsh_top10 (ANN family stays live via knn_ivf_top10 +
+    # cypher_knn) left the gate for the three r9 curation operators
+    # (dedup_lines_corpuswide, gopher_quality_rules,
+    # source_quota_sample) — first-hit operators for a real curation
+    # user.  All rotated-out rows stay REGISTRY+pytest DuckDB-oracled.
     "node_scan_filter",
-    "node_by_id",
     "label_edge_counts",
     # Cypher engine end-to-end (§2 #6-33, 41-47, 60-61).  Round-9
     # rotation: four narrow Cypher-twin rows left the gate for the new
@@ -583,7 +590,6 @@ GATE_ORDER: list[str] = [
     "cypher_wcoj_triangle",
     "cypher_write_pipeline",
     "cypher_knn",
-    "cypher_introspection",
     # LDBC SNB golden corpus on the TPC-H projection (benches/
     # ldbc_benchmark.rs, ldbc_bi_benchmark.rs; the other 13 IS/IC/BI
     # entries are pytest-oracled in workloads_ldbc.py).  Families they
@@ -609,8 +615,15 @@ GATE_ORDER: list[str] = [
     # clustering + exact within-cluster cosine + survivor verdicts, all
     # replayed); the LSH-bucketed pair miner stays pytest-oracled
     "semdedup_verdicts",
-    "knn_lsh_top10",
     "knn_ivf_top10",
+    # r10 rotation in: the three r9 curation operators — CCNet-style
+    # corpus-wide line dedup (every rewritten text hash-checked),
+    # the Gopher quality rule set (Rae et al. table A1, every metric
+    # replayed in DuckDB), and per-source quotas (C4/RefinedWeb host
+    # caps, best-first rank per source)
+    "dedup_lines_corpuswide",
+    "gopher_quality_rules",
+    "source_quota_sample",
     # text analysis (metrics entry also carries normalization columns;
     # fingerprints entry also carries the BPE pre-tokenizer counts);
     # r9 rotation in: CCNet head/middle/tail quality-quantile

@@ -1100,16 +1100,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "semdedup_verdicts",
-    """
+_SEMDEDUP_ORACLE_TMPL = """
     WITH RECURSIVE
     ee AS (SELECT vec_id AS id, CAST(unnest(embedding) AS DOUBLE) AS v,
                   generate_subscripts(embedding, 1) AS i
            FROM embeddings),
     nrm AS (SELECT id, sqrt(sum(v * v)) AS nrm FROM ee GROUP BY id),
-    sd AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cidx
-           FROM (SELECT DISTINCT id FROM ee ORDER BY id LIMIT 16)),
+    sd AS ({seeds}),
     sv AS (SELECT sd.cidx, ee.i, ee.v FROM sd JOIN ee ON ee.id = sd.id),
     sn AS (SELECT cidx, sqrt(sum(v * v)) AS snrm FROM sv GROUP BY cidx),
     sims AS (SELECT ee.id, sv.cidx, sum(ee.v * sv.v) AS dp
@@ -1146,25 +1143,75 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.id, b.cluster,
            (c.component IS NULL OR c.component = b.id) AS keep
     FROM best b LEFT JOIN comp c ON c.id = b.id
-    """,
+    """
+
+# target_cluster_size parameterization: k = ceil(n / target) derived in
+# BOTH engines (Spark: one count job; DuckDB: scalar subquery), so the
+# operator stays linear as data grows — the shape a real user runs at
+# scale (the paper's k ~ 10^4-10^5 holds cluster size constant).
+_SEMDEDUP_TARGET = 50
+
+_SEMDEDUP_DERIVED_SEEDS = f"""
+    SELECT id, cidx FROM (
+        SELECT id, row_number() OVER (ORDER BY id) - 1 AS cidx
+        FROM (SELECT DISTINCT id FROM ee))
+    WHERE cidx < (SELECT CAST(ceil(count(*) / {_SEMDEDUP_TARGET}.0)
+                              AS BIGINT) FROM embeddings)
+"""
+
+_SEMDEDUP_FIXED_SEEDS = """
+    SELECT id, row_number() OVER (ORDER BY id) - 1 AS cidx
+    FROM (SELECT DISTINCT id FROM ee ORDER BY id LIMIT 16)
+"""
+
+
+@query(
+    "semdedup_verdicts",
+    _SEMDEDUP_ORACLE_TMPL.format(seeds=_SEMDEDUP_DERIVED_SEEDS),
 )
 def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster-partitioned semantic
     dedup over the embeddings table — nearest-seed-centroid partition
-    (k=16, deterministic lowest-id seeds so the oracle replays the
-    clustering bit-for-bit), exact within-cluster cosine pairs at the
+    with k DERIVED from the data (k = ceil(n / target_cluster_size),
+    the parameterization that stays linear as the corpus grows;
+    deterministic lowest-id seeds so the oracle replays the clustering
+    bit-for-bit), exact within-cluster cosine pairs at the
     data-calibrated tau=0.35, connected-component survivor rule.  The
-    oracle replays assignment, pair mining AND the closure, so every
-    per-row (cluster, keep) verdict is hash-checked.
+    oracle derives the same k via a scalar subquery and replays
+    assignment, pair mining AND the closure, so every per-row
+    (cluster, keep) verdict is hash-checked.  The fixed-k=16 twin
+    (the documented quadratic trap) stays pytest-oracled as
+    semdedup_fixed_k.
 
     centroid_mode='vectorized' (the scale path: broadcast numpy
     codebook + mapInPandas matmul argmax): assignment math is
     identical to the plan-literal form the oracle replays — argmax of
-    dot/(|v||c|) with ties to the lower cluster id — and the k=16
-    literal plan's 1024-literal expression costs more in Catalyst
+    dot/(|v||c|) with ties to the lower cluster id — and a large-k
+    literal plan's O(k*dim)-literal expression costs more in Catalyst
     analysis per run than the whole query executes (measured ~5 s vs
-    ~2.7 s construction at sf0.1); hash-verified vs the SQL oracle at
-    sf0.01 and vs the literal path at sf0.001 (tests/test_datapipe)."""
+    ~2.7 s construction at sf0.1 with k=16); hash-verified vs the SQL
+    oracle at sf0.01 and vs the literal path at sf0.001
+    (tests/test_datapipe)."""
+    from samyama_graph_spark.datapipe.dedup import semdedup
+
+    out = semdedup(
+        _embs(spark, sf_dir), "embedding", "vec_id", k=None,
+        threshold=0.35, centroid_mode="vectorized",
+        target_cluster_size=_SEMDEDUP_TARGET,
+    )
+    return out.select("id", F.col("cluster").cast("long"), "keep")
+
+
+@query(
+    "semdedup_fixed_k",
+    _SEMDEDUP_ORACLE_TMPL.format(seeds=_SEMDEDUP_FIXED_SEEDS),
+)
+def semdedup_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-k=16 SemDeDup parameterization — kept as the
+    pytest-oracled twin of the gate row: a FIXED k makes the
+    within-cluster exact stage O(n^2 / k), i.e. quadratic in corpus
+    size (the documented scale trap; see semdedup()'s SCALE WARNING
+    and the BENCH_SCALE twin rows)."""
     from samyama_graph_spark.datapipe.dedup import semdedup
 
     out = semdedup(
