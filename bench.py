@@ -261,14 +261,18 @@ def main() -> None:
 
     def run_entry(name, spec) -> bool:
         """Take `runs` probed samples of one entry.  Returns True if
-        at least 2 were accepted under the CURRENT baseline."""
+        at least 2 were accepted under the CURRENT baseline AND the
+        accepted samples agree (max/min <= 1.5): the CPU probe is
+        blind to I/O stalls, so a clean-probe sample can still be
+        phase-poisoned — wild disagreement among accepted samples is
+        the tell, and the deferral tie-breaks it with more samples."""
         rows = all_samples.setdefault(name, [])
         try:
             load_entry = os.getloadavg()[0]
         except OSError:
             load_entry = -1.0
         gc0 = jvm_gc_ms()
-        n_ok = 0
+        ok_samples: list[float] = []
         for _ in range(runs):
             try:
                 elapsed, ok, p0, p1 = probed_sample(
@@ -279,13 +283,19 @@ def main() -> None:
                 timings[name] = -1.0
                 return True  # don't defer a failing entry
             rows.append((elapsed, p0, p1))
-            n_ok += 1 if ok else 0
+            if ok:
+                ok_samples.append(elapsed)
         env[name] = {
             "load1": round(load_entry, 2),
             "gc_ms": jvm_gc_ms() - gc0,
             **session_health(),
         }
-        return n_ok >= min(2, runs)
+        if len(ok_samples) < min(2, runs):
+            return False
+        spread = max(ok_samples) / max(min(ok_samples), 1e-9)
+        # agreement gate only matters when the entry is slow enough
+        # for a phase to bite; sub-100ms jitter is all scheduler noise
+        return spread <= 1.5 or max(ok_samples) < 0.1
 
     def post_entry_cleanup() -> None:
         # drop cached/checkpointed blocks a query pinned, so storage

@@ -35,31 +35,61 @@ from samyama_graph_spark.algorithms.util import (
 )
 
 
+# closing-edge sets up to this many rows broadcast as the triangle
+# probe (~40 B/row hash relation: 16M rows ~ 640 MB executor-side);
+# beyond it the closure falls back to the wedge shuffle join
+_CLOSING_BCAST_GUARD = 16_000_000
+
+_PINS: list[DataFrame] = []
+
+
+def _release_pins() -> None:
+    """Unpersist pins from PREVIOUS top-level invocations — called at
+    the START of each entry point, BEFORE any new persist (the plan-
+    identity lesson from dedup._pin_frame: persisting a plan-identical
+    frame no-ops onto the existing cache entry, so unpersisting the old
+    frame afterwards would drop the entry the new frame relies on).
+    Re-running an operator therefore re-materializes honestly instead
+    of silently serving the previous run's cache — and a long session
+    never accumulates cache blocks."""
+    while _PINS:
+        _PINS.pop().unpersist(blocking=False)
+
+
 def _pinned(df: DataFrame) -> DataFrame:
     """cache() + eager materialization so later multi-leg jobs reuse it."""
     df = df.cache()
     df.count()
+    _PINS.append(df)
     return df
 
 
 def closure_edges(
     edges: DataFrame, canonical: bool = False
 ) -> tuple[DataFrame, DataFrame]:
-    """(undirected degrees, per-oriented-edge triangle closure).
+    """(undirected degrees, triangle rows).
 
-    Edge-iterator triangle enumeration: for each degree-oriented edge
-    (u,v), the triangles through it are N+(u) ∩ N+(v) — an array
-    intersect of two O(sqrt m) sorted lists, the Spark analogue of the
-    reference's sorted-adjacency LeapFrog intersection
-    (leapfrog.rs:26-80).  Total shuffle volume is O(m) rows (never the
-    O(sum deg^2) wedge set).
+    Degree-oriented WEDGE JOIN with flat rows: orient every canonical
+    pair low-(deg, id) -> high (out-degrees bounded O(sqrt m), the
+    same property the reference gets from sorted CSR segments,
+    store.rs:294-340), self-join the oriented edges on the apex to
+    enumerate each wedge exactly once (ordered by the SAME orientation
+    key, so the closing edge — if the triangle exists — is an oriented
+    edge), then close with one equi-join against the oriented edge
+    set.  Row volume is O(sum C(d+, 2)) wedges of flat (a, b, c)
+    longs, all inside whole-stage codegen.
 
-    Returns ``(deg, te)``: ``deg`` = (id, deg) undirected degrees,
-    ``te`` = (src, dst, ws: array of third vertices).  Public so
-    callers that need BOTH lcc and the total triangle count (e.g. two
-    registry workloads over the same projected graph) can compute the
-    closure once, checkpoint it, and feed ``_per_vertex_triangles``
-    (the ≥guard leg of :func:`triangle_stats`).
+    The previous formulation carried sorted adjacency ARRAYS onto
+    every edge row (collect_list + two joins + array_intersect): row
+    count O(m) but bytes O(m·sqrt m) with a per-row array allocation —
+    measured 95 s with GCLocker retry warnings on the 12M-pair
+    co-order graph, vs the same wedge volume enumerated by the numpy
+    driver kernel in ~5 s.  Flat wedge rows remove the allocation and
+    the array bytes; skewed apexes are AQE's problem, not the GC's.
+
+    Returns ``(deg, tris)``: ``deg`` = (id, deg) undirected degrees,
+    ``tris`` = one row (a, b, c) per triangle, where a is the wedge
+    apex and (b, c) the closing oriented edge.
 
     ``canonical=True`` asserts the input is already a distinct
     src<dst edge set, skipping the canonicalization shuffle.
@@ -77,52 +107,89 @@ def closure_edges(
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     # orientation is a map-side flip against the (vertex-sized) degree
-    # frame — no edge shuffle
+    # frame — no edge shuffle.  The head's degree rides along: wedge
+    # ordering must use the ORIENTATION key (deg, id), not the raw id,
+    # or the closing pair would not be an oriented edge.
     sd = deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg")
     dd = deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg")
     fwd = (F.col("sdeg") < F.col("ddeg")) | (
         (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
     )
-    oriented = (
+    oriented = _pinned(
         pairs.join(sd, "src")
         .join(dd, "dst")
         .select(
-            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("o_src"),
-            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("o_dst"),
-        )
-        .select(F.col("o_src").alias("src"), F.col("o_dst").alias("dst"))
-    )
-    oriented = _pinned(oriented)
-    # sorted out-neighbor lists, each bounded O(sqrt m) by orientation —
-    # the same property the reference gets from sorted CSR segments
-    # (store.rs:294-340); collect_list cannot blow up on skew
-    adj = _pinned(
-        oriented.groupBy(F.col("src").alias("id")).agg(
-            F.sort_array(F.collect_list("dst")).alias("nbrs")
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+            F.when(fwd, F.col("ddeg")).otherwise(F.col("sdeg")).alias("hdeg"),
         )
     )
-    te = (
-        oriented.join(
-            adj.withColumnRenamed("id", "src").withColumnRenamed("nbrs", "nu"),
-            "src",
-        )
-        .join(
-            adj.withColumnRenamed("id", "dst").withColumnRenamed("nbrs", "nv"),
-            "dst",
-        )
-        .select("src", "dst", F.array_intersect("nu", "nv").alias("ws"))
+    e1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("hdeg").alias("bd")
     )
-    return deg, te
+    e2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("hdeg").alias("cd")
+    )
+    wedges = e1.join(e2, "a").filter(
+        (F.col("bd") < F.col("cd"))
+        | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+    )
+    # The closing probe is the whole ballgame: the wedge set is
+    # O(sum C(d+, 2)) rows (411M on the 12M-pair co-order graph, of
+    # which only ~5% close).  A shuffle join would MATERIALIZE and
+    # shuffle every wedge (measured 205 s); broadcasting the closing
+    # edge set instead keeps the apex self-join's in-partition
+    # expansion, the wedge filter, and the hash probe fused in one
+    # streaming pass — wedges flow through the probe and only
+    # triangles ever hit a shuffle (wedge expansion alone: 6.6 s of
+    # the total).  Tier rule: broadcast while the edge set is
+    # hash-table-sized, beyond that fall back to the shuffle join —
+    # the same regime split as every broadcast join at 100 TB.
+    #
+    # Probe key: ONE rebased packed long when the id span allows —
+    # Spark builds a LongHashedRelation (primitive open-addressing
+    # probe) for single-long keys vs an UnsafeHashedRelation for the
+    # 2-column key, measured ~3x faster on the 411M-probe graph (the
+    # probe dominated: 33 s of a 39 s closure).  ANSI mode is on, so
+    # the span guard is what keeps the multiply exact.
+    if oriented.count() <= _CLOSING_BCAST_GUARD:  # cached: pin counted it
+        b0 = oriented.agg(
+            F.min("src"), F.max("src"), F.min("dst"), F.max("dst")
+        ).first()
+        if b0[0] is None:  # empty edge set (e.g. all self-loops)
+            return deg, oriented.select(
+                F.col("src").alias("a"),
+                F.col("src").alias("b"),
+                F.col("dst").alias("c"),
+            ).limit(0)
+        mn = min(b0[0], b0[2])
+        span = max(b0[1], b0[3]) - mn + 1
+        if span < (1 << 31):
+            key = (F.col("b") - mn) * span + (F.col("c") - mn)
+            ckey = (F.col("src") - mn) * span + (F.col("dst") - mn)
+            closing = F.broadcast(oriented.select(ckey.alias("__ck")))
+            tris = (
+                wedges.withColumn("__ck", key)
+                .join(closing, "__ck")
+                .select("a", "b", "c")
+            )
+            return deg, tris
+        closing = F.broadcast(
+            oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        )
+    else:
+        closing = oriented.select(
+            F.col("src").alias("b"), F.col("dst").alias("c")
+        )
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return deg, tris
 
 
-def _per_vertex_triangles(te: DataFrame) -> DataFrame:
-    """``(id, triangles)`` from a closure frame: each edge (u,v) with t
-    closures contributes t to u and v, and 1 to every third vertex."""
-    uv = te.select(F.col("src").alias("id"), F.size("ws").alias("t")).unionByName(
-        te.select(F.col("dst").alias("id"), F.size("ws").alias("t"))
-    )
-    w = te.select(F.explode("ws").alias("id"), F.lit(1).alias("t"))
-    return uv.unionByName(w).groupBy("id").agg(F.sum("t").alias("triangles"))
+def _per_vertex_triangles(tris: DataFrame) -> DataFrame:
+    """``(id, triangles)`` from triangle rows: every triangle counts
+    once for each of its three vertices."""
+    ids = tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
+    return ids.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
 
 
 def _triangle_stats_driver(spark, pdf):
@@ -201,12 +268,12 @@ def triangle_stats(
     ``driver_guard`` pairs the degree-oriented wedge closing runs as
     vectorized numpy on the driver; the distributed closure join is
     the ≥guard path, same orientation and counts."""
+    _release_pins()
     pdf = edges_pdf_if_small(edges.select("src", "dst"), driver_guard)
     if pdf is not None:
         return _triangle_stats_driver(edges.sparkSession, pdf)
-    deg, te = closure_edges(edges, canonical)
-    te = _pinned(te)  # three consumers in _per_vertex_triangles
-    per_vertex = _per_vertex_triangles(te)
+    deg, tris = closure_edges(edges, canonical)
+    per_vertex = _per_vertex_triangles(tris)
     return (
         deg.join(per_vertex, "id", "left")
         .fillna(0, subset=["triangles"])
@@ -280,6 +347,7 @@ def lcc_directed(edges: DataFrame) -> DataFrame:
     no per-node neighbor array ever materializes, which is what makes
     the plan survive hub vertices at 100 TB.
     """
+    _release_pins()
     dedges = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     # directed multiplicity per undirected pair (1 or 2)
     ecnt = _pinned(
@@ -290,27 +358,28 @@ def lcc_directed(edges: DataFrame) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("ec"))
     )
-    deg, te = closure_edges(
+    deg, tris = closure_edges(
         ecnt.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         canonical=True,
     )
-    tris = te.select("src", "dst", F.explode("ws").alias("x"))
+    # pinned: the three role projections below each consume tris
+    tris = _pinned(tris)
     legs = (
         tris.select(
-            F.col("x").alias("id"), F.col("src").alias("p"), F.col("dst").alias("q")
+            F.col("a").alias("id"), F.col("b").alias("p"), F.col("c").alias("q")
         )
         .unionByName(
             tris.select(
-                F.col("src").alias("id"),
-                F.col("dst").alias("p"),
-                F.col("x").alias("q"),
+                F.col("b").alias("id"),
+                F.col("a").alias("p"),
+                F.col("c").alias("q"),
             )
         )
         .unionByName(
             tris.select(
-                F.col("dst").alias("id"),
-                F.col("src").alias("p"),
-                F.col("x").alias("q"),
+                F.col("c").alias("id"),
+                F.col("a").alias("p"),
+                F.col("b").alias("q"),
             )
         )
         .select("id", F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b"))

@@ -503,3 +503,99 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         & (F.col("dup_line_frac") <= 0.3)
         & (F.col("dup_line_char_frac") <= 0.3),
     )
+
+
+# ------------------------------------------------- DSIR data selection
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how much its hashed n-gram bag looks
+    like the TARGET distribution rather than the RAW one —
+    ``(id, n_features, avg_llr)`` where avg_llr is the mean, over the
+    doc's unigram+bigram features hashed into ``buckets``, of
+    ``ln p_target(bucket) - ln p_raw(bucket)`` with Laplace +1
+    smoothing.  Selecting the top weights yields a raw subset
+    importance-resampled toward the target domain — the standard
+    pretraining data-selection pass.
+
+    Plan shape: feature extraction is a map-only explode (unigrams +
+    adjacent-word bigrams, hash60 % buckets — same md5 family as every
+    other operator, so the oracle replays bit-for-bit); BOTH bucket
+    histograms are one partial-aggregated groupBy over at most
+    ``buckets`` keys; the per-bucket log-likelihood-ratio table is at
+    most ``buckets`` rows and broadcast-joins back to the feature
+    stream; one final per-doc aggregation.  Two scalar count jobs
+    (distribution totals) are the only driver values — the histograms
+    never leave the cluster.  Documents with zero features (empty
+    text) are absent from the output.
+
+    Weight magnitudes are data-dependent; consumers rank rather than
+    threshold (see the source-quota / quality-bucket operators for the
+    rank-based selection idiom).
+    """
+    from samyama_graph_spark.datapipe.common import hash60
+
+    def feats(frame: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        both = F.concat(
+            F.filter(toks, lambda t: t != ""),
+            word_shingles(F.col(text_col), 2),
+        )
+        return frame.select(
+            F.col(id_col).alias("id"), F.explode(both).alias("ng")
+        ).select("id", (hash60(F.col("ng")) % F.lit(buckets)).alias("bucket"))
+
+    raw_f = feats(df)
+    tgt_f = feats(target)
+    raw_h = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tgt_h = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    rt = float(raw_f.count())
+    tt = float(tgt_f.count())
+    # every bucket a raw doc references has rc >= 1, so a left join
+    # from the raw histogram covers all lookups; absent target mass
+    # smooths to +1
+    llr = (
+        F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (tt + buckets))
+        - F.log((F.col("rc") + 1.0) / (rt + buckets))
+    )
+    weights = raw_h.join(tgt_h, "bucket", "left").select(
+        "bucket", llr.alias("llr")
+    )
+    return (
+        raw_f.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.round(F.avg("llr"), 6).alias("avg_llr"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep: int,
+    buckets: int = 4096,
+) -> DataFrame:
+    """The selection half of DSIR: keep the ``keep`` raw documents
+    whose hashed-n-gram importance weight is highest (deterministic
+    ties by id).  The top-k runs as TakeOrderedAndProject (per-
+    partition heaps, no global sort shuffle and no single-task window
+    rank); the kept id set then semi-joins the corpus, so the pass
+    stays linear."""
+    w = dsir_weights(df, target, text_col, id_col, buckets)
+    ranked = (
+        w.orderBy(F.desc("avg_llr"), F.asc("id")).limit(keep).select("id")
+    )
+    return df.join(
+        ranked, df[id_col] == ranked["id"], "left_semi"
+    )

@@ -731,94 +731,317 @@ def _values_frame(
     return store.spark.createDataFrame(rows, schema)
 
 
-_BIND_TOK = re.compile(
-    r'<[^>]*>|"(?:[^"\\]|\\.)*"|\?\w+|\d+\.\d+|\d+'
-    r"|[A-Za-z_][\w]*|[()+\-*/,]"
+_EXPR_TOK = re.compile(
+    r'\|\||&&|!=|<=|>=|!|=|<[^>\s]*>|<|>'
+    r"|\(|\)|,|\*|/|\+|-"
+    r"|\?\w+"
+    r'|"(?:[^"\\]|\\.)*"'
+    r"|\d+\.\d+|\d+"
+    r"|[A-Za-z_][\w]*(?::[\w.-]*[\w-])?"
 )
 
+# SPARQL 1.1 builtin library over the stored LEXICAL strings (the
+# store keeps o_kind/o_datatype/o_lang, but variable bindings project
+# only the lexical form — so the term-metadata builtins LANG/DATATYPE/
+# isIRI/isBLANK are not offered here; everything value-shaped is).
+_EXPR_STR_HUGE = 1 << 30  # SUBSTR with no length: to end of string
 
-def _sparql_bind(expr: str, ns: NamespaceRegistry) -> tuple[str, Column]:
-    """``BIND(expr AS ?v)`` -> (var name, Column).  Expression grammar:
-    + - * / with parentheses over variables, numeric literals, and
-    string literals, plus CONCAT/STR/UCASE/LCASE/STRLEN/COALESCE.
-    Arithmetic coerces operands to double (SPARQL numeric ops over our
-    lexical string columns); string builtins keep strings.  The bound
-    column keeps its computed type — numeric BINDs yield doubles."""
-    m = re.match(r"(?is)^(.*)\s+AS\s+\?(\w+)\s*$", expr)
-    if not m:
-        raise ValueError(f"BIND must be 'expr AS ?var': {expr!r}")
-    body, var = m.group(1), m.group(2)
-    toks = _BIND_TOK.findall(body)
+
+def _sparql_expr(body: str, ns: NamespaceRegistry, var_col=None):
+    """Unified SPARQL expression compiler -> (Column, kind) with kind
+    in {'num', 'str', 'bool', 'var'} — shared by FILTER, BIND, and
+    non-aggregate SELECT expressions.
+
+    Grammar (full SPARQL 1.1 operator precedence): ``||``, ``&&``,
+    ``!``, comparisons (``= != < <= > >=``, ``[NOT] IN (...)``),
+    additive/multiplicative arithmetic, unary minus, parentheses.
+    Builtins: BOUND REGEX CONTAINS STRSTARTS STRENDS STRBEFORE
+    STRAFTER STR STRLEN UCASE LCASE SUBSTR CONCAT REPLACE ABS CEIL
+    FLOOR ROUND IF COALESCE isNUMERIC sameTerm.
+
+    Typing: a numeric literal / arithmetic / numeric builtin on either
+    side of a comparison coerces both sides to double (SPARQL numeric
+    comparison over our lexical string columns, try_cast so malformed
+    bindings compare NULL-false rather than erroring); otherwise the
+    comparison is on the stored string.  REGEX/REPLACE accept the
+    ``"i"`` flag (prepended inline).  ``var_col`` (name -> Column)
+    overrides variable resolution — the OPTIONAL left-join path routes
+    outer variables to the outer frame through it."""
+    if var_col is None:
+        def var_col(name: str):
+            return F.col(f"`?{name}`")
+
+    toks = _EXPR_TOK.findall(body)
     pos = [0]
 
     def peek():
         return toks[pos[0]] if pos[0] < len(toks) else None
 
-    def take(want: str | None = None):
+    def take(expect: str | None = None):
         t = peek()
-        if t is None or (want is not None and t != want):
-            raise ValueError(f"bad BIND expression near {t!r}: {expr!r}")
+        if t is None or (expect is not None and t != expect):
+            raise ValueError(
+                f"bad expression near {toks[pos[0]:]!r} in {body!r}"
+            )
         pos[0] += 1
         return t
 
-    def num(c: Column) -> Column:
-        return c.try_cast("double")
+    def as_num(v):
+        col, kind = v
+        return col if kind == "num" else col.try_cast("double")
 
-    def prim() -> Column:
-        t = take()
-        if t == "(":
-            e = add()
-            take(")")
-            return e
-        if t == "-":
-            return -num(prim())
-        if t.startswith("?"):
-            return F.col(f"`?{t[1:]}`")
-        if t.startswith('"'):
-            return F.lit(_unescape(t[1:-1]))
-        if re.fullmatch(r"\d+(\.\d+)?", t):
-            return F.lit(float(t))
-        fn = t.lower()
-        if fn in ("concat", "str", "ucase", "lcase", "strlen", "coalesce"):
-            take("(")
-            args = [add()]
+    def as_str(v):
+        col, kind = v
+        return col if kind in ("str", "var") else col.cast("string")
+
+    def as_bool(v):
+        col, kind = v
+        if kind != "bool":
+            raise ValueError(f"expected a boolean expression in {body!r}")
+        return col
+
+    def compare(lv, op, rv):
+        if lv[1] == "num" or rv[1] == "num":
+            lc, rc = as_num(lv), as_num(rv)
+        else:
+            lc, rc = as_str(lv), as_str(rv)
+        return {
+            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+            "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+        }[op]
+
+    def funcall(name: str):
+        fn = name.lower()
+        take("(")
+        args = []
+        if peek() != ")":
+            args.append(or_expr())
             while peek() == ",":
                 take(",")
-                args.append(add())
-            take(")")
-            if fn == "concat":
-                return F.concat(*[a.cast("string") for a in args])
-            if fn == "str":
-                return args[0].cast("string")
-            if fn == "ucase":
-                return F.upper(args[0])
-            if fn == "lcase":
-                return F.lower(args[0])
-            if fn == "strlen":
-                return F.length(args[0]).cast("double")
-            return F.coalesce(*args)
-        raise ValueError(f"unsupported BIND function {t!r} in {expr!r}")
+                args.append(or_expr())
+        take(")")
 
-    def mul() -> Column:
-        e = prim()
+        def arity(lo, hi=None):
+            hi = lo if hi is None else hi
+            if not (lo <= len(args) <= hi):
+                raise ValueError(f"{name}() arity in {body!r}")
+
+        def flagged_pattern(pat, flags):
+            # "i" is the one widely-used SPARQL regex flag; inline it
+            return F.when(
+                flags.contains("i"), F.concat(F.lit("(?i)"), pat)
+            ).otherwise(pat)
+
+        if fn == "bound":
+            arity(1)
+            return (args[0][0].isNotNull(), "bool")
+        if fn == "regex":
+            arity(2, 3)
+            pat = as_str(args[1])
+            if len(args) == 3:
+                pat = flagged_pattern(pat, as_str(args[2]))
+            return (F.regexp_like(as_str(args[0]), pat), "bool")
+        if fn in ("contains", "strstarts", "strends"):
+            arity(2)
+            a, b = as_str(args[0]), as_str(args[1])
+            col = {
+                "contains": a.contains(b),
+                "strstarts": a.startswith(b),
+                "strends": a.endswith(b),
+            }[fn]
+            return (col, "bool")
+        if fn in ("strbefore", "strafter"):
+            arity(2)
+            a, b = as_str(args[0]), as_str(args[1])
+            at = F.call_function("instr", a, b)
+            if fn == "strbefore":
+                col = F.when(at > 0, F.substring(a, F.lit(1), at - 1))
+            else:
+                col = F.when(
+                    at > 0,
+                    F.substring(
+                        a, at + F.length(b), F.lit(_EXPR_STR_HUGE)
+                    ),
+                )
+            return (col.otherwise(F.lit("")), "str")
+        if fn == "str":
+            arity(1)
+            return (args[0][0].cast("string"), "str")
+        if fn == "strlen":
+            arity(1)
+            return (F.length(as_str(args[0])).cast("double"), "num")
+        if fn in ("ucase", "lcase"):
+            arity(1)
+            f = F.upper if fn == "ucase" else F.lower
+            return (f(as_str(args[0])), "str")
+        if fn == "substr":
+            arity(2, 3)
+            start = as_num(args[1]).cast("int")
+            length = (
+                as_num(args[2]).cast("int")
+                if len(args) == 3
+                else F.lit(_EXPR_STR_HUGE)
+            )
+            return (F.substring(as_str(args[0]), start, length), "str")
+        if fn == "concat":
+            arity(1, 64)
+            return (F.concat(*[as_str(a) for a in args]), "str")
+        if fn == "replace":
+            arity(3, 4)
+            pat = as_str(args[1])
+            if len(args) == 4:
+                pat = flagged_pattern(pat, as_str(args[3]))
+            return (
+                F.regexp_replace(as_str(args[0]), pat, as_str(args[2])),
+                "str",
+            )
+        if fn in ("abs", "ceil", "floor", "round"):
+            arity(1)
+            f = {
+                "abs": F.abs, "ceil": F.ceil,
+                "floor": F.floor, "round": F.round,
+            }[fn]
+            return (f(as_num(args[0])).cast("double"), "num")
+        if fn == "if":
+            arity(3)
+            return (
+                F.when(as_bool(args[0]), args[1][0]).otherwise(args[2][0]),
+                args[1][1],
+            )
+        if fn == "coalesce":
+            arity(1, 64)
+            return (F.coalesce(*[a[0] for a in args]), args[0][1])
+        if fn == "isnumeric":
+            arity(1)
+            return (args[0][0].try_cast("double").isNotNull(), "bool")
+        if fn == "sameterm":
+            arity(2)
+            return (as_str(args[0]) == as_str(args[1]), "bool")
+        raise ValueError(f"unsupported function {name!r} in {body!r}")
+
+    def primary():
+        t = peek()
+        if t == "(":
+            take()
+            e = or_expr()
+            take(")")
+            return e
+        t = take()
+        if t.startswith("?"):
+            return (var_col(t[1:]), "var")
+        if t.startswith('"'):
+            return (F.lit(_unescape(t[1:-1])), "str")
+        if t.startswith("<") and t.endswith(">"):
+            return (F.lit(t[1:-1]), "str")
+        if re.fullmatch(r"\d+(\.\d+)?", t):
+            return (F.lit(float(t)), "num")
+        if t.lower() in ("true", "false"):
+            return (F.lit(t.lower() == "true"), "bool")
+        if peek() == "(":
+            return funcall(t)
+        if ":" in t:
+            return (F.lit(ns.expand(t)), "str")
+        raise ValueError(f"bad operand {t!r} in {body!r}")
+
+    def unary():
+        if peek() == "-":
+            take()
+            v = unary()
+            return (-as_num(v), "num")
+        if peek() == "+":
+            take()
+            return (as_num(unary()), "num")
+        return primary()
+
+    def mul_expr():
+        v = unary()
         while peek() in ("*", "/"):
             op = take()
-            r = prim()
-            e = num(e) * num(r) if op == "*" else num(e) / num(r)
-        return e
+            r = unary()
+            col = as_num(v) * as_num(r) if op == "*" else as_num(v) / as_num(r)
+            v = (col, "num")
+        return v
 
-    def add() -> Column:
-        e = mul()
+    def add_expr():
+        v = mul_expr()
         while peek() in ("+", "-"):
             op = take()
-            r = mul()
-            e = num(e) + num(r) if op == "+" else num(e) - num(r)
-        return e
+            r = mul_expr()
+            col = as_num(v) + as_num(r) if op == "+" else as_num(v) - as_num(r)
+            v = (col, "num")
+        return v
 
-    out = add()
+    def rel_expr():
+        v = add_expr()
+        t = peek()
+        if t in ("=", "!=", "<", "<=", ">", ">="):
+            return (compare(v, take(), add_expr()), "bool")
+        if t is not None and t.upper() in ("IN", "NOT"):
+            neg = t.upper() == "NOT"
+            take()
+            if neg:
+                if peek() is None or peek().upper() != "IN":
+                    raise ValueError(f"NOT without IN in {body!r}")
+                take()
+            take("(")
+            cond = None
+            while True:
+                e = compare(v, "=", add_expr())
+                cond = e if cond is None else (cond | e)
+                if peek() == ",":
+                    take(",")
+                    continue
+                break
+            take(")")
+            return (~cond if neg else cond, "bool")
+        return v
+
+    def not_expr():
+        if peek() == "!":
+            take()
+            return (~as_bool(not_expr()), "bool")
+        return rel_expr()
+
+    def and_expr():
+        v = not_expr()
+        while peek() == "&&":
+            take()
+            v = (as_bool(v) & as_bool(not_expr()), "bool")
+        return v
+
+    def or_expr():
+        v = and_expr()
+        while peek() == "||":
+            take()
+            v = (as_bool(v) | as_bool(and_expr()), "bool")
+        return v
+
+    out = or_expr()
     if pos[0] != len(toks):
-        raise ValueError(f"trailing BIND tokens {toks[pos[0]:]!r}")
-    return var, out
+        raise ValueError(f"trailing tokens {toks[pos[0]:]!r} in {body!r}")
+    return out
+
+
+def _sparql_filter(expr: str, ns: NamespaceRegistry, var_col=None):
+    """FILTER expression -> Spark Column predicate (the boolean face
+    of :func:`_sparql_expr`; see there for grammar + builtins)."""
+    col, kind = _sparql_expr(expr, ns, var_col)
+    if kind != "bool":
+        # SPARQL effective boolean value of a bare expression
+        return col.try_cast("boolean") == F.lit(True)
+    return col
+
+
+def _sparql_bind(expr: str, ns: NamespaceRegistry) -> tuple[str, Column]:
+    """``BIND(expr AS ?v)`` -> (var name, Column), via
+    :func:`_sparql_expr` (full builtin library; numeric results are
+    doubles, string builtins keep strings)."""
+    m = re.match(r"(?is)^(.*)\s+AS\s+\?(\w+)\s*$", expr)
+    if not m:
+        raise ValueError(f"BIND must be 'expr AS ?var': {expr!r}")
+    body, var = m.group(1), m.group(2)
+    col, _kind = _sparql_expr(body, ns)
+    return var, col
 
 
 def _union_groups(body: str) -> "list[str] | None":
@@ -1690,128 +1913,3 @@ def _path_closure(
     return paths
 
 
-_FILTER_TOK = re.compile(
-    r'\|\||&&|!=|<=|>=|<[^>\s]*>|=|<|>|!|\(|\)|,'
-    r'|\?\w+'
-    r'|"(?:[^"\\]|\\.)*"'
-    r"|-?\d+\.\d+|-?\d+"
-    r"|[A-Za-z_][\w]*(?::[\w.-]*[\w-])?"
-)
-
-
-def _sparql_filter(expr: str, ns: NamespaceRegistry, var_col=None):
-    """FILTER expression -> Spark Column predicate.
-
-    Grammar (recursive descent): ||, &&, !, parentheses, comparisons
-    (=, !=, <, <=, >, >=) between variables and literals/IRIs/other
-    variables, and the builtins regex(?v, "pat"), bound(?v),
-    contains(?v, "s"), strstarts(?v, "s").  A numeric literal operand
-    coerces the variable side to double (SPARQL's numeric comparison);
-    everything else compares as the stored string.
-
-    ``var_col`` (name -> Column) overrides how a ?variable resolves —
-    the left-join condition path uses it to route outer variables to
-    the outer frame and inner ones to the OPTIONAL body."""
-    if var_col is None:
-        def var_col(name: str):
-            return F.col(f"`?{name}`")
-
-    toks = _FILTER_TOK.findall(expr)
-    pos = [0]
-
-    def peek():
-        return toks[pos[0]] if pos[0] < len(toks) else None
-
-    def take(expect: str | None = None):
-        t = peek()
-        if t is None or (expect is not None and t != expect):
-            raise ValueError(f"bad FILTER near {toks[pos[0]:]!r} in {expr!r}")
-        pos[0] += 1
-        return t
-
-    def operand():
-        t = take()
-        if t.startswith("?"):
-            return ("var", t[1:])
-        if t.startswith('"'):
-            return ("str", _unescape(t[1:-1]))
-        if t.startswith("<") and t.endswith(">"):
-            return ("str", t[1:-1])
-        if re.fullmatch(r"-?\d+(\.\d+)?", t):
-            return ("num", float(t))
-        if ":" in t:
-            return ("str", ns.expand(t))
-        raise ValueError(f"bad FILTER operand {t!r} in {expr!r}")
-
-    def as_col(side, other):
-        kind, val = side
-        if kind == "var":
-            c = var_col(val)
-            return c.cast("double") if other[0] == "num" else c
-        return F.lit(val)
-
-    def compare(left, op, right):
-        lc, rc = as_col(left, right), as_col(right, left)
-        return {
-            "=": lc == rc, "!=": lc != rc, "<": lc < rc,
-            "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
-        }[op]
-
-    def primary():
-        t = peek()
-        if t == "(":
-            take()
-            e = or_expr()
-            take(")")
-            return e
-        if t in ("regex", "bound", "contains", "strstarts", "REGEX",
-                 "BOUND", "CONTAINS", "STRSTARTS"):
-            fn = take().lower()
-            take("(")
-            v = take()
-            if not v.startswith("?"):
-                raise ValueError(f"{fn}() needs a variable in {expr!r}")
-            col = var_col(v[1:])
-            if fn == "bound":
-                take(")")
-                return col.isNotNull()
-            take(",")
-            arg = take()
-            if not arg.startswith('"'):
-                raise ValueError(f"{fn}() needs a string literal")
-            s = _unescape(arg[1:-1])
-            take(")")
-            if fn == "regex":
-                return col.rlike(s)
-            if fn == "contains":
-                return col.contains(s)
-            return col.startswith(s)
-        left = operand()
-        if peek() in ("=", "!=", "<", "<=", ">", ">="):
-            return compare(left, take(), operand())
-        raise ValueError(f"bare operand in FILTER {expr!r}")
-
-    def not_expr():
-        if peek() == "!":
-            take()
-            return ~not_expr()
-        return primary()
-
-    def and_expr():
-        e = not_expr()
-        while peek() == "&&":
-            take()
-            e = e & not_expr()
-        return e
-
-    def or_expr():
-        e = and_expr()
-        while peek() == "||":
-            take()
-            e = e | and_expr()
-        return e
-
-    out = or_expr()
-    if pos[0] != len(toks):
-        raise ValueError(f"trailing FILTER tokens {toks[pos[0]:]!r}")
-    return out

@@ -2339,3 +2339,56 @@ def dedup_lines_corpuswide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return dedup_lines(docs, "text", "doc_id")
+
+
+# ------------------------------------------------- DSIR data selection
+
+_DSIR_BUCKETS = 4096
+
+
+def _dsir_oracle() -> str:
+    h = hash60_sql("ng")
+    return f"""
+    WITH tokd AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+                  FROM documents),
+    uni AS (SELECT id, unnest(ws) AS ng FROM tokd),
+    bidx AS (SELECT id, ws, unnest(range(1, len(ws))) AS i
+             FROM tokd WHERE len(ws) >= 2),
+    bi AS (SELECT id, ws[i] || ' ' || ws[i+1] AS ng FROM bidx),
+    feats AS (SELECT id, ng FROM uni WHERE ng <> ''
+              UNION ALL SELECT id, ng FROM bi),
+    fb AS (SELECT id, ({h}) % {_DSIR_BUCKETS} AS bucket FROM feats),
+    tf AS (SELECT fb.* FROM fb
+           JOIN documents d ON d.doc_id = fb.id AND d.lang = 'en'),
+    raw_h AS (SELECT bucket, count(*) AS rc FROM fb GROUP BY bucket),
+    tgt_h AS (SELECT bucket, count(*) AS tc FROM tf GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM fb) AS rt,
+                   (SELECT count(*) FROM tf) AS tt),
+    w AS (SELECT r.bucket,
+                 ln((coalesce(t.tc, 0) + 1.0) / (tot.tt + {_DSIR_BUCKETS}))
+               - ln((r.rc + 1.0) / (tot.rt + {_DSIR_BUCKETS})) AS llr
+          FROM raw_h r LEFT JOIN tgt_h t USING (bucket), tot)
+    SELECT fb.id, CAST(count(*) AS BIGINT) AS n_features,
+           round(avg(w.llr), 6) AS avg_llr
+    FROM fb JOIN w USING (bucket)
+    GROUP BY fb.id
+    """
+
+
+@query("dsir_weights", _dsir_oracle())
+def dsir_weights_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) with the corpus's
+    English subset as the target distribution: every raw doc scored by
+    mean hashed-unigram+bigram log-likelihood ratio toward the target.
+    The oracle replays hashing (same md5 family), both histograms,
+    Laplace smoothing, and the per-doc mean bit-for-bit."""
+    from samyama_graph_spark.datapipe.corpus import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        "text",
+        "doc_id",
+        buckets=_DSIR_BUCKETS,
+    )

@@ -844,3 +844,44 @@ def test_dedup_lines_two_shuffles(spark, sf_dir):
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex <= 6, plan[:2000]
     assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+
+
+def test_dsir_weights_plan_shape(spark, sf_dir):
+    """DSIR weights: map-only feature extraction, two bounded-key
+    histogram aggregates, a BROADCAST join of the <=buckets-row LLR
+    table back to the feature stream, one per-doc aggregate — no
+    Python, no window, no cartesian, and the weight lookup must be a
+    broadcast (a shuffle join on the feature stream would re-shuffle
+    the corpus a third time)."""
+    import re
+
+    from samyama_graph_spark.datapipe.corpus import dsir_weights
+    from samyama_graph_spark.loaders import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = dsir_weights(
+        docs, docs.filter("lang = 'en'"), "text", "doc_id", buckets=512
+    )
+    plan = _plan(out)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dsir_sample_top_k_is_take_ordered(spark, sf_dir):
+    """The DSIR selection's global top-k must compile to
+    TakeOrderedAndProject (per-partition heaps), not a single-task
+    global sort or window rank."""
+    from samyama_graph_spark.datapipe.corpus import dsir_sample
+    from samyama_graph_spark.loaders import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = dsir_sample(
+        docs, docs.filter("lang = 'en'"), "text", "doc_id",
+        keep=10, buckets=512,
+    )
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert len(out.collect()) == 10

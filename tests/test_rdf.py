@@ -1121,3 +1121,104 @@ def test_sparql_optional_filter_outer_variable(spark):
         ).collect()
     }
     assert got2 == {(f"{_EX}a", None), (f"{_EX}b", None)}
+
+
+def test_sparql_expression_builtin_library(spark):
+    """The round-10 unified expression compiler: arithmetic in
+    comparisons, IN / NOT IN, IF/COALESCE, and the string builtin
+    library (SUBSTR/STRLEN/REPLACE/STRBEFORE/STRAFTER/STRENDS/
+    UCASE/CONCAT), shared by FILTER and BIND."""
+    st = RdfStore(spark)
+    st.insert_ntriples(
+        f"""
+<{_EX}a> <{_EX}age> "30" .
+<{_EX}b> <{_EX}age> "25" .
+<{_EX}c> <{_EX}age> "40" .
+<{_EX}a> <{_EX}name> "Ada Lovelace" .
+<{_EX}b> <{_EX}name> "Bob" .
+<{_EX}c> <{_EX}name> "Cleo" .
+"""
+    )
+    # arithmetic on both comparison sides
+    got = st.sparql(
+        f"""
+        SELECT ?p WHERE {{
+            ?p <{_EX}age> ?a . FILTER(?a * 2 - 10 >= 50)
+        }} ORDER BY ?p
+        """
+    ).collect()
+    assert [r["p"] for r in got] == [f"{_EX}c"]
+    # IN / NOT IN lists
+    got = st.sparql(
+        f"""
+        SELECT ?p WHERE {{
+            ?p <{_EX}name> ?n . FILTER(?n IN ("Bob", "Cleo"))
+        }} ORDER BY ?p
+        """
+    ).collect()
+    assert [r["p"] for r in got] == [f"{_EX}b", f"{_EX}c"]
+    got = st.sparql(
+        f"""
+        SELECT ?p WHERE {{
+            ?p <{_EX}name> ?n . FILTER(?n NOT IN ("Bob", "Cleo"))
+        }} ORDER BY ?p
+        """
+    ).collect()
+    assert [r["p"] for r in got] == [f"{_EX}a"]
+    # string builtins as FILTER predicates
+    got = st.sparql(
+        f"""
+        SELECT ?p WHERE {{
+            ?p <{_EX}name> ?n .
+            FILTER(strends(?n, "e") && strlen(?n) > 4)
+        }}
+        """
+    ).collect()
+    assert [r["p"] for r in got] == [f"{_EX}a"]
+    # substr is 1-based per spec; ucase/concat/replace compose
+    got = st.sparql(
+        f"""
+        SELECT ?v WHERE {{
+            ?p <{_EX}name> ?n . FILTER(?n = "Ada Lovelace")
+            BIND(CONCAT(UCASE(SUBSTR(?n, 1, 3)), "-",
+                        REPLACE(?n, "[aeo]", "_")) AS ?v)
+        }}
+        """
+    ).collect()
+    assert [r["v"] for r in got] == ["ADA-Ad_ L_v_l_c_"]
+    # strbefore / strafter (empty string when no match, per spec)
+    got = st.sparql(
+        f"""
+        SELECT ?b ?f ?m WHERE {{
+            ?p <{_EX}name> ?n . FILTER(contains(?n, " "))
+            BIND(STRBEFORE(?n, " ") AS ?b)
+            BIND(STRAFTER(?n, " ") AS ?f)
+            BIND(STRBEFORE(?n, "zzz") AS ?m)
+        }}
+        """
+    ).collect()
+    assert [(r["b"], r["f"], r["m"]) for r in got] == [
+        ("Ada", "Lovelace", "")
+    ]
+    # IF / COALESCE / isNumeric; regex "i" flag
+    got = st.sparql(
+        f"""
+        SELECT ?p ?k WHERE {{
+            ?p <{_EX}age> ?a .
+            BIND(IF(?a >= 30, "old", "young") AS ?k)
+            FILTER(isNumeric(?a) && regex(?k, "OLD", "i"))
+        }} ORDER BY ?p
+        """
+    ).collect()
+    assert [(r["p"], r["k"]) for r in got] == [
+        (f"{_EX}a", "old"), (f"{_EX}c", "old"),
+    ]
+    # numeric builtins: abs/floor/round in a comparison
+    got = st.sparql(
+        f"""
+        SELECT ?p WHERE {{
+            ?p <{_EX}age> ?a . FILTER(FLOOR(?a / 7) = 5 || ABS(?a - 26) <= 1)
+        }} ORDER BY ?p
+        """
+    ).collect()
+    assert [r["p"] for r in got] == [f"{_EX}b", f"{_EX}c"]

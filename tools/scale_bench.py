@@ -57,29 +57,24 @@ ENTRIES = [
     # (one Lloyd round of spherical k-means; CCNet quantile bucketing)
     "embedding_kmeans",
     "quality_quantile_buckets",
+    # round-10 extensions: the r10 gate rotation (corpus-wide line
+    # dedup is the heaviest new shuffle — one row per line corpus-wide
+    # through a hash-argmin aggregate; Gopher rules are map-only;
+    # quotas are one best-first rank shuffle) plus the fixed-k SemDeDup
+    # twin, kept to DOCUMENT its quadratic slope next to the gate's
+    # linear derived-k row (semdedup_verdicts)
+    "dedup_lines_corpuswide",
+    "gopher_quality_rules",
+    "source_quota_sample",
+    "semdedup_fixed_k",
 ]
 
 
-def _semdedup_scaled_k(spark, sf_dir):
-    """semdedup parameterized the way the paper scales it — k derived
-    from a constant target cluster size, so k grows 10x with the data
-    and the O(n^2/k) within-cluster stage stays linear.  Contrast with
-    the gate's FIXED k=16 entry, whose slope is quadratic by design
-    (see BENCH_NOTES round 7)."""
-    from pyspark.sql import functions as F
-
-    from samyama_graph_spark.datapipe.dedup import semdedup
-    from samyama_graph_spark.loaders import load_tables
-
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
-    out = semdedup(
-        emb, "embedding", "vec_id", k=None, threshold=0.35,
-        target_cluster_size=125, centroid_mode="vectorized",
-    )
-    return out.select("id", F.col("cluster").cast("long"), "keep")
-
-
-EXTRA_ENTRIES = {"semdedup_scaled_k": _semdedup_scaled_k}
+# (round-10: the scaled-k SemDeDup variant that used to live here is
+# now the REGISTRY gate entry itself — semdedup_verdicts derives
+# k = ceil(n / 50); the fixed-k trap is the semdedup_fixed_k registry
+# twin, measured above.)
+EXTRA_ENTRIES: dict = {}
 
 
 def main() -> None:
@@ -105,8 +100,13 @@ def main() -> None:
         import gc
 
         from samyama_graph_spark.cypher.engine import clear_plan_caches
+        from samyama_graph_spark import workloads_graph
 
         clear_plan_caches()
+        # the co-order stats are session-memoized by design (a
+        # materialized view, like the reference's resident CSR) — but a
+        # SCALE artifact must price the build, not the memo read
+        workloads_graph._TRI_CACHE.clear()
         gc.collect()
         for _rid, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
             rdd.unpersist()
@@ -127,6 +127,11 @@ def main() -> None:
             samples, jobs = [], []
             err = None
             for _ in range(3):
+                # per-SAMPLE memo clear (not just per entry): the scale
+                # slope must price every run's build, never a memo read
+                from samyama_graph_spark import workloads_graph
+
+                workloads_graph._TRI_CACHE.clear()
                 j0, t0 = maxjob(), time.perf_counter()
                 try:
                     fn(spark, sf_dir).collect()
@@ -139,9 +144,17 @@ def main() -> None:
             if err or not samples:
                 results[name][tag] = {"err": err}
                 continue
+            try:
+                load1 = round(os.getloadavg()[0], 1)
+            except OSError:
+                load1 = -1.0
             results[name][tag] = {
                 "sec_median": round(statistics.median(samples), 3),
                 "sec_cold": round(samples[0], 3),
+                # loadavg when the entry FINISHED: our own local[32]
+                # run inflates this, but a value far above ~10 on this
+                # box means external contention — audit signal only
+                "load1_after": load1,
                 # warm-run job count (plan caches populated) = the
                 # steady-state execution jobs; cold includes compile
                 # probes
