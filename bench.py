@@ -245,6 +245,8 @@ def main() -> None:
         "embedding_kmeans", "semdedup_verdicts", "quality_quantile_buckets",
         "text_metrics", "text_fingerprints", "knn_ivf_top10",
         "multimodal_png_stats", "sequence_packing", "events_asof_join",
+        "dedup_lines_corpuswide", "gopher_quality_rules",
+        "source_quota_sample",
     }
 
     def band(name: str) -> int:
