@@ -1139,7 +1139,7 @@ def test_sparql_expression_builtin_library(spark):
 <{_EX}c> <{_EX}name> "Cleo" .
 """
     )
-    # arithmetic on both comparison sides
+    # arithmetic on both comparison sides (30*2-10 = 50 >= 50 passes)
     got = st.sparql(
         f"""
         SELECT ?p WHERE {{
@@ -1147,7 +1147,7 @@ def test_sparql_expression_builtin_library(spark):
         }} ORDER BY ?p
         """
     ).collect()
-    assert [r["p"] for r in got] == [f"{_EX}c"]
+    assert [r["p"] for r in got] == [f"{_EX}a", f"{_EX}c"]
     # IN / NOT IN lists
     got = st.sparql(
         f"""
