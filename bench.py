@@ -22,7 +22,11 @@ adjacent probes are within PROBE_TOL of the best probe observed this
 process.  Entries left with <2 accepted samples defer to a second
 pass at the end of the sweep, which first waits (bounded) for a clean
 probe.  The reported number is the median of accepted samples — one
-rule, applied inline, no post-hoc minima.
+rule, applied inline, no post-hoc minima — EXCEPT when the accepted
+set is suspect (<2 accepted samples, or an accepted median >1.5x the
+median of all samples): then the modal sample cluster wins, and an
+entry with no 2-sample cluster is flagged `dirty` rather than
+silently blessed from a lone outlier.
 """
 
 from __future__ import annotations
@@ -34,6 +38,65 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def modal_cluster(vals: list) -> list:
+    """Largest group of samples within 1.5x of the group minimum
+    (greedy over the sorted list); ties go to the faster group."""
+    s = sorted(vals)
+    best: list = []
+    cur: list = []
+    for v in s:
+        if cur and v > cur[0] * 1.5:
+            if len(cur) > len(best):
+                best = cur
+            cur = []
+        cur.append(v)
+    if len(cur) > len(best):
+        best = cur
+    return best
+
+
+def resolve_entry(
+    rows: list, probe_best: float, probe_tol: float
+) -> tuple:
+    """Final acceptance for one entry's samples.
+
+    `rows` is [(elapsed, probe_before, probe_after), ...].  Returns
+    (value, accepted_n, status) with status in {"ok", "modal",
+    "dirty"}.  The value is the median of probe-accepted samples —
+    UNLESS that set is suspect: fewer than 2 accepted samples (when
+    >=2 exist), or an accepted median more than 1.5x the median of
+    ALL samples (a lone probe-accepted outlier must not outvote a
+    cluster of agreeing samples; the r10 suite produced exactly that
+    twice, when a loaded box rejected the fast in-phase samples and
+    blessed one slow stray).  A suspect entry tie-breaks toward the
+    MODAL sample cluster; if no cluster of >=2 agrees, it falls back
+    to the all-sample median and is flagged dirty.  Hard invariant:
+    no reported value may exceed 1.5x its own all-sample median
+    without a dirty flag.
+    """
+    samples = [e for e, _p0, _p1 in rows]
+    med_all = statistics.median(samples)
+    acc = [e for e, p0, p1 in rows if max(p0, p1) <= probe_best * probe_tol]
+    value = statistics.median(acc) if acc else None
+    status = "ok"
+    suspect = (
+        value is None
+        or (len(acc) < 2 <= len(rows))
+        or value > 1.5 * med_all
+    )
+    if suspect:
+        cluster = modal_cluster(samples)
+        if len(cluster) >= 2:
+            value = statistics.median(cluster)
+            status = "modal"
+        else:
+            value = med_all
+            status = "dirty"
+    if value > 1.5 * med_all and status != "dirty":
+        status = "dirty"
+    return value, len(acc), status
 
 
 def main() -> None:
@@ -243,7 +306,7 @@ def main() -> None:
         "corpus_pipeline_e2e", "dedup_exact", "minhash_lsh_dedup",
         "ngram_jaccard_block", "simhash_dedup", "substring_span_dedup",
         "embedding_kmeans", "semdedup_verdicts", "quality_quantile_buckets",
-        "text_metrics", "text_fingerprints", "knn_ivf_top10",
+        "text_metrics", "dsir_weights", "knn_ivf_top10",
         "multimodal_png_stats", "sequence_packing", "events_asof_join",
         "dedup_lines_corpuswide", "gopher_quality_rules",
         "source_quota_sample",
@@ -371,10 +434,9 @@ def main() -> None:
 
     # Final acceptance: re-evaluate EVERY sample against the best probe
     # observed across the whole process (a run that started inside a
-    # phase rejects its early samples retroactively).  The entry value
-    # is the median of accepted samples; an entry with zero accepted
-    # samples falls back to the median of everything and is flagged in
-    # `dirty` — its number is known-inflated, not silently blessed.
+    # phase rejects its early samples retroactively), then apply
+    # `resolve_entry`'s suspect-set rule — see its docstring.
+    modal: list[str] = []
     for name in all_samples:
         if timings.get(name) == -1.0:
             continue
@@ -382,17 +444,14 @@ def main() -> None:
         if not rows:
             timings[name] = -1.0
             continue
-        acc = [
-            e
-            for e, p0, p1 in rows
-            if max(p0, p1) <= probe_best * PROBE_TOL
-        ]
-        accepted_n[name] = len(acc)
-        if not acc:
+        value, n_acc, status = resolve_entry(rows, probe_best, PROBE_TOL)
+        accepted_n[name] = n_acc
+        if status == "modal":
+            modal.append(name)
+        elif status == "dirty":
             dirty.append(name)
-            acc = [e for e, _p0, _p1 in rows]
         cold[name] = round(rows[0][0], 4)
-        timings[name] = round(statistics.median(acc), 4)
+        timings[name] = round(value, 4)
         total += timings[name]
     # drop retried entries whose deferred pass didn't actually change
     # the reported value (no phase after all, or phase persisted)
@@ -429,6 +488,10 @@ def main() -> None:
         "probe_tolerance": PROBE_TOL,
         "accepted_samples": accepted_n,
         "dirty": dirty,
+        # entries whose probe-accepted set was suspect (<2 accepted or
+        # accepted-median >1.5x all-sample median) and were resolved by
+        # the modal sample cluster instead of the probe verdict
+        "modal_tiebreak": modal,
         # per-entry environment at measurement time: loadavg when the
         # entry started + JVM GC-time delta across its runs — the
         # evidence needed to attribute in-suite slow phases to

@@ -40,27 +40,48 @@ from samyama_graph_spark.algorithms.util import (
 # beyond it the closure falls back to the wedge shuffle join
 _CLOSING_BCAST_GUARD = 16_000_000
 
-_PINS: list[DataFrame] = []
+# pinned frames, keyed per SparkSession (weakly — a stopped session's
+# entries vanish with it) and per scope: "closure" for pins created
+# inside closure_edges, "outer" for entry-point pins (lcc_directed's
+# ecnt/tris).  Keying per session keeps two concurrent sessions from
+# releasing each other's pins mid-plan; the scope split lets
+# closure_edges clean up after ITSELF (it is documented-public, so a
+# direct caller must not accumulate cache blocks) without dropping an
+# enclosing entry point's still-live pins.
+import threading as _threading
+import weakref as _weakref
+
+_PINS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_PINS_LOCK = _threading.Lock()
 
 
-def _release_pins() -> None:
-    """Unpersist pins from PREVIOUS top-level invocations — called at
-    the START of each entry point, BEFORE any new persist (the plan-
-    identity lesson from dedup._pin_frame: persisting a plan-identical
-    frame no-ops onto the existing cache entry, so unpersisting the old
+def _release_pins(session, scope: str | None = None) -> None:
+    """Unpersist pins from PREVIOUS invocations — called at the START
+    of each entry point, BEFORE any new persist (the plan-identity
+    lesson from dedup._pin_frame: persisting a plan-identical frame
+    no-ops onto the existing cache entry, so unpersisting the old
     frame afterwards would drop the entry the new frame relies on).
     Re-running an operator therefore re-materializes honestly instead
     of silently serving the previous run's cache — and a long session
-    never accumulates cache blocks."""
-    while _PINS:
-        _PINS.pop().unpersist(blocking=False)
+    never accumulates cache blocks.  ``scope=None`` releases every
+    scope for the session (entry points); a named scope releases only
+    its own pins (closure_edges cleaning up after itself)."""
+    with _PINS_LOCK:
+        scopes = _PINS.get(session)
+        if not scopes:
+            return
+        names = list(scopes) if scope is None else [scope]
+        drop = [f for n in names for f in scopes.pop(n, [])]
+    for f in drop:
+        f.unpersist(blocking=False)
 
 
-def _pinned(df: DataFrame) -> DataFrame:
+def _pinned(df: DataFrame, scope: str) -> DataFrame:
     """cache() + eager materialization so later multi-leg jobs reuse it."""
     df = df.cache()
     df.count()
-    _PINS.append(df)
+    with _PINS_LOCK:
+        _PINS.setdefault(df.sparkSession, {}).setdefault(scope, []).append(df)
     return df
 
 
@@ -94,17 +115,23 @@ def closure_edges(
     ``canonical=True`` asserts the input is already a distinct
     src<dst edge set, skipping the canonicalization shuffle.
     """
+    # release THIS function's pins from any previous call (a direct
+    # caller of the documented-public closure_edges must not
+    # accumulate cache blocks); enclosing entry points' "outer" pins
+    # stay live
+    _release_pins(edges.sparkSession, "closure")
     if canonical:
         pairs = edges.select("src", "dst")
     else:
         pairs = symmetrize(edges).filter(F.col("src") < F.col("dst"))
-    pairs = _pinned(pairs)
+    pairs = _pinned(pairs, "closure")
     # undirected degree = appearances on either side of canonical pairs
     deg = _pinned(
         pairs.select(F.col("src").alias("id"))
         .unionAll(pairs.select(F.col("dst").alias("id")))
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.count(F.lit(1)).alias("deg")),
+        "closure",
     )
     # orientation is a map-side flip against the (vertex-sized) degree
     # frame — no edge shuffle.  The head's degree rides along: wedge
@@ -122,7 +149,8 @@ def closure_edges(
             F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
             F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
             F.when(fwd, F.col("ddeg")).otherwise(F.col("sdeg")).alias("hdeg"),
-        )
+        ),
+        "closure",
     )
     e1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("hdeg").alias("bd")
@@ -268,7 +296,7 @@ def triangle_stats(
     ``driver_guard`` pairs the degree-oriented wedge closing runs as
     vectorized numpy on the driver; the distributed closure join is
     the ≥guard path, same orientation and counts."""
-    _release_pins()
+    _release_pins(edges.sparkSession)
     pdf = edges_pdf_if_small(edges.select("src", "dst"), driver_guard)
     if pdf is not None:
         return _triangle_stats_driver(edges.sparkSession, pdf)
@@ -347,7 +375,7 @@ def lcc_directed(edges: DataFrame) -> DataFrame:
     no per-node neighbor array ever materializes, which is what makes
     the plan survive hub vertices at 100 TB.
     """
-    _release_pins()
+    _release_pins(edges.sparkSession)
     dedges = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     # directed multiplicity per undirected pair (1 or 2)
     ecnt = _pinned(
@@ -356,14 +384,15 @@ def lcc_directed(edges: DataFrame) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("ec"))
+        .agg(F.count(F.lit(1)).alias("ec")),
+        "outer",
     )
     deg, tris = closure_edges(
         ecnt.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         canonical=True,
     )
     # pinned: the three role projections below each consume tris
-    tris = _pinned(tris)
+    tris = _pinned(tris, "outer")
     legs = (
         tris.select(
             F.col("a").alias("id"), F.col("b").alias("p"), F.col("c").alias("q")

@@ -529,12 +529,17 @@ def dsir_weights(
     adjacent-word bigrams, hash60 % buckets — same md5 family as every
     other operator, so the oracle replays bit-for-bit); BOTH bucket
     histograms are one partial-aggregated groupBy over at most
-    ``buckets`` keys; the per-bucket log-likelihood-ratio table is at
-    most ``buckets`` rows and broadcast-joins back to the feature
-    stream; one final per-doc aggregation.  Two scalar count jobs
-    (distribution totals) are the only driver values — the histograms
-    never leave the cluster.  Documents with zero features (empty
-    text) are absent from the output.
+    ``buckets`` keys, persisted for the duration of the stats phase so
+    the distribution totals come from ``sum(rc)`` / ``sum(tc)`` of the
+    cached histograms instead of separate full-corpus count jobs (the
+    r10 version re-ran the feature explode twice just to count it; at
+    100 TB that is the difference between reading each corpus once and
+    twice for the stats).  The per-bucket log-likelihood-ratio table
+    (at most ``buckets`` rows — a bounded collect) is rebuilt as a
+    LocalRelation and broadcast-joins back to the feature stream, so
+    the RETURNED plan scans the raw corpus exactly once and the target
+    corpus not at all; one final per-doc aggregation.  Documents with
+    zero features (empty text) are absent from the output.
 
     Weight magnitudes are data-dependent; consumers rank rather than
     threshold (see the source-quota / quality-bucket operators for the
@@ -554,20 +559,46 @@ def dsir_weights(
 
     raw_f = feats(df)
     tgt_f = feats(target)
-    raw_h = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    tgt_h = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
-    rt = float(raw_f.count())
-    tt = float(tgt_f.count())
-    # every bucket a raw doc references has rc >= 1, so a left join
-    # from the raw histogram covers all lookups; absent target mass
-    # smooths to +1
-    llr = (
-        F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (tt + buckets))
-        - F.log((F.col("rc") + 1.0) / (rt + buckets))
+    raw_h = (
+        raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc")).persist()
     )
-    weights = raw_h.join(tgt_h, "bucket", "left").select(
-        "bucket", llr.alias("llr")
+    tgt_h = (
+        tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc")).persist()
     )
+    try:
+        # totals are exactly the histogram masses; summing the cached
+        # <=buckets-row aggregates costs no corpus re-scan
+        rt = float(raw_h.agg(F.sum("rc")).collect()[0][0] or 0)
+        tt = float(tgt_h.agg(F.sum("tc")).collect()[0][0] or 0)
+        # every bucket a raw doc references has rc >= 1, so a left join
+        # from the raw histogram covers all lookups; absent target mass
+        # smooths to +1
+        llr = (
+            F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (tt + buckets))
+            - F.log((F.col("rc") + 1.0) / (rt + buckets))
+        )
+        weight_rows = (
+            raw_h.join(tgt_h, "bucket", "left")
+            .select("bucket", llr.alias("llr"))
+            .collect()
+        )
+    finally:
+        raw_h.unpersist()
+        tgt_h.unpersist()
+    spark = df.sparkSession
+    if weight_rows:
+        # an inline VALUES table compiles to a LocalRelation (no
+        # Python-RDD conversion node in the plan, constant-foldable,
+        # free to broadcast); repr() doubles with the D suffix
+        # round-trip bit-exactly through the SQL parser
+        vals = ",".join(
+            f"({int(r['bucket'])}L,{r['llr']!r}D)" for r in weight_rows
+        )
+        weights = spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(bucket, llr)"
+        )
+    else:
+        weights = spark.createDataFrame([], "bucket bigint, llr double")
     return (
         raw_f.join(F.broadcast(weights), "bucket")
         .groupBy("id")

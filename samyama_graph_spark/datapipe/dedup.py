@@ -404,6 +404,64 @@ def strip_duplicate_spans(
     return untouched.unionByName(out_victims)
 
 
+def maximal_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_len: int = 50,
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated substrings at ANY token
+    offset: one row ``(id_a, start_a, id_b, start_b, span_len)`` per
+    maximal verbatim shared run of >= ``min_len`` tokens (``id_a <
+    id_b``).  This is the suffix-array granularity of Lee et al. 2022
+    (arXiv:2107.06499 dedup C4/RealNews by removing any repeated
+    substring of >= 50 tokens, at arbitrary offsets): where
+    :func:`substring_span_pairs` emits each shared k-token WINDOW,
+    this operator merges runs of window hits into whole duplicated
+    passages and reports their exact extent — the unit the paper's
+    removal rule operates on.
+
+    Equivalence: a run of L >= min_len shared tokens produces window
+    hits at L-k+1 consecutive positions on one (id_a, id_b,
+    pos_a - pos_b) DIAGONAL, and conversely consecutive verified
+    windows on a diagonal overlap k-1 tokens, so their union is one
+    verbatim shared run — island-merging the diagonals is exact, no
+    suffix array needed.
+
+    Scale shape: the window miner's one explode + fingerprint
+    equi-join (every match string-verified), then ONE additional
+    shuffle: a window partitioned by (id_a, id_b, diagonal) whose
+    row_number turns consecutive positions into island keys (the
+    classic gaps-and-islands rewrite), and a groupBy over the same
+    key extent.  Both stages key on pair-diagonals — millions of tiny
+    groups, no skew pivot, no driver state.  Window-hit volume is
+    linear in total shared-run length; the ``sample`` knob is
+    deliberately NOT offered here because island merging needs every
+    consecutive hit (a sampled variant would report fragmented
+    spans)."""
+    from pyspark.sql import Window
+
+    if min_len < k:
+        raise ValueError(f"min_len {min_len} must be >= k {k}")
+    hits = substring_span_pairs(df, text_col, id_col, k=k, sample=1)
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("__diag")
+    w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
+    islands = hits.select("id_a", "pos_a", "id_b", "pos_b", diag).withColumn(
+        "__isl", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("id_a", "id_b", "__diag", "__isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("id_a", "start_a", "id_b", "start_b", "span_len")
+    )
+
+
 # ----------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 60  # fits hash60's positive range
@@ -465,7 +523,16 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ), 1)
         """
     )
-    return df.select(F.col(id_col).alias("id"), sim.alias("sim"))
+    # NULL-text docs must be absent from the output, matching the
+    # explode+groupBy formulation this replaced (explode of a NULL
+    # array emits no rows).  The HOF fold would otherwise emit sim=0
+    # for them: SQL `if` over the NULL-propagated accumulator treats
+    # the NULL condition as false at every step, so the fold lands on
+    # the zero element, not NULL.  Filtering the text column (not the
+    # signature) also pushes the predicate into the scan.
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), sim.alias("sim")
+    )
 
 
 def simhash_near_dups(

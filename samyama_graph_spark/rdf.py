@@ -489,6 +489,32 @@ def _sparql_term(tok: str, ns: NamespaceRegistry):
     return ("value", ns.expand(tok))
 
 
+def _frame_meta(frame: DataFrame):
+    """meta_col resolver for expressions over ``frame``: returns the
+    hidden ``#var$attr`` metadata Column when the frame carries it,
+    None otherwise (the builtins then fall back to lexical
+    inference)."""
+    cols = set(frame.columns)
+
+    def meta_col(name: str, attr: str):
+        c = _meta_col_name(name, attr)
+        return F.col(f"`{c}`") if c in cols else None
+
+    return meta_col
+
+
+def _drop_colliding_meta(right: DataFrame, left: DataFrame) -> DataFrame:
+    """Before a generic join, drop the right side's hidden metadata
+    columns that the left side already carries — the join would
+    otherwise produce ambiguous duplicate names (the ?binding columns
+    themselves are handled by the join keys)."""
+    dup = [
+        c for c in right.columns
+        if c in set(left.columns) and not c.startswith("?")
+    ]
+    return right.drop(*dup) if dup else right
+
+
 def _compile_group(
     store: RdfStore, body: str, ns, counter,
     outer_vars: frozenset = frozenset(), deferred: list | None = None,
@@ -534,6 +560,7 @@ def _compile_group(
         if frame is None:
             frame = gf
             continue
+        gf = _drop_colliding_meta(gf, frame)
         shared = [
             c for c in gf.columns
             if c in frame.columns and c.startswith("?")
@@ -561,6 +588,7 @@ def _compile_group(
         )
         if of is None:
             continue
+        of = _drop_colliding_meta(of, frame)
         shared = [
             c for c in of.columns
             if c in frame.columns and c.startswith("?")
@@ -584,8 +612,17 @@ def _compile_group(
                 [frame[c] == of[c] for c in shared],
                 F.lit(True),
             )
+
+            def _resolve_meta(name, attr, _L=frame, _R=of, _rc=of_cols):
+                col = _meta_col_name(name, attr)
+                if col in _rc:
+                    return _R[col]
+                return _L[col] if col in set(_L.columns) else None
+
             for fexpr in opt_deferred:
-                cond = cond & _sparql_filter(fexpr, ns, var_col=_resolve)
+                cond = cond & _sparql_filter(
+                    fexpr, ns, var_col=_resolve, meta_col=_resolve_meta
+                )
             keep_l = [frame[c].alias(c) for c in frame.columns]
             keep_r = [
                 of[c].alias(c) for c in of.columns
@@ -626,7 +663,7 @@ def _compile_group(
         else:
             frame = frame.join(ef.limit(1), F.lit(True), how)
     for bexpr in binds:
-        var, col = _sparql_bind(bexpr, ns)
+        var, col = _sparql_bind(bexpr, ns, meta_col=_frame_meta(frame))
         if f"?{var}" in frame.columns:
             raise ValueError(f"BIND target ?{var} is already bound")
         frame = frame.withColumn(f"?{var}", col)
@@ -639,7 +676,9 @@ def _compile_group(
                 # caller's left-join condition (LeftJoin expr)
                 deferred.append(fexpr)
                 continue
-        frame = frame.filter(_sparql_filter(fexpr, ns))
+        frame = frame.filter(
+            _sparql_filter(fexpr, ns, meta_col=_frame_meta(frame))
+        )
     return frame
 
 
@@ -732,22 +771,61 @@ def _values_frame(
 
 
 _EXPR_TOK = re.compile(
-    r'\|\||&&|!=|<=|>=|!|=|<[^>\s]*>|<|>'
+    r'(?P<ws>\s+)'
+    r'|(?P<tok>\|\||&&|!=|<=|>=|!|=|<[^>\s]*>|<|>'
     r"|\(|\)|,|\*|/|\+|-"
     r"|\?\w+"
     r'|"(?:[^"\\]|\\.)*"'
     r"|\d+\.\d+|\d+"
-    r"|[A-Za-z_][\w]*(?::[\w.-]*[\w-])?"
+    r"|[A-Za-z_][\w]*(?::[\w.-]*[\w-])?)"
+    r"|(?P<bad>.)"
 )
 
-# SPARQL 1.1 builtin library over the stored LEXICAL strings (the
-# store keeps o_kind/o_datatype/o_lang, but variable bindings project
-# only the lexical form — so the term-metadata builtins LANG/DATATYPE/
-# isIRI/isBLANK are not offered here; everything value-shaped is).
+
+def _expr_tokens(body: str) -> list[str]:
+    """Tokenize a SPARQL expression, RAISING on any character no
+    token alternative matches (a findall-based scanner silently
+    dropped stray characters, so e.g. ``5.`` misparsed as ``5`` and
+    ``@``/``;`` vanished instead of erroring)."""
+    toks: list[str] = []
+    for m in _EXPR_TOK.finditer(body):
+        if m.group("bad") is not None:
+            raise ValueError(
+                f"unexpected character {m.group('bad')!r} at offset "
+                f"{m.start()} in expression {body!r}"
+            )
+        if m.group("tok") is not None:
+            toks.append(m.group("tok"))
+    return toks
+
+
+# SPARQL 1.1 builtin library.  Value-shaped builtins run over the
+# stored LEXICAL strings; the term-metadata builtins (LANG DATATYPE
+# isIRI isURI isBLANK isLITERAL) read the hidden per-variable
+# metadata columns that object-position bindings carry (see
+# _simple_leg/_meta_col_name) and degrade to lexical-form inference
+# where no metadata column exists (subject/predicate positions are
+# IRI-or-blank by construction, so the inference is exact there).
 _EXPR_STR_HUGE = 1 << 30  # SUBSTR with no length: to end of string
 
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+_XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+_XSD_BOOLEAN = "http://www.w3.org/2001/XMLSchema#boolean"
+_RDF_LANGSTRING = (
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+)
 
-def _sparql_expr(body: str, ns: NamespaceRegistry, var_col=None):
+
+def _meta_col_name(var: str, attr: str) -> str:
+    """Hidden metadata column for a binding: ``#var$kind`` /
+    ``#var$dt`` / ``#var$lang``.  The ``#`` prefix keeps them out of
+    every ``?``-prefixed enumeration (SELECT *, join keys, UNION
+    alignment) without special-casing."""
+    return f"#{var}${attr}"
+
+
+def _sparql_expr(body: str, ns: NamespaceRegistry, var_col=None,
+                 meta_col=None):
     """Unified SPARQL expression compiler -> (Column, kind) with kind
     in {'num', 'str', 'bool', 'var'} — shared by FILTER, BIND, and
     non-aggregate SELECT expressions.
@@ -757,7 +835,11 @@ def _sparql_expr(body: str, ns: NamespaceRegistry, var_col=None):
     additive/multiplicative arithmetic, unary minus, parentheses.
     Builtins: BOUND REGEX CONTAINS STRSTARTS STRENDS STRBEFORE
     STRAFTER STR STRLEN UCASE LCASE SUBSTR CONCAT REPLACE ABS CEIL
-    FLOOR ROUND IF COALESCE isNUMERIC sameTerm.
+    FLOOR ROUND IF COALESCE isNUMERIC sameTerm, plus the
+    term-metadata builtins LANG DATATYPE isIRI isURI isBLANK
+    isLITERAL (exact via the hidden metadata columns object-position
+    bindings carry; lexical-form inference — exact for subject/
+    predicate positions — where a binding has none).
 
     Typing: a numeric literal / arithmetic / numeric builtin on either
     side of a comparison coerces both sides to double (SPARQL numeric
@@ -766,12 +848,19 @@ def _sparql_expr(body: str, ns: NamespaceRegistry, var_col=None):
     comparison is on the stored string.  REGEX/REPLACE accept the
     ``"i"`` flag (prepended inline).  ``var_col`` (name -> Column)
     overrides variable resolution — the OPTIONAL left-join path routes
-    outer variables to the outer frame through it."""
+    outer variables to the outer frame through it.  ``meta_col``
+    (name, attr in {'kind','dt','lang'}) -> Column-or-None resolves
+    the hidden metadata columns; None (default) means no metadata is
+    available and the term-metadata builtins fall back to inference."""
     if var_col is None:
         def var_col(name: str):
             return F.col(f"`?{name}`")
 
-    toks = _EXPR_TOK.findall(body)
+    if meta_col is None:
+        def meta_col(name: str, attr: str):
+            return None
+
+    toks = _expr_tokens(body)
     pos = [0]
 
     def peek():
@@ -810,9 +899,112 @@ def _sparql_expr(body: str, ns: NamespaceRegistry, var_col=None):
             "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
         }[op]
 
+    def _term_meta(fn: str, name: str):
+        """Term-metadata builtin over a bare ?var: exact through the
+        binding's hidden metadata columns when the frame carries them
+        (object position), per-row lexical inference otherwise —
+        subject/predicate bindings are IRI-or-blank by construction
+        (blanks store as ``_:``-prefixed lexical forms), so the
+        inference is exact there.  A UNION can leave metadata NULL for
+        rows bound in a metadata-less branch; the per-row isNotNull
+        dispatch below keeps those rows on the inference path."""
+        col = var_col(name)
+        kind = meta_col(name, "kind")
+        dt = meta_col(name, "dt")
+        lang = meta_col(name, "lang")
+        infer_blank = col.startswith("_:")
+        infer_iri = F.when(col.isNotNull(), ~col.startswith("_:"))
+        if fn == "isblank":
+            c = (
+                F.when(kind.isNotNull(), kind == F.lit(BLANK))
+                .otherwise(infer_blank)
+                if kind is not None
+                else infer_blank
+            )
+            return (c, "bool")
+        if fn in ("isiri", "isuri"):
+            c = (
+                F.when(kind.isNotNull(), kind == F.lit(IRI))
+                .otherwise(infer_iri)
+                if kind is not None
+                else infer_iri
+            )
+            return (c, "bool")
+        if fn == "isliteral":
+            infer = F.when(col.isNotNull(), F.lit(False))
+            c = (
+                F.when(kind.isNotNull(), kind == F.lit(LITERAL))
+                .otherwise(infer)
+                if kind is not None
+                else infer
+            )
+            return (c, "bool")
+        if fn == "lang":
+            # LANG on a non-literal is a SPARQL type error -> NULL
+            # (false in a FILTER); plain literals yield ""
+            c = (
+                F.when(
+                    kind == F.lit(LITERAL), F.coalesce(lang, F.lit(""))
+                )
+                if kind is not None
+                else F.lit(None).cast("string")
+            )
+            return (c, "str")
+        # datatype: plain literal -> xsd:string, lang-tagged ->
+        # rdf:langString (SPARQL 1.1 17.4.2.7); non-literal -> NULL
+        c = (
+            F.when(
+                kind == F.lit(LITERAL),
+                F.coalesce(
+                    dt,
+                    F.when(lang.isNotNull(), F.lit(_RDF_LANGSTRING))
+                    .otherwise(F.lit(_XSD_STRING)),
+                ),
+            )
+            if kind is not None
+            else F.lit(None).cast("string")
+        )
+        return (c, "str")
+
+    def _term_meta_static(fn: str, v):
+        """Term-metadata builtin over a non-variable expression: the
+        compile-time kind decides (builtin results are literals); a
+        'var'-kinded composite (e.g. COALESCE of vars) has no static
+        answer and yields NULL."""
+        col, kind = v
+        if kind == "var":
+            return (F.lit(None).cast("string"), "str") if fn in (
+                "lang", "datatype"
+            ) else (F.lit(None).cast("boolean"), "bool")
+        if fn in ("isiri", "isuri", "isblank"):
+            return (F.lit(False), "bool")
+        if fn == "isliteral":
+            return (F.lit(True), "bool")
+        if fn == "lang":
+            return (F.lit(""), "str")
+        static_dt = {
+            "str": _XSD_STRING, "num": _XSD_DOUBLE, "bool": _XSD_BOOLEAN
+        }[kind]
+        return (F.lit(static_dt), "str")
+
     def funcall(name: str):
         fn = name.lower()
         take("(")
+        if fn in (
+            "lang", "datatype", "isiri", "isuri", "isblank", "isliteral"
+        ):
+            # a bare ?var argument routes through the hidden metadata
+            # columns; anything else is typed from its compiled kind
+            if peek() is not None and peek().startswith("?"):
+                save = pos[0]
+                vtok = take()
+                if peek() == ")":
+                    take(")")
+                    return _term_meta(fn, vtok[1:])
+                pos[0] = save
+            v = or_expr()
+            take(")")
+            return _term_meta_static(fn, v)
         args = []
         if peek() != ")":
             args.append(or_expr())
@@ -1022,17 +1214,27 @@ def _sparql_expr(body: str, ns: NamespaceRegistry, var_col=None):
     return out
 
 
-def _sparql_filter(expr: str, ns: NamespaceRegistry, var_col=None):
+def _sparql_filter(expr: str, ns: NamespaceRegistry, var_col=None,
+                   meta_col=None):
     """FILTER expression -> Spark Column predicate (the boolean face
-    of :func:`_sparql_expr`; see there for grammar + builtins)."""
-    col, kind = _sparql_expr(expr, ns, var_col)
-    if kind != "bool":
-        # SPARQL effective boolean value of a bare expression
-        return col.try_cast("boolean") == F.lit(True)
-    return col
+    of :func:`_sparql_expr`; see there for grammar + builtins).
+
+    Non-boolean expressions take the SPARQL effective boolean value
+    (spec 17.2.2): a string-shaped expression is true iff non-empty
+    (NOT a cast — ``FILTER(?name)`` on "alice" is true), a numeric
+    one iff non-zero and non-NaN; NULL (unbound / type error)
+    evaluates false either way."""
+    col, kind = _sparql_expr(expr, ns, var_col, meta_col)
+    if kind == "bool":
+        return col
+    if kind == "num":
+        return (col != 0) & ~F.isnan(col)
+    # str / var: EBV of a (plain) literal is length > 0
+    return F.length(col) > 0
 
 
-def _sparql_bind(expr: str, ns: NamespaceRegistry) -> tuple[str, Column]:
+def _sparql_bind(expr: str, ns: NamespaceRegistry,
+                 meta_col=None) -> tuple[str, Column]:
     """``BIND(expr AS ?v)`` -> (var name, Column), via
     :func:`_sparql_expr` (full builtin library; numeric results are
     doubles, string builtins keep strings)."""
@@ -1040,7 +1242,7 @@ def _sparql_bind(expr: str, ns: NamespaceRegistry) -> tuple[str, Column]:
     if not m:
         raise ValueError(f"BIND must be 'expr AS ?var': {expr!r}")
     body, var = m.group(1), m.group(2)
-    col, _kind = _sparql_expr(body, ns)
+    col, _kind = _sparql_expr(body, ns, meta_col=meta_col)
     return var, col
 
 
@@ -1142,7 +1344,9 @@ def _sparql_select(
                 continue
             # non-aggregate select expression: reuse the BIND grammar
             try:
-                var, col = _sparql_bind(tok[1:-1].strip(), ns)
+                var, col = _sparql_bind(
+                    tok[1:-1].strip(), ns, meta_col=_frame_meta(frame)
+                )
             except ValueError:
                 raise ValueError(f"unsupported select expression {tok}")
             items.append(("expr", var, col))
@@ -1574,7 +1778,21 @@ def _bgp_frame(store: RdfStore, text: str, ns: NamespaceRegistry, counter):
             if frame is None:
                 frame = leg
             else:
-                shared = [c for c in leg.columns if c in frame.columns]
+                # join on the ?binding columns only; a duplicate hidden
+                # metadata column (same var in object position twice)
+                # keeps the FIRST leg's copy — same-lexical bindings
+                # join regardless of term metadata, matching the
+                # lexical join semantics the oracles replay
+                dup_meta = [
+                    c for c in leg.columns
+                    if c in frame.columns and not c.startswith("?")
+                ]
+                if dup_meta:
+                    leg = leg.drop(*dup_meta)
+                shared = [
+                    c for c in leg.columns
+                    if c in frame.columns and c.startswith("?")
+                ]
                 frame = (
                     frame.join(leg, shared) if shared else frame.crossJoin(leg)
                 )
@@ -1582,7 +1800,12 @@ def _bgp_frame(store: RdfStore, text: str, ns: NamespaceRegistry, counter):
 
 
 def _simple_leg(store: RdfStore, pattern, counter) -> DataFrame:
-    """One plain triple pattern -> a filtered scan with ?var columns."""
+    """One plain triple pattern -> a filtered scan with ?var columns.
+    An object-position variable also carries the triple's term
+    metadata (o_kind/o_datatype/o_lang) as hidden ``#var$...``
+    columns — the exact source for the LANG/DATATYPE/isIRI/isBLANK/
+    isLITERAL builtins.  Subject/predicate variables need none:
+    their kind is decidable from the lexical form (``_:`` prefix)."""
     counter[0] += 1
     ts, tp, to = pattern
     leg = store.df
@@ -1592,6 +1815,12 @@ def _simple_leg(store: RdfStore, pattern, counter) -> DataFrame:
             leg = leg.filter(F.col(pos) == val)
         else:
             cols.append(F.col(pos).alias(f"?{val}"))
+            if pos == "o":
+                cols.extend([
+                    F.col("o_kind").alias(_meta_col_name(val, "kind")),
+                    F.col("o_datatype").alias(_meta_col_name(val, "dt")),
+                    F.col("o_lang").alias(_meta_col_name(val, "lang")),
+                ])
     return (
         leg.select(*cols)
         if cols

@@ -624,14 +624,18 @@ GATE_ORDER: list[str] = [
     "dedup_lines_corpuswide",
     "gopher_quality_rules",
     "source_quota_sample",
-    # text analysis (metrics entry also carries normalization columns;
-    # fingerprints entry also carries the BPE pre-tokenizer counts);
+    # text analysis (metrics entry also carries normalization columns);
     # r9 rotation in: CCNet head/middle/tail quality-quantile
     # bucketing (exact percentile boundaries + per-doc buckets
     # hash-checked; BPE merge training stays pytest-pinned — its
-    # per-round argmax is not SQL-expressible)
+    # per-round argmax is not SQL-expressible).
+    # r11 rotation: text_fingerprints left the gate for dsir_weights
+    # (DSIR importance resampling, Xie et al. 2023 — data selection is
+    # a first-hit operator for a pretraining-data user; the
+    # fingerprint family keeps live gate coverage via text_metrics and
+    # stays REGISTRY+pytest DuckDB-oracled)
     "text_metrics",
-    "text_fingerprints",
+    "dsir_weights",
     "quality_quantile_buckets",
     # training-data pipeline end-to-end: gate -> exact dedup -> MinHash
     # near-dup closure -> split, composed oracle (subsumes the

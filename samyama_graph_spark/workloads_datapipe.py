@@ -252,6 +252,49 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "substring_maximal_spans",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(words[i + 1:i + 8], ' ') AS shingle
+        FROM w, unnest(range(len(words) - 8 + 1)) AS t(i)
+        WHERE len(words) >= 8
+    ),
+    m AS (
+        SELECT a.doc_id AS id_a, a.pos AS pos_a,
+               b.doc_id AS id_b, b.pos AS pos_b
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT *, pos_a - row_number() OVER (
+            PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS g
+        FROM m
+    )
+    SELECT id_a, CAST(min(pos_a) AS BIGINT) AS start_a,
+           id_b, CAST(min(pos_b) AS BIGINT) AS start_b,
+           CAST(count(*) + 7 AS BIGINT) AS span_len
+    FROM isl GROUP BY id_a, id_b, pos_a - pos_b, g
+    HAVING count(*) + 7 >= 50
+    """,
+)
+def substring_maximal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-offset MAXIMAL duplicated substrings of >= 50 tokens
+    (dedup.maximal_duplicate_spans) — the exact granularity of Lee et
+    al. 2022's suffix-array dedup, reproduced as k-token window hits
+    island-merged along pair-diagonals.  The oracle replays window
+    mining, the diagonal row_number islands, and the extent
+    aggregation in SQL, so every span's position and length is
+    hash-checked."""
+    from samyama_graph_spark.datapipe.dedup import maximal_duplicate_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return maximal_duplicate_spans(docs, "text", "doc_id", k=8, min_len=50)
+
+
 @query("bpe_train_merges")
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training on the documents corpus:

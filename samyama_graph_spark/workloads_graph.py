@@ -875,6 +875,68 @@ def rdf_sparql_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rdf_sparql_term_meta",
+    """
+    SELECT 'http://ex.org/c' || c_custkey AS c,
+           CASE WHEN c_custkey % 3 = 0 THEN 'en' ELSE '' END AS lg,
+           CASE WHEN c_custkey % 3 = 0
+                THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'
+                ELSE 'http://www.w3.org/2001/XMLSchema#string' END AS dt,
+           (c_custkey % 2 = 0) AS is_iri,
+           (c_custkey % 2 <> 0) AS is_blank
+    FROM customer
+    """,
+)
+def rdf_sparql_term_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL term-metadata builtins LANG / DATATYPE / isIRI / isBLANK
+    / isLITERAL over a customer triple projection whose name literals
+    are lang-tagged for every third customer and whose ref objects
+    alternate IRI / blank node.  Object-position bindings carry the
+    store's o_kind/o_datatype/o_lang as hidden metadata columns
+    (rdf.py:_simple_leg), so each builtin is an exact column
+    projection — no lexical guessing.  Exceeds the reference, whose
+    SPARQL executor is a stub (sparql/executor.rs:33-54)."""
+    from samyama_graph_spark.rdf import RdfStore
+
+    ex = "http://ex.org/"
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    subj = F.concat(F.lit(f"{ex}c"), F.col("c_custkey")).alias("s")
+    names = cust.select(
+        subj, F.lit(f"{ex}name").alias("p"), F.col("c_name").alias("o"),
+        F.lit("literal").alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("en")).alias("o_lang"),
+    )
+    refs = cust.select(
+        subj, F.lit(f"{ex}ref").alias("p"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(F.lit(f"{ex}n"), F.col("c_nationkey")),
+        ).otherwise(F.concat(F.lit("_:b"), F.col("c_custkey"))).alias("o"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("iri"))
+        .otherwise(F.lit("blank")).alias("o_kind"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    triples = names.unionByName(refs).withColumn(
+        "g", F.lit(None).cast("string")
+    )
+    store = RdfStore(spark, triples)
+    return store.sparql(
+        f"""
+        PREFIX ex: <{ex}>
+        SELECT ?c (LANG(?n) AS ?lg) (DATATYPE(?n) AS ?dt)
+               (isIRI(?x) AS ?is_iri) (isBLANK(?x) AS ?is_blank)
+        WHERE {{
+            ?c ex:name ?n .
+            ?c ex:ref ?x .
+            FILTER(isLITERAL(?n) && !isLITERAL(?x))
+        }}
+        """
+    )
+
+
+@query(
     "rdf_sparql_paths",
     """
     WITH RECURSIVE e AS (

@@ -649,3 +649,24 @@ def test_triangle_stats_driver_and_distributed_agree(spark):
         }
         assert fast == slow and len(fast) > 20, seed
         assert any(t > 0 for _, t in fast.values())
+
+
+def test_closure_edges_releases_own_pins(spark):
+    """Direct callers of the documented-public closure_edges must not
+    accumulate cache blocks across calls: each call releases the
+    previous call's pins (r10 advice — pins used to free only via the
+    triangle_stats / lcc_directed entry points)."""
+    from samyama_graph_spark.algorithms import topology
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    _deg, tris = topology.closure_edges(edges)
+    tris.count()
+    baseline = len(spark.sparkContext._jsc.getPersistentRDDs())
+    for _ in range(3):
+        _deg, tris = topology.closure_edges(edges)
+        tris.count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == baseline
+    # and the per-session registry holds only the live call's pins
+    assert len(topology._PINS.get(spark, {}).get("closure", [])) == 3

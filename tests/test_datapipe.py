@@ -1459,3 +1459,19 @@ def test_dedup_lines_keep_first_semantics(spark):
     assert out[2] == ("gamma\n", 2)
     assert out[3] == ("", 1)  # fully duplicated -> empty text
     assert out[4] == ("delta", 1)  # within-doc repeat strips too
+
+
+def test_simhash_drops_null_text_rows(spark):
+    """NULL-text docs must be absent from simhash output (matching the
+    explode+groupBy formulation the map-only signature replaced —
+    explode of a NULL array emits no rows; r10 advice)."""
+    from samyama_graph_spark.datapipe.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "alpha beta gamma")],
+        "id long, text string",
+    )
+    out = simhash(df, "text", "id").collect()
+    assert sorted(r["id"] for r in out) == [1, 3]
+    sims = {r["id"]: r["sim"] for r in out}
+    assert sims[1] == sims[3] and sims[1] is not None

@@ -1222,3 +1222,124 @@ def test_sparql_expression_builtin_library(spark):
         """
     ).collect()
     assert [r["p"] for r in got] == [f"{_EX}b", f"{_EX}c"]
+
+
+def test_sparql_term_metadata_builtins(spark, store):
+    """LANG / DATATYPE / isIRI / isURI / isBLANK / isLITERAL: exact
+    through the hidden metadata columns for object-position bindings,
+    lexical inference (exact by construction) for subject-position
+    bindings.  The fixture store has IRI, blank, plain-literal,
+    lang-tagged, and typed-literal terms."""
+    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    xsd_i = "http://www.w3.org/2001/XMLSchema#integer"
+    lang_s = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    # object-position metadata: every name/age object is a literal
+    got = store.sparql(
+        f"""
+        SELECT ?s ?lg ?dt WHERE {{
+            ?s <{_EX}name> ?n .
+            BIND(LANG(?n) AS ?lg) BIND(DATATYPE(?n) AS ?dt)
+            FILTER(isLITERAL(?n))
+        }} ORDER BY ?s
+        """
+    ).collect()
+    by_s = {r["s"]: (r["lg"], r["dt"]) for r in got}
+    assert by_s[f"{_EX}alice"] == ("", xsd_s)      # plain literal
+    assert by_s[f"{_EX}bob"] == ("en", lang_s)     # lang-tagged
+    assert len(by_s) == 3                           # incl. blank subject
+    # typed literal datatype
+    got = store.sparql(
+        f"""
+        SELECT ?dt WHERE {{
+            <{_EX}carol> <{_EX}age> ?a . BIND(DATATYPE(?a) AS ?dt)
+        }}
+        """
+    ).collect()
+    assert [r["dt"] for r in got] == [xsd_i]
+    # IRI objects vs literal objects; isURI alias
+    got = store.sparql(
+        f"""
+        SELECT ?s ?o WHERE {{
+            ?s <{_EX}knows> ?o . FILTER(isIRI(?o) && isURI(?o))
+        }} ORDER BY ?s
+        """
+    ).collect()
+    assert len(got) == 2
+    # subject-position inference: the blank-node subject
+    got = store.sparql(
+        f"""
+        SELECT ?s WHERE {{
+            ?s <{_EX}name> ?n . FILTER(isBLANK(?s))
+        }}
+        """
+    ).collect()
+    assert [r["s"] for r in got] == ["_:b1"]
+    got = store.sparql(
+        f"""
+        SELECT ?s WHERE {{
+            ?s <{_EX}name> ?n . FILTER(isIRI(?s))
+        }} ORDER BY ?s
+        """
+    ).collect()
+    assert [r["s"] for r in got] == [f"{_EX}alice", f"{_EX}bob"]
+    # LANG on a non-literal is a type error -> NULL -> filter-false
+    got = store.sparql(
+        f"""
+        SELECT ?s WHERE {{
+            ?s <{_EX}knows> ?o . FILTER(LANG(?o) = "")
+        }}
+        """
+    ).collect()
+    assert got == []
+    # static (non-variable) arguments
+    got = store.sparql(
+        f"""
+        SELECT ?v WHERE {{
+            <{_EX}alice> <{_EX}name> ?n .
+            BIND(IF(isLITERAL("x") && !isIRI("x")
+                    && LANG("x") = "" && DATATYPE("x") = "{xsd_s}",
+                    "ok", "bad") AS ?v)
+        }}
+        """
+    ).collect()
+    assert [r["v"] for r in got] == ["ok"]
+
+
+def test_sparql_effective_boolean_value(spark, store):
+    """SPARQL 17.2.2 EBV for bare (non-boolean) FILTER expressions:
+    a non-empty string is TRUE (the old try_cast('boolean') made
+    'Alice' -> NULL -> false), the empty string false, numerics by
+    non-zero."""
+    got = store.sparql(
+        f"""
+        SELECT ?s WHERE {{ ?s <{_EX}name> ?n . FILTER(?n) }} ORDER BY ?s
+        """
+    ).collect()
+    assert len(got) == 3  # every name literal is non-empty
+    got = store.sparql(
+        f"""
+        SELECT ?s WHERE {{
+            ?s <{_EX}name> ?n . FILTER(SUBSTR(?n, 1, 0))
+        }}
+        """
+    ).collect()
+    assert got == []  # empty string -> false
+    # numeric EBV: ?a - 33 is 0 for carol -> false
+    got = store.sparql(
+        f"""
+        SELECT ?s WHERE {{ ?s <{_EX}age> ?a . FILTER(?a - 33) }}
+        """
+    ).collect()
+    assert got == []
+
+
+def test_sparql_expression_tokenizer_rejects_garbage(spark, store):
+    """The expression scanner must RAISE on characters no token
+    matches instead of silently dropping them (findall used to parse
+    '5.' as '5' and vanish '@' / ';')."""
+    for bad in ("?a > 5. ", "?n = \"x\"@en", "?a ; ?b"):
+        with pytest.raises(ValueError, match="unexpected character"):
+            store.sparql(
+                f"SELECT ?s WHERE {{ ?s <{_EX}age> ?a . "
+                f"?s <{_EX}name> ?n . FILTER({bad}) }}"
+            )

@@ -49,3 +49,30 @@ def test_dtype_parity_catches_uncast_sum(spark, sf_dir):
     assert_matches_oracle(df, good, sf_dir)
     with pytest.raises(AssertionError, match="dtype mismatch"):
         assert_matches_oracle(df, bad, sf_dir)
+
+
+def test_registry_census_matches_notes():
+    """BENCH_NOTES.md's census line must match the live REGISTRY —
+    r9 and r10 both shipped drifted counts that the judge had to
+    re-derive by hand; this assertion makes drift a test failure."""
+    import os
+    import re
+
+    notes = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_NOTES.md",
+    )
+    with open(notes) as f:
+        text = f.read()
+    censuses = re.findall(
+        r"REGISTRY census: (\d+) registered / (\d+) DuckDB-oracled", text
+    )
+    assert censuses, "BENCH_NOTES.md lost its census line"
+    registered, oracled = map(int, censuses[-1])
+    live_total = len(REGISTRY)
+    live_oracled = sum(1 for s in REGISTRY.values() if s.oracle)
+    assert (registered, oracled) == (live_total, live_oracled), (
+        f"BENCH_NOTES.md census says {registered}/{oracled} but REGISTRY "
+        f"has {live_total}/{live_oracled} — update the census line in the "
+        "same commit that changed the registry"
+    )

@@ -67,6 +67,12 @@ ENTRIES = [
     "gopher_quality_rules",
     "source_quota_sample",
     "semdedup_fixed_k",
+    # round-11 extensions: DSIR data selection (two bounded-key
+    # histogram shuffles + broadcast LLR join-back — expect ~linear
+    # time, flat jobs) and the any-offset rolling-hash substring
+    # miner (Lee et al. 2022 granularity; windowed HOF + banded join)
+    "dsir_weights",
+    "substring_maximal_spans",
 ]
 
 
@@ -135,6 +141,12 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     all_names = ENTRIES + list(EXTRA_ENTRIES)
+    # debugging hook mirroring bench.py's: restrict the sweep to a
+    # comma-separated subset and MERGE into the existing artifact
+    # (full regeneration on the shipped tree stays the per-round rule)
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    if only:
+        all_names = [n.strip() for n in only.split(",") if n.strip()]
     results: dict[str, dict] = {n: {} for n in all_names}
     for tag, sf_dir in (("small", small), ("big", big)):
         # warm parquet footers
@@ -222,16 +234,21 @@ def main() -> None:
             r["slope_vs_data"] = round(r["time_slope"] / factor, 3)
             r["jobs_flat"] = b["jobs_warm"] <= s["jobs_warm"] * 1.5 + 2
 
-    out = {
-        "factor": factor,
-        "small_dir": small,
-        "big_dir": big,
-        "entries": results,
-    }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_SCALE.json",
     )
+    entries = results
+    if only and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        entries = {**prior.get("entries", {}), **results}
+    out = {
+        "factor": factor,
+        "small_dir": small,
+        "big_dir": big,
+        "entries": entries,
+    }
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(
