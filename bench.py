@@ -4,12 +4,22 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized (collect) — results are small
-(aggregations / top-k), so driver transfer is negligible and the
-timing covers the complete plan execution.  Per-query time is the
-median of 3 ACCEPTED runs, matching the reference's benchmark
-methodology (BASELINE.md: all reference numbers are 3-run medians);
-cold-run total is also reported.
+Each query is fully materialized through the NOOP SINK
+(``df.write.format("noop")``): every column of every row is computed
+JVM-side and discarded — the measurement the optimization guide
+prescribes (§1.4), timing the complete plan without the py4j
+row-transfer tax of ``collect()``.  MEASUREMENT CHANGE (r11,
+documented in OPTIMIZATION_r11.md): rounds 1-10 timed ``collect()``
+instead; for small results the two agree, but entries returning wide
+result sets paid up to ~60% of their recorded time in driver
+row-pickling (streaming_windows: 109k rows, 2.2 s collect vs 0.3 s
+Arrow — transfer, not computation).  The old-methodology numbers are
+preserved in BENCH_r10.json and plans/r11/BENCH_BASELINE_collect.json
+(an r11-tree rerun under collect); set SPARK_GRAFT_BENCH_COLLECT=1 to
+reproduce the old action.  Per-query time is the median of 3 ACCEPTED
+runs, matching the reference's benchmark methodology (BASELINE.md:
+all reference numbers are 3-run medians); cold-run total is also
+reported.
 
 Sample acceptance (the load gate): this microVM has sporadic
 minutes-long slow phases (2-4x inflation) with NO load-average
@@ -338,11 +348,21 @@ def main() -> None:
             load_entry = -1.0
         gc0 = jvm_gc_ms()
         ok_samples: list[float] = []
+        if os.environ.get("SPARK_GRAFT_BENCH_COLLECT") == "1":
+            # rounds 1-10 methodology, kept reproducible
+            def action() -> None:
+                spec.fn(spark, sf_dir).collect()
+        else:
+            def action() -> None:
+                (
+                    spec.fn(spark, sf_dir)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
         for _ in range(runs):
             try:
-                elapsed, ok, p0, p1 = probed_sample(
-                    lambda: spec.fn(spark, sf_dir).collect()
-                )
+                elapsed, ok, p0, p1 = probed_sample(action)
             except Exception as e:  # noqa: BLE001 — record failures, keep benching
                 print(f"# FAIL {name}: {e}", file=sys.stderr)
                 timings[name] = -1.0

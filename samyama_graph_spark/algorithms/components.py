@@ -156,14 +156,22 @@ def wcc(
             edges.select("src", "dst"), driver_guard
         )
         if pdf is not None:
+            import pandas as pd
+
             comp_map = driver_union_find(
                 zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist())
             )
             spark = edges.sparkSession
             if not comp_map:
                 return spark.createDataFrame([], "id long, component long")
+            # pandas frame -> Arrow-serialized transfer; a plain list of
+            # tuples pickles row-by-row (measured ~1 s at 165k vertices
+            # vs ~0.1 s through Arrow)
+            out = pd.DataFrame(
+                sorted(comp_map.items()), columns=["id", "component"]
+            )
             return spark.createDataFrame(
-                sorted(comp_map.items()), "id long, component long"
+                out, schema="id long, component long"
             )
     with iteration_scope(edges.sparkSession, edges):
         # distinct=False: min-aggregation is idempotent, so duplicate

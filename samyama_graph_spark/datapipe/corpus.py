@@ -331,12 +331,24 @@ def unigram_logprob(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("term"),
     ).filter(F.col("term") != "")
-    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # vocabulary histogram persisted for the pass: the total job below
+    # materializes it (ONE corpus explode), and the score join then
+    # reads the cached vocab — without the persist the corpus explode
+    # re-ran inside every downstream action (total, percentile
+    # boundaries, final bucketing: ~5 corpus passes; now 2).  The
+    # cached vocab's known (small) size also lets the planner broadcast
+    # it, so the token stream is never shuffled for the join.
+    counts = (
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
     total = counts.agg(F.sum("cnt")).first()[0]
     logp = counts.select(
         "term",
         F.log(F.col("cnt") / F.lit(float(total))).alias("logp"),
     )
+    # per-doc frame (tiny next to the corpus) persisted lazily: callers
+    # that act twice — quantile boundaries then bucket projection —
+    # reuse the scored rows instead of re-running the explode + join
     return (
         tok.join(logp, "term")
         .groupBy("id")
@@ -344,6 +356,7 @@ def unigram_logprob(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
+        .persist()
     )
 
 
@@ -510,10 +523,11 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def dsir_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str,
     id_col: str,
     buckets: int = 4096,
+    target_filter=None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
     score every raw document by how much its hashed n-gram bag looks
@@ -544,47 +558,98 @@ def dsir_weights(
     Weight magnitudes are data-dependent; consumers rank rather than
     threshold (see the source-quota / quality-bucket operators for the
     rank-based selection idiom).
+
+    ``target_filter`` (a boolean Column over ``df``'s rows, exclusive
+    with ``target``) declares the target corpus as a SUBSET of the raw
+    one — the common "resample toward my curated slice" shape.  Both
+    histograms then come from a SINGLE scan (per-bucket ``rc`` plus a
+    conditional ``tc``), identical values to running the two-frame
+    path with ``target = df.filter(target_filter)``: the whole
+    operator costs two corpus scans instead of three.
     """
     from samyama_graph_spark.datapipe.common import hash60
 
-    def feats(frame: DataFrame) -> DataFrame:
+    if (target is None) == (target_filter is None):
+        raise ValueError(
+            "dsir_weights: pass exactly one of target / target_filter"
+        )
+
+    def feats(frame: DataFrame, flag=None) -> DataFrame:
         toks = tokens(F.col(text_col))
         both = F.concat(
             F.filter(toks, lambda t: t != ""),
             word_shingles(F.col(text_col), 2),
         )
-        return frame.select(
-            F.col(id_col).alias("id"), F.explode(both).alias("ng")
-        ).select("id", (hash60(F.col("ng")) % F.lit(buckets)).alias("bucket"))
+        cols = [F.col(id_col).alias("id"), F.explode(both).alias("ng")]
+        if flag is not None:
+            cols.append(flag.alias("tgt"))
+        out = frame.select(*cols)
+        keep = ["id", (hash60(F.col("ng")) % F.lit(buckets)).alias("bucket")]
+        if flag is not None:
+            keep.append(F.col("tgt"))
+        return out.select(*keep)
 
     raw_f = feats(df)
-    tgt_f = feats(target)
-    raw_h = (
-        raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc")).persist()
-    )
-    tgt_h = (
-        tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc")).persist()
-    )
-    try:
-        # totals are exactly the histogram masses; summing the cached
-        # <=buckets-row aggregates costs no corpus re-scan
-        rt = float(raw_h.agg(F.sum("rc")).collect()[0][0] or 0)
-        tt = float(tgt_h.agg(F.sum("tc")).collect()[0][0] or 0)
-        # every bucket a raw doc references has rc >= 1, so a left join
-        # from the raw histogram covers all lookups; absent target mass
-        # smooths to +1
-        llr = (
-            F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (tt + buckets))
-            - F.log((F.col("rc") + 1.0) / (rt + buckets))
+    if target_filter is not None:
+        # one histogram job covers BOTH distributions: rc counts every
+        # feature row, tc only the rows whose source doc passes the
+        # target predicate (count(when) skips false AND null, exactly
+        # like the filter would)
+        hist = (
+            feats(df, flag=target_filter)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rc"),
+                F.count(F.when(F.col("tgt"), 1)).alias("tc"),
+            )
+            .persist()
         )
-        weight_rows = (
-            raw_h.join(tgt_h, "bucket", "left")
-            .select("bucket", llr.alias("llr"))
-            .collect()
+        try:
+            tot = hist.agg(F.sum("rc"), F.sum("tc")).collect()[0]
+            rt = float(tot[0] or 0)
+            tt = float(tot[1] or 0)
+            llr = (
+                F.log((F.col("tc") + 1.0) / (tt + buckets))
+                - F.log((F.col("rc") + 1.0) / (rt + buckets))
+            )
+            weight_rows = hist.select("bucket", llr.alias("llr")).collect()
+        finally:
+            hist.unpersist()
+    else:
+        tgt_f = feats(target)
+        raw_h = (
+            raw_f.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("rc"))
+            .persist()
         )
-    finally:
-        raw_h.unpersist()
-        tgt_h.unpersist()
+        tgt_h = (
+            tgt_f.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("tc"))
+            .persist()
+        )
+        try:
+            # totals are exactly the histogram masses; summing the
+            # cached <=buckets-row aggregates costs no corpus re-scan
+            rt = float(raw_h.agg(F.sum("rc")).collect()[0][0] or 0)
+            tt = float(tgt_h.agg(F.sum("tc")).collect()[0][0] or 0)
+            # every bucket a raw doc references has rc >= 1, so a left
+            # join from the raw histogram covers all lookups; absent
+            # target mass smooths to +1
+            llr = (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                    / (tt + buckets)
+                )
+                - F.log((F.col("rc") + 1.0) / (rt + buckets))
+            )
+            weight_rows = (
+                raw_h.join(tgt_h, "bucket", "left")
+                .select("bucket", llr.alias("llr"))
+                .collect()
+            )
+        finally:
+            raw_h.unpersist()
+            tgt_h.unpersist()
     spark = df.sparkSession
     if weight_rows:
         # an inline VALUES table compiles to a LocalRelation (no

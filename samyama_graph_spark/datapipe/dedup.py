@@ -26,16 +26,19 @@ from samyama_graph_spark.datapipe.common import (
 _PINNED_SIGS: list[DataFrame] = []
 
 
-def _pin_frame(sig: DataFrame) -> DataFrame:
-    """Persist + eagerly materialize a signature frame that a self-join
-    consumes on BOTH legs (Catalyst does not reuse the wide aggregation
-    exchange across them).  Long-session hygiene: only the most recent
-    signature stays cached — pinning a new one unpersists the previous,
-    so repeated calls never accumulate blocks until eviction; inside an
-    ``iteration_scope`` the scope cleanup covers it as well."""
+def _pin_frames(*frames: DataFrame) -> list[DataFrame]:
+    """Persist + eagerly materialize frames that self-joins or several
+    downstream stages consume more than once (Catalyst does not reuse a
+    wide aggregation exchange across join legs).  Long-session hygiene:
+    only the most recent pin SET stays cached — pinning unpersists the
+    previous set, so repeated calls never accumulate blocks until
+    eviction; inside an ``iteration_scope`` the scope cleanup covers it
+    as well.  Order matters: a later frame may derive from an earlier
+    one, so each is materialized before the next persists (the derived
+    frame's build then reads the cache instead of recomputing)."""
     from samyama_graph_spark.algorithms.util import _ACTIVE_SCOPES
 
-    # unpersist prior pins BEFORE persisting the new frame: when the
+    # unpersist prior pins BEFORE persisting the new frames: when a
     # new frame's logical plan EQUALS a pinned one's (the common case —
     # the same entry re-run), persist() is a no-op against the existing
     # cache entry, and unpersisting the old frame afterwards would
@@ -45,12 +48,20 @@ def _pin_frame(sig: DataFrame) -> DataFrame:
     # substitutes the signature expression per reference)
     while _PINNED_SIGS:
         _PINNED_SIGS.pop().unpersist(blocking=False)
-    sig = sig.persist()
-    sig.count()
-    _PINNED_SIGS.append(sig)
-    if _ACTIVE_SCOPES:
-        _ACTIVE_SCOPES[-1].append(sig)
-    return sig
+    out: list[DataFrame] = []
+    for f in frames:
+        f = f.persist()
+        f.count()
+        _PINNED_SIGS.append(f)
+        if _ACTIVE_SCOPES:
+            _ACTIVE_SCOPES[-1].append(f)
+        out.append(f)
+    return out
+
+
+def _pin_frame(sig: DataFrame) -> DataFrame:
+    """Single-frame :func:`_pin_frames` (the common case)."""
+    return _pin_frames(sig)[0]
 
 
 # ------------------------------------------------------------------ exact
@@ -89,7 +100,8 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
 
 
 def _pair_jaccard(
-    shingles: DataFrame, pairs: DataFrame, on_hash: bool = False
+    shingles: DataFrame, pairs: DataFrame, on_hash: bool = False,
+    hashed: bool = False,
 ) -> DataFrame:
     """True Jaccard for candidate pairs: ``(x, y, jacc)``.
 
@@ -101,11 +113,16 @@ def _pair_jaccard(
     shingle string — 8-byte shuffle keys instead of full n-grams.
     Use when the caller already pays for the md5 pass (MinHash);
     equality is exact up to 2^-60 collisions, replayed identically by
-    the oracle.
+    the oracle.  ``hashed=True`` means ``shingles`` already carries the
+    hash as column ``sk`` (e.g. a pinned ``(id, sk)`` frame) — no
+    re-hash at all.
     """
-    key = hash60(F.col("shingle")).alias("sk") if on_hash else F.col(
-        "shingle"
-    ).alias("sk")
+    if hashed:
+        key = F.col("sk")
+    else:
+        key = hash60(F.col("shingle")).alias("sk") if on_hash else F.col(
+            "shingle"
+        ).alias("sk")
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("id").alias("x"), key)
     b = shingles.select(F.col("id").alias("y"), key)
@@ -139,15 +156,27 @@ def minhash_signatures(
     permutation surrogates, then one grouped min-aggregation — a
     single shuffle on doc id with map-side combine.
     """
-    base = hash60(F.col("shingle"))
-    hashed = shingles.select(
+    return _signatures_from_hashed(
+        shingles.select("id", hash60(F.col("shingle")).alias("sk")),
+        num_hashes,
+    )
+
+
+def _signatures_from_hashed(
+    hashed: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures from a pre-hashed ``(id, sk)`` shingle frame —
+    the shape :func:`minhash_lsh_pairs` pins so the md5 pass runs once
+    for signatures, sizes, and both verification legs."""
+    base = F.col("sk")
+    fam = hashed.select(
         "id",
         *[
             hash_family_member(base, i).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
-    return hashed.groupBy("id").agg(
+    return fam.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)]
     )
 
@@ -185,7 +214,17 @@ def minhash_lsh_pairs(
     """Full MinHash-LSH near-dup pipeline:
     shingle -> minhash -> band-bucket -> candidate join -> exact-Jaccard
     verification.  Returns ``(x, y, jacc)`` with jacc >= threshold.
-    """
+
+    Deliberately UNPINNED: the plan carries six scan+explode subtrees
+    (signatures, sizes, both verification legs, both bucket legs), and
+    an r11 A/B at sf0.1 measured every pin variant WORSE warm (pin
+    both/hashed/sigs: 2.3-2.9 s vs 1.6-2.0 s unpinned) — the eager
+    materialization is a sync point plus an extra scheduled job, while
+    the redundant subtrees execute in parallel across idle cores.  At
+    warehouse scale the calculus flips (six corpus scans vs one);
+    there, persist the ``(id, sk)`` stream via
+    :func:`_signatures_from_hashed` + :func:`_pair_jaccard(hashed=)`
+    exactly like :func:`minhash_incremental_pairs` persists its index."""
     sh = shingle_sets(df, text_col, id_col, k)
     sigs = minhash_signatures(sh, num_hashes)
     cand = lsh_candidates(sigs, num_hashes, bands)
@@ -208,12 +247,22 @@ def ngram_jaccard_pairs(
     least one shingle (still a shingle-equality join, not a cross
     join — docs with zero overlap never pair, their Jaccard is 0).
     """
-    sh = shingle_sets(df, text_col, id_col, k)
     if block_cols:
         # carry blocking keys on the shingle rows so the candidate
-        # join filters blocks in-join (no second pass over pairs)
-        keys = df.select(F.col(id_col).alias("id"), *block_cols)
-        sh = sh.join(keys, "id")
+        # join filters blocks in-join (no second pass over pairs).
+        # The keys ride the SAME select as the explode — id is unique
+        # per source row, so this equals the former self-join against a
+        # (id, keys) projection while skipping that join's two
+        # exchanges in the cached-frame build
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            *block_cols,
+            F.explode(
+                F.array_distinct(word_shingles(F.col(text_col), k))
+            ).alias("shingle"),
+        )
+    else:
+        sh = shingle_sets(df, text_col, id_col, k)
     sh = sh.cache()
     sh.count()  # pin: 3 consumer legs below share one job; a lazy cache
     # would recompute the shingle expansion per leg
@@ -1478,32 +1527,33 @@ def dedup_lines(
     Scale shape: explode to (doc, pos, line), ONE shuffle on the line
     hash to pick the argmin occupant (min struct aggregate — no
     window, so a line duplicated a billion times still reduces with
-    map-side combine), broadcast-join verdicts back, one per-doc
-    regroup with a JVM sort+transform reassembly.  No Python in the
-    row path; the whole pass is two shuffles.
+    map-side combine), one per-doc regroup with a JVM sort+transform
+    reassembly.  The line TEXT rides inside the argmin struct ((id,
+    pos) is unique, so it never influences the min), which makes the
+    aggregate's output exactly the kept line set — the former
+    formulation re-joined verdicts back to the exploded stream (a
+    corpus-sized hash-equality string join) and then outer-joined by
+    (id, pos) a second time; both joins and one full explode
+    recomputation are gone.  No Python in the row path; the whole
+    pass is two shuffles.
     """
     lines = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__ln"),
     )
     content = lines.filter(F.col("__ln") != "")
+    # one row per distinct line: the earliest (id, pos) occurrence,
+    # carrying its text — this IS the kept content-line set
     first = content.groupBy(F.xxhash64("__ln").alias("__h")).agg(
-        F.min(F.struct("__id", "__pos")).alias("__keep")
+        F.min(F.struct("__id", "__pos", "__ln")).alias("__keep")
     )
-    verdict = content.join(
-        first, F.xxhash64(content["__ln"]) == first["__h"]
-    ).select(
-        "__id",
-        "__pos",
-        (
-            (F.col("__keep.__id") == F.col("__id"))
-            & (F.col("__keep.__pos") == F.col("__pos"))
-        ).alias("__is_first"),
-    )
+    kept_lines = first.select(
+        F.col("__keep.__id").alias("__id"),
+        F.col("__keep.__pos").alias("__pos"),
+        F.col("__keep.__ln").alias("__ln"),
+    ).unionByName(lines.filter(F.col("__ln") == ""))
     kept = (
-        lines.join(verdict, ["__id", "__pos"], "left")
-        .filter(F.coalesce(F.col("__is_first"), F.lit(True)))
-        .groupBy("__id")
+        kept_lines.groupBy("__id")
         .agg(
             F.array_join(
                 F.transform(

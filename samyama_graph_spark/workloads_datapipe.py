@@ -2428,10 +2428,15 @@ def dsir_weights_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     from samyama_graph_spark.datapipe.corpus import dsir_weights
 
     docs = _docs(spark, sf_dir)
+    # target = the English SUBSET of the raw corpus -> the single-scan
+    # stats path: one histogram job computes rc and tc together, so the
+    # operator reads the corpus twice total (stats + returned scoring
+    # plan) instead of three times
     return dsir_weights(
         docs,
-        docs.filter(F.col("lang") == "en"),
+        None,
         "text",
         "doc_id",
         buckets=_DSIR_BUCKETS,
+        target_filter=F.col("lang") == "en",
     )

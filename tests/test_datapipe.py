@@ -1475,3 +1475,53 @@ def test_simhash_drops_null_text_rows(spark):
     assert sorted(r["id"] for r in out) == [1, 3]
     sims = {r["id"]: r["sim"] for r in out}
     assert sims[1] == sims[3] and sims[1] is not None
+
+
+def test_dsir_target_filter_matches_two_frame(spark, sf_dir):
+    """The single-scan subset-target path (target_filter) must return
+    EXACTLY the two-frame path's weights — same ids, n_features, and
+    avg_llr to the returned 6-decimal rounding (r11 optimization:
+    2 corpus scans instead of 3 when the target is a predicate over
+    the raw rows)."""
+    from samyama_graph_spark.datapipe.corpus import dsir_weights
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    two = {
+        r["id"]: (r["n_features"], r["avg_llr"])
+        for r in dsir_weights(
+            docs, docs.filter("lang = 'en'"), "text", "doc_id", buckets=512
+        ).collect()
+    }
+    one = {
+        r["id"]: (r["n_features"], r["avg_llr"])
+        for r in dsir_weights(
+            docs, None, "text", "doc_id", buckets=512,
+            target_filter=F.col("lang") == "en",
+        ).collect()
+    }
+    assert one == two and len(one) > 0
+
+
+def test_dsir_target_filter_single_scan_stats_and_errors(spark, sf_dir):
+    """target_filter and target are mutually exclusive (exactly one),
+    and the returned scoring plan still scans the corpus exactly once
+    with a broadcast LLR LocalRelation."""
+    import re
+
+    import pytest as _pytest
+
+    from samyama_graph_spark.datapipe.corpus import dsir_weights
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    with _pytest.raises(ValueError):
+        dsir_weights(docs, docs, "text", "doc_id", target_filter=F.lit(True))
+    with _pytest.raises(ValueError):
+        dsir_weights(docs, None, "text", "doc_id")
+    out = dsir_weights(
+        docs, None, "text", "doc_id", buckets=512,
+        target_filter=F.col("lang") == "en",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    assert n_scans == 1, plan[:2000]
+    assert "LocalTableScan" in plan
