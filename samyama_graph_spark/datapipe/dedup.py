@@ -215,21 +215,83 @@ def minhash_lsh_pairs(
     shingle -> minhash -> band-bucket -> candidate join -> exact-Jaccard
     verification.  Returns ``(x, y, jacc)`` with jacc >= threshold.
 
-    Deliberately UNPINNED: the plan carries six scan+explode subtrees
-    (signatures, sizes, both verification legs, both bucket legs), and
-    an r11 A/B at sf0.1 measured every pin variant WORSE warm (pin
-    both/hashed/sigs: 2.3-2.9 s vs 1.6-2.0 s unpinned) — the eager
-    materialization is a sync point plus an extra scheduled job, while
-    the redundant subtrees execute in parallel across idle cores.  At
-    warehouse scale the calculus flips (six corpus scans vs one);
-    there, persist the ``(id, sk)`` stream via
-    :func:`_signatures_from_hashed` + :func:`_pair_jaccard(hashed=)`
+    Per-doc shingle-set sizes ride INSIDE the signature aggregate (one
+    extra count over the same groupBy) and travel with the band-bucket
+    rows into the candidate stream, so the Jaccard denominator needs no
+    size joins at all — |A∩B| comes from the verification join, |A|/|B|
+    are already on the candidate row.  That deletes two of the former
+    six scan+explode subtrees and both size-join shuffles (r11; plan
+    asserted in test_plans).
+
+    Deliberately UNPINNED: an r11 A/B at sf0.1 measured every pin
+    variant WORSE warm (pin both/hashed/sigs: 2.3-2.9 s vs 1.6-2.0 s
+    unpinned) — the eager materialization is a sync point plus an
+    extra scheduled job, while the redundant subtrees execute in
+    parallel across idle cores.  At warehouse scale the calculus flips
+    (four corpus scans vs one); there, persist the ``(id, sk)`` stream
+    via :func:`_signatures_from_hashed` + :func:`_pair_jaccard(hashed=)`
     exactly like :func:`minhash_incremental_pairs` persists its index."""
     sh = shingle_sets(df, text_col, id_col, k)
-    sigs = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidates(sigs, num_hashes, bands)
-    return _pair_jaccard(sh, cand, on_hash=True).filter(
-        F.col("jacc") >= threshold
+    hashed = sh.select("id", hash60(F.col("shingle")).alias("sk"))
+    sigs = hashed.select(
+        "id",
+        "sk",
+        *[
+            hash_family_member(F.col("sk"), i).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    ).groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(num_hashes)],
+        F.count(F.lit(1)).alias("__n"),
+    )
+    cand = _lsh_candidates_with_sizes(sigs, num_hashes, bands)
+    a = hashed.select(F.col("id").alias("x"), "sk")
+    b = hashed.select(F.col("id").alias("y"), "sk")
+    inter = (
+        a.join(cand, "x")
+        .join(b, ["y", "sk"])
+        .groupBy("x", "y", "nx", "ny")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return inter.select(
+        "x",
+        "y",
+        (F.col("i") / (F.col("nx") + F.col("ny") - F.col("i"))).alias(
+            "jacc"
+        ),
+    ).filter(F.col("jacc") >= threshold)
+
+
+def _lsh_candidates_with_sizes(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded-LSH candidate pairs ``(x, y, nx, ny)`` from signatures
+    that carry a ``__n`` shingle-set size: the sizes are functionally
+    dependent on the ids, so the distinct over (x, y, nx, ny) has
+    exactly the (x, y) cardinality and downstream Jaccard needs no
+    join back to a size aggregate."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            *[F.col(f"mh{b * rows + r}").alias(f"v{r}") for r in range(rows)],
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "id", "__n", F.explode(F.array(*band_cols)).alias("bkt")
+    )
+    l = buckets.select(
+        F.col("id").alias("x"), F.col("__n").alias("nx"), "bkt"
+    )
+    r = buckets.select(
+        F.col("id").alias("y"), F.col("__n").alias("ny"), "bkt"
+    )
+    return (
+        l.join(r, "bkt")
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y", "nx", "ny")
+        .distinct()
     )
 
 
@@ -247,24 +309,24 @@ def ngram_jaccard_pairs(
     least one shingle (still a shingle-equality join, not a cross
     join — docs with zero overlap never pair, their Jaccard is 0).
     """
-    if block_cols:
-        # carry blocking keys on the shingle rows so the candidate
-        # join filters blocks in-join (no second pass over pairs).
-        # The keys ride the SAME select as the explode — id is unique
-        # per source row, so this equals the former self-join against a
-        # (id, keys) projection while skipping that join's two
-        # exchanges in the cached-frame build
-        sh = df.select(
-            F.col(id_col).alias("id"),
-            *block_cols,
-            F.explode(
-                F.array_distinct(word_shingles(F.col(text_col), k))
-            ).alias("shingle"),
-        )
-    else:
-        sh = shingle_sets(df, text_col, id_col, k)
+    # Blocking keys and the per-doc set SIZE both ride the shingle rows
+    # (id is unique per source row, so carrying them through the
+    # explode equals the former join back to a keys projection / size
+    # aggregate while skipping those joins entirely).  The array is
+    # materialized in its own projection so the explode and the size
+    # read one computed column instead of re-running the shingle
+    # transform per expression.
+    bc = block_cols or []
+    arr = df.select(
+        F.col(id_col).alias("id"),
+        *bc,
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("__a"),
+    )
+    sh = arr.select(
+        "id", *bc, F.size("__a").alias("n"), F.explode("__a").alias("shingle")
+    )
     sh = sh.cache()
-    sh.count()  # pin: 3 consumer legs below share one job; a lazy cache
+    sh.count()  # pin: 2 consumer legs below share one job; a lazy cache
     # would recompute the shingle expansion per leg
     # Candidates come from the shingle-equality join (pairs with zero
     # overlap have Jaccard 0 and can never pass threshold > 0), so
@@ -272,46 +334,28 @@ def ngram_jaccard_pairs(
     # O(block_size^2) cross-pairs.  The SAME join yields |A∩B| — one
     # matched row per common shingle — so the groupBy does double duty
     # as candidate-dedup and intersection count; no re-join against
-    # the shingle table afterwards.
-    bc = block_cols or []
+    # the shingle table afterwards.  Blocking keys are part of the
+    # EQUI-JOIN key (not a post-join filter): the join matcher then
+    # never emits cross-block pairs at all.
     a = sh.select(
-        F.col("id").alias("x"),
-        "shingle",
-        *[F.col(c).alias(f"{c}_x") for c in bc],
+        F.col("id").alias("x"), F.col("n").alias("nx"), "shingle", *bc
     )
     b = sh.select(
-        F.col("id").alias("y"),
-        "shingle",
-        *[F.col(c).alias(f"{c}_y") for c in bc],
-    )
-    cond = functools.reduce(
-        op.and_,
-        [F.col(f"{c}_x") == F.col(f"{c}_y") for c in bc],
-        F.col("x") < F.col("y"),
+        F.col("id").alias("y"), F.col("n").alias("ny"), "shingle", *bc
     )
     inter = (
-        a.join(b, "shingle")
-        .filter(cond)
-        .groupBy("x", "y")
+        a.join(b, ["shingle", *bc])
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y", "nx", "ny")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    return (
-        inter.join(
-            sizes.select(F.col("id").alias("x"), F.col("n").alias("nx")), "x"
-        )
-        .join(
-            sizes.select(F.col("id").alias("y"), F.col("n").alias("ny")), "y"
-        )
-        .select(
-            "x",
-            "y",
-            (F.col("i") / (F.col("nx") + F.col("ny") - F.col("i"))).alias(
-                "jacc"
-            ),
-        )
-        .filter(F.col("jacc") >= threshold)
-    )
+    return inter.select(
+        "x",
+        "y",
+        (F.col("i") / (F.col("nx") + F.col("ny") - F.col("i"))).alias(
+            "jacc"
+        ),
+    ).filter(F.col("jacc") >= threshold)
 
 
 # ------------------------------------------------- exact substring spans

@@ -343,20 +343,35 @@ def ivf_assign(
     # construction cost of C x dim literal expressions dominates small
     # queries (same fix as knn_lsh above).  argmax_i cos(v, c_i) =
     # argmax_i dot(v, c_i/|c_i|): the 1/|v| factor is common to every
-    # centroid, so centroids pre-normalize in Python and each term is a
-    # single codegen'd dot.
-    def dot_sql(c: list[float]) -> str:
+    # centroid, so centroids pre-normalize in Python.
+    #
+    # The whole argmax is ONE fold over a nested-array literal (r11):
+    # the former per-centroid `greatest(struct(dot_0,..), ...)` form
+    # expanded to an O(C x dim) expression tree whose parse + codegen
+    # measured ~0.4 s build and dominated execution at C=16, dim=64;
+    # this form is O(1) expression nodes regardless of C, the same
+    # math, and the same lowest-index tie-break (strict `>` keeps the
+    # earlier centroid; Spark orders NaN above all values in both
+    # forms).
+    if len(centroids) <= 1:
+        return df.withColumn("__ivf_cell", F.expr("0"))
+    norm_rows = []
+    for c in centroids:
         n = sum(x * x for x in c) ** 0.5 or 1.0
-        arr = "array(" + ",".join(repr(x / n) for x in c) + ")"
-        return (
-            f"aggregate(zip_with({arr}, cast(`{vec_col}` as array<double>), "
-            "(x, y) -> x * y), cast(0.0 as double), (acc, d) -> acc + d)"
-        )
-
-    best = "greatest(" + ",".join(
-        f"struct({dot_sql(c)} AS s, {-i} AS ni, {i} AS i)"
-        for i, c in enumerate(centroids)
-    ) + ").i" if len(centroids) > 1 else "0"
+        norm_rows.append("array(" + ",".join(repr(x / n) for x in c) + ")")
+    c_arr = "array(" + ",".join(norm_rows) + ")"
+    best = f"""
+    aggregate(
+      zip_with({c_arr}, sequence(0, {len(centroids) - 1}),
+               (c, i) -> struct(
+                   aggregate(zip_with(c, cast(`{vec_col}` as array<double>),
+                                      (x, y) -> x * y),
+                             cast(0.0 as double), (acc, d) -> acc + d) AS s,
+                   i AS i)),
+      cast(null as struct<s: double, i: int>),
+      (best, cur) -> if(best is null or cur.s > best.s, cur, best)
+    ).i
+    """
     return df.withColumn("__ivf_cell", F.expr(best))
 
 

@@ -861,11 +861,20 @@ def knn_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from samyama_graph_spark.datapipe.similarity import knn_ivf
 
     embs = _embs(spark, sf_dir)
-    cents = [
-        [float(x) for x in r["embedding"]]
-        for r in embs.orderBy("vec_id").limit(_IVF_C).collect()
-    ]
-    qv = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # centroids and the query vector in ONE collect: the query id (0)
+    # is by construction among the lowest _IVF_C vec_ids, so the
+    # former separate filter(vec_id = 0) job was a second full scan
+    low = embs.orderBy("vec_id").limit(_IVF_C).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in low]
+    qrow = next((r for r in low if r["vec_id"] == 0), None)
+    qv = (
+        [float(x) for x in qrow["embedding"]]
+        if qrow is not None
+        else [
+            float(x)
+            for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+    )
     out = knn_ivf(embs, "embedding", "vec_id", qv, cents, k=10, nprobe=_IVF_PROBE)
     return out.select("id", F.round("score", 6).alias("score"))
 

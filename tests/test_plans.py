@@ -920,3 +920,24 @@ def test_maximal_spans_plan_shape(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex <= 4, plan[:2000]
+
+
+def test_minhash_pairs_carry_sizes_no_size_joins(spark, sf_dir):
+    """minhash_lsh_pairs (r11): shingle-set sizes ride the signature
+    aggregate and the candidate rows, so the returned plan holds
+    exactly FOUR scan+explode subtrees (two bucket legs + two
+    verification legs — the former separate size-aggregate joins are
+    gone) and no window/cartesian/Python."""
+    import re
+
+    from samyama_graph_spark.datapipe.dedup import minhash_lsh_pairs
+    from samyama_graph_spark.loaders import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    out = minhash_lsh_pairs(docs, "text", "doc_id", k=3)
+    plan = _plan(out)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 4, plan[:2000]
