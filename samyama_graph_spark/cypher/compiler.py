@@ -1377,7 +1377,7 @@ class Compiler:
     def _unwind(self, st: State, clause: A.UnwindClause) -> None:
         if st.frame is None:
             spark = self.g.spark
-            st.frame = spark.range(1).select(F.lit(1).alias("__one"))
+            st.frame = spark.range(0, 1, 1, 1).select(F.lit(1).alias("__one"))
         col = compile_expr(clause.expr, st.scope)
         st.frame = st.frame.select("*", F.explode(col).alias(clause.alias))
         if "__one" in st.frame.columns:
@@ -1563,7 +1563,7 @@ class Compiler:
     ) -> DataFrame:
         if st.frame is None:
             # RETURN 1 — constant projection off a single row
-            st.frame = self.g.spark.range(1).select(F.lit(1).alias("__one"))
+            st.frame = self.g.spark.range(0, 1, 1, 1).select(F.lit(1).alias("__one"))
         self._refresh_dtypes(st)
         self._materialize_subqueries(
             st, [it.expr for it in items] + [oe for oe, _ in order_by]

@@ -469,13 +469,18 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
         # small-dim write-back as a literal-map projection: no join, no
         # extra job, and repeated or.solve calls on one label (solver
         # portfolios) add one thin Project each instead of stacking a
-        # join per call onto the shared node table.  Two whole-list
-        # F.lit array literals (2 py4j calls) zipped via
-        # map_from_arrays — NOT per-element create_map, which costs
-        # 2*len(ids) py4j round trips and a len(ids)*2-child
-        # expression in every downstream plan analysis
-        m = F.map_from_arrays(
-            F.lit(ids.tolist()), F.lit([float(v) for v in best.tolist()])
+        # join per call onto the shared node table.  The whole map is
+        # ONE F.expr SQL string: PySpark's F.lit(list) expands to a
+        # per-element lit() chain — 2*len(ids) py4j round trips that
+        # profiled as the DOMINANT cost of a 12-solver portfolio
+        # (~650 socket round-trips per call, r11) — while a single
+        # expression string is one round trip; repr() doubles with the
+        # D suffix round-trip bit-exactly through the SQL parser (the
+        # corpus.py VALUES idiom)
+        ids_sql = ",".join(f"{int(i)}L" for i in ids.tolist())
+        vals_sql = ",".join(f"{float(v)!r}D" for v in best.tolist())
+        m = F.expr(
+            f"map_from_arrays(array({ids_sql}), array({vals_sql}))"
         )
         g.nodes[label] = tbl.withColumn(prop, m[F.col("id")])
     else:
@@ -510,7 +515,11 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
     # summary record as a PURE-JVM literal projection: createDataFrame
     # pickles through a Python RDD and costs a py4j round trip per call
     # (~0.2s), which dominates a solver-portfolio loop
-    one = spark.range(1)
+    # single-partition literal row: a bare range(1) inherits
+    # defaultParallelism partitions, so a 12-member solver
+    # portfolio's summary union scheduled ~400 empty tasks
+    # (measured seconds of pure task dispatch, r11)
+    one = spark.range(0, 1, 1, 1)
     if isinstance(res, ParetoResult):
         return one.select(
             F.array(

@@ -1504,7 +1504,7 @@ def _sparql_construct(
         # empty WHERE = one empty solution: instantiate the template
         # once (only all-constant template triples survive the
         # unbound-variable drop below)
-        frame = store.spark.range(1)
+        frame = store.spark.range(0, 1, 1, 1)
     else:
         frame = _compile_group(store, m.group("body"), ns, [0])
     if m.group("limit"):
