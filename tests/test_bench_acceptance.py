@@ -11,7 +11,6 @@ including a replay of the two real r10 phantom regressions.
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 
@@ -118,30 +117,54 @@ class TestResolveEntry:
 
 
 class TestR10Replay:
-    """Replay the committed r10 audit trail: the two entries the r10
-    verdict identified as single-accepted-sample artifacts must now
-    resolve near their sample-cluster consensus (or be flagged)."""
+    """Replay the r10 audit trail: the two entries the r10 verdict
+    identified as single-accepted-sample artifacts must resolve near
+    their sample-cluster consensus (or be flagged).
 
-    def _detail(self):
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "BENCH_DETAIL.json",
-        )
-        with open(path) as f:
-            return json.load(f)
+    The rows are a frozen fixture reconstructed from the r10 verdict's
+    audit-trail quotes (the live BENCH_DETAIL.json is overwritten by
+    every bench run, so it cannot anchor a regression test):
+    substring_span_dedup reported 7.71 s from ONE probe-accepted
+    sample while five rejected samples sat at 1.31-2.00 s;
+    ldbc_ic1_transitive_name reported 2.28 s from one accepted sample
+    while four rejected samples agreed at 0.13-0.15 s.
+    """
+
+    # probe values: GOOD passes probe_best * tol, BAD fails it
+    R10 = {
+        "probe_best_sec": PB,
+        "probe_tolerance": TOL,
+        "samples": {
+            "substring_span_dedup": [
+                (1.31, BAD, BAD),
+                (1.50, BAD, BAD),
+                (1.63, BAD, BAD),
+                (1.76, BAD, BAD),
+                (2.00, BAD, BAD),
+                (7.71, GOOD, GOOD),
+            ],
+            "ldbc_ic1_transitive_name": [
+                (0.13, BAD, BAD),
+                (0.13, BAD, BAD),
+                (0.14, BAD, BAD),
+                (0.15, BAD, BAD),
+                (2.28, GOOD, GOOD),
+            ],
+        },
+    }
 
     def test_substring_span_dedup(self):
-        d = self._detail()
-        rows = [tuple(r) for r in d["samples"]["substring_span_dedup"]]
+        d = self.R10
+        rows = d["samples"]["substring_span_dedup"]
         value, _n, status = resolve_entry(
             rows, d["probe_best_sec"], d["probe_tolerance"]
         )
-        assert status == "dirty" or value < 2.5, (value, status)
+        assert status == "modal" and value < 2.5, (value, status)
 
     def test_ldbc_ic1(self):
-        d = self._detail()
-        rows = [tuple(r) for r in d["samples"]["ldbc_ic1_transitive_name"]]
+        d = self.R10
+        rows = d["samples"]["ldbc_ic1_transitive_name"]
         value, _n, status = resolve_entry(
             rows, d["probe_best_sec"], d["probe_tolerance"]
         )
-        assert status == "dirty" or value < 0.5, (value, status)
+        assert status == "modal" and value < 0.5, (value, status)
