@@ -524,14 +524,30 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    # The driver records only the LAST 2000 chars of stdout; the line
-    # must fit or it truncates from the front and fails to parse.
-    # Auto-shrink: first reduce precision, then fold the fastest
-    # queries into one "_fast{n}" aggregate until the line fits
-    # (full per-query detail is always in BENCH_DETAIL.json).
+    print(format_bench_line(
+        total, timings, retried, dirty, sf_val, load1, load1_end
+    ))
+    spark.stop()
+
+
+def format_bench_line(
+    total: float,
+    timings: dict,
+    retried: dict,
+    dirty: list,
+    sf_val: float,
+    load1: float,
+    load1_end: float,
+) -> str:
+    """The driver records only the LAST 2000 chars of stdout; the line
+    must fit or it truncates from the front and fails to parse.
+    Auto-shrink: first drop the retried diagnostic map (its full
+    detail is always in BENCH_DETAIL.json — the per-query map must
+    never lose keys to a diagnostic), then fold the fastest queries
+    into one "_fast{n}" aggregate as a last resort."""
     LIMIT = 1900
 
-    def line_for(qs: dict[str, float]) -> str:
+    def line_for(qs: dict, rt) -> str:
         return json.dumps(
             {
                 "metric": "total_sec",
@@ -542,8 +558,9 @@ def main() -> None:
                 "load1_at_start": round(load1, 2),
                 "load1_at_end": round(load1_end, 2),
                 # phase-poisoned entries resampled after a deferral;
-                # value = the replaced first-pass median
-                "retried": {k: round(v, 2) for k, v in retried.items()},
+                # value = the replaced first-pass median (count only
+                # when the full map would overflow the line)
+                "retried": rt,
                 # entries with ZERO probe-accepted samples: their value
                 # is a median of known-inflated runs, trust accordingly
                 "dirty": dirty,
@@ -552,7 +569,11 @@ def main() -> None:
         )
 
     qs = {k: round(v, 2) for k, v in timings.items()}
-    out = line_for(qs)
+    rt = {k: round(v, 2) for k, v in retried.items()}
+    out = line_for(qs, rt)
+    if len(out) > LIMIT:
+        rt = len(retried)
+        out = line_for(qs, rt)
     if len(out) > LIMIT:
         # fold the FASTEST queries first: sub-second entries carry no
         # headline signal, while every slow query must stay itemized
@@ -566,9 +587,8 @@ def main() -> None:
             qs[f"_fast{folded}"] = round(folded_sum, 2)
             if folded > 1:
                 qs.pop(f"_fast{folded - 1}", None)
-            out = line_for(qs)
-    print(out)
-    spark.stop()
+            out = line_for(qs, rt)
+    return out
 
 
 if __name__ == "__main__":

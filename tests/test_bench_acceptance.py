@@ -18,7 +18,7 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-from bench import modal_cluster, resolve_entry  # noqa: E402
+from bench import format_bench_line, modal_cluster, resolve_entry  # noqa: E402
 
 # probe baseline/tolerance used by all synthetic rows below: a probe
 # value of GOOD is accepted, BAD is rejected
@@ -168,3 +168,46 @@ class TestR10Replay:
             rows, d["probe_best_sec"], d["probe_tolerance"]
         )
         assert status == "modal" and value < 0.5, (value, status)
+
+
+class TestFormatBenchLine:
+    """The printed JSON line must keep every query itemized: the r11
+    final runs showed a 23-entry `retried` diagnostic pushing the line
+    over the 1900-char driver limit and folding 4 query keys into a
+    `_fast4` aggregate.  Diagnostics shed first; queries fold last."""
+
+    QUERIES = {f"entry_{i:02d}_some_operator_name": 0.5 + i * 0.1
+               for i in range(50)}
+
+    def _parse(self, line):
+        import json
+
+        assert len(line) <= 1900, len(line)
+        return json.loads(line)
+
+    def test_all_queries_itemized_with_heavy_retried_map(self):
+        retried = {k: v + 1.0
+                   for k in list(self.QUERIES)[:25]
+                   for v in [self.QUERIES[k]]}
+        line = format_bench_line(
+            53.66, self.QUERIES, retried, [], 0.1, 4.19, 9.9
+        )
+        d = self._parse(line)
+        assert set(d["queries"]) == set(self.QUERIES)
+        assert not any(k.startswith("_fast") for k in d["queries"])
+        # the shed retried map degrades to its count, not silence
+        assert d["retried"] == 25
+
+    def test_small_run_keeps_full_retried_detail(self):
+        qs = dict(list(self.QUERIES.items())[:5])
+        retried = {next(iter(qs)): 2.0}
+        d = self._parse(format_bench_line(3.0, qs, retried, [], 0.1, 1, 1))
+        assert isinstance(d["retried"], dict)
+        assert set(d["queries"]) == set(qs)
+
+    def test_pathological_width_still_fits_by_folding(self):
+        qs = {f"q_{'x' * 60}_{i}": float(i) for i in range(60)}
+        d = self._parse(format_bench_line(9.0, qs, {}, [], 0.1, 1, 1))
+        assert any(k.startswith("_fast") for k in d["queries"])
+        # folded total preserved: sum of survivors + aggregate ~= sum(all)
+        assert abs(sum(d["queries"].values()) - sum(qs.values())) < 1.0
