@@ -261,6 +261,20 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — diagnostics only
             return -1
 
+    def cpu_jiffies() -> tuple:
+        """(total, steal) jiffies from /proc/stat — per-entry deltas
+        separate "box was stolen by the host" from "plan got slower":
+        a struck sample with a high steal fraction exonerates the
+        query.  Steal never shows in loadavg and the tasks look
+        CPU-busy, which is exactly the r11 slow-phase signature."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:11]
+            vals = [int(x) for x in parts]
+            return sum(vals), vals[7] if len(vals) > 7 else 0
+        except Exception:  # noqa: BLE001 — diagnostics only
+            return 0, 0
+
     def session_health() -> dict:
         """Per-entry session snapshot: JVM heap in use, live threads,
         and shuffle/local-dir file accumulation — the evidence needed
@@ -347,6 +361,7 @@ def main() -> None:
         except OSError:
             load_entry = -1.0
         gc0 = jvm_gc_ms()
+        jif0, steal0 = cpu_jiffies()
         ok_samples: list[float] = []
         if os.environ.get("SPARK_GRAFT_BENCH_COLLECT") == "1":
             # rounds 1-10 methodology, kept reproducible
@@ -370,9 +385,13 @@ def main() -> None:
             rows.append((elapsed, p0, p1))
             if ok:
                 ok_samples.append(elapsed)
+        jif1, steal1 = cpu_jiffies()
         env[name] = {
             "load1": round(load_entry, 2),
             "gc_ms": jvm_gc_ms() - gc0,
+            "steal_pct": round(
+                100.0 * (steal1 - steal0) / max(jif1 - jif0, 1), 1
+            ),
             **session_health(),
         }
         if len(ok_samples) < min(2, runs):
