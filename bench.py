@@ -113,6 +113,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from samyama_graph_spark.session import get_spark
     from samyama_graph_spark.workloads import (
+        BENCH_EXTRAS,
         GATE_ORDER,
         REGISTRY,
         load_all_workloads,
@@ -120,8 +121,11 @@ def main() -> None:
 
     load_all_workloads()
     # bench the driver-facing 50-entry gate window (merged queries cover
-    # their REGISTRY twins' plans; benching both would double-count)
-    bench_set = {n: REGISTRY[n] for n in GATE_ORDER}
+    # their REGISTRY twins' plans; benching both would double-count),
+    # PLUS rows rotated out of the gate whose bench keys must persist
+    # (additions-only: the r12 gate rotation swapped cypher_knn for
+    # text_fingerprints, so both are timed — 51 keys, none dropped)
+    bench_set = {n: REGISTRY[n] for n in (*GATE_ORDER, *BENCH_EXTRAS)}
     # debugging hook: restrict to a comma-separated subset to isolate a
     # query's timing from the rest of the suite's session history
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")

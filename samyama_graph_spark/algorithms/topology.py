@@ -65,7 +65,14 @@ def _release_pins(session, scope: str | None = None) -> None:
     of silently serving the previous run's cache — and a long session
     never accumulates cache blocks.  ``scope=None`` releases every
     scope for the session (entry points); a named scope releases only
-    its own pins (closure_edges cleaning up after itself)."""
+    its own pins (closure_edges cleaning up after itself).
+
+    The unpersist MUST block: the caller immediately re-``cache()``s
+    plan-identical frames, and Spark's CacheManager keys entries on
+    the canonicalized plan — an async unpersist can land AFTER the new
+    ``cache()`` no-ops onto the still-registered old entry, dropping
+    the entry the new pin relies on (the new frame is then silently
+    uncached and every multi-leg consumer recomputes it)."""
     with _PINS_LOCK:
         scopes = _PINS.get(session)
         if not scopes:
@@ -73,7 +80,7 @@ def _release_pins(session, scope: str | None = None) -> None:
         names = list(scopes) if scope is None else [scope]
         drop = [f for n in names for f in scopes.pop(n, [])]
     for f in drop:
-        f.unpersist(blocking=False)
+        f.unpersist(blocking=True)
 
 
 def _pinned(df: DataFrame, scope: str) -> DataFrame:

@@ -8,6 +8,8 @@ cdlp, lcc) mapped onto the algorithms package.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -476,13 +478,29 @@ def _or_solve(g: PropertyGraph, cfg: dict) -> DataFrame:
         # (~650 socket round-trips per call, r11) — while a single
         # expression string is one round trip; repr() doubles with the
         # D suffix round-trip bit-exactly through the SQL parser (the
-        # corpus.py VALUES idiom)
-        ids_sql = ",".join(f"{int(i)}L" for i in ids.tolist())
-        vals_sql = ",".join(f"{float(v)!r}D" for v in best.tolist())
-        m = F.expr(
-            f"map_from_arrays(array({ids_sql}), array({vals_sql}))"
-        )
-        g.nodes[label] = tbl.withColumn(prop, m[F.col("id")])
+        # corpus.py VALUES idiom).  Non-finite solver values need the
+        # CAST spelling: repr(inf) is 'inf' and 'infD' / 'nanD' do not
+        # parse as double literals; an empty id set short-circuits (an
+        # untyped `array()` would fail map_from_arrays).
+        def _dlit(v: float) -> str:
+            if math.isfinite(v):
+                return f"{v!r}D"
+            if math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            sign = "-" if v < 0 else ""
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
+
+        if len(ids) == 0:
+            g.nodes[label] = tbl.withColumn(
+                prop, F.lit(None).cast("double")
+            )
+        else:
+            ids_sql = ",".join(f"{int(i)}L" for i in ids.tolist())
+            vals_sql = ",".join(_dlit(float(v)) for v in best.tolist())
+            m = F.expr(
+                f"map_from_arrays(array({ids_sql}), array({vals_sql}))"
+            )
+            g.nodes[label] = tbl.withColumn(prop, m[F.col("id")])
     else:
         import pandas as pd
 

@@ -338,6 +338,16 @@ def unigram_logprob(
     # boundaries, final bucketing: ~5 corpus passes; now 2).  The
     # cached vocab's known (small) size also lets the planner broadcast
     # it, so the token stream is never shuffled for the join.
+    # LIFECYCLE (r12): the histogram is released as soon as the scored
+    # frame materializes (nothing reads it afterwards), and the scored
+    # frame itself goes through the pin ROTATION — the next pinned
+    # operator releases it — so a re-run recomputes honestly instead of
+    # reading the previous invocation's cache (Spark's CacheManager
+    # keys on the canonicalized plan, so an unreleased persist turns
+    # every plan-identical re-run into a cache read), and a long
+    # session never accumulates blocks.
+    from samyama_graph_spark.datapipe.dedup import _pin_frames
+
     counts = (
         tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
     )
@@ -346,18 +356,21 @@ def unigram_logprob(
         "term",
         F.log(F.col("cnt") / F.lit(float(total))).alias("logp"),
     )
-    # per-doc frame (tiny next to the corpus) persisted lazily: callers
-    # that act twice — quantile boundaries then bucket projection —
-    # reuse the scored rows instead of re-running the explode + join
-    return (
+    # per-doc frame (tiny next to the corpus) pinned: callers that act
+    # twice — quantile boundaries then bucket projection — reuse the
+    # scored rows instead of re-running the explode + join
+    scored = _pin_frames(
         tok.join(logp, "term")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
-        .persist()
-    )
+    )[0]
+    # blocking: a re-run persists a plan-identical histogram, and an
+    # async release could drop the entry the new persist attached to
+    counts.unpersist(blocking=True)
+    return scored
 
 
 def quality_buckets(

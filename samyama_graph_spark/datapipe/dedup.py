@@ -26,7 +26,7 @@ from samyama_graph_spark.datapipe.common import (
 _PINNED_SIGS: list[DataFrame] = []
 
 
-def _pin_frames(*frames: DataFrame) -> list[DataFrame]:
+def _pin_frames(*frames: DataFrame, extend: bool = False) -> list[DataFrame]:
     """Persist + eagerly materialize frames that self-joins or several
     downstream stages consume more than once (Catalyst does not reuse a
     wide aggregation exchange across join legs).  Long-session hygiene:
@@ -35,7 +35,13 @@ def _pin_frames(*frames: DataFrame) -> list[DataFrame]:
     eviction; inside an ``iteration_scope`` the scope cleanup covers it
     as well.  Order matters: a later frame may derive from an earlier
     one, so each is materialized before the next persists (the derived
-    frame's build then reads the cache instead of recomputing)."""
+    frame's build then reads the cache instead of recomputing).
+
+    ``extend=True`` appends to the live pin set WITHOUT releasing it —
+    for a later pin inside ONE operator invocation whose earlier pins
+    are still feeding the frames being pinned (the rotation then
+    releases the whole invocation's set at the next operator's first
+    non-extend pin)."""
     from samyama_graph_spark.algorithms.util import _ACTIVE_SCOPES
 
     # unpersist prior pins BEFORE persisting the new frames: when a
@@ -45,9 +51,14 @@ def _pin_frames(*frames: DataFrame) -> list[DataFrame]:
     # remove the very entry the new frame relies on — the downstream
     # self-join then recomputes the signature inline on both legs
     # (measured 80 s for simhash_dedup re-runs: projection collapse
-    # substitutes the signature expression per reference)
-    while _PINNED_SIGS:
-        _PINNED_SIGS.pop().unpersist(blocking=False)
+    # substitutes the signature expression per reference).  The
+    # release must BLOCK for the same plan-identity reason: an async
+    # unpersist can land after the new persist() no-ops onto the
+    # still-registered old entry, dropping the entry the new pin
+    # relies on.
+    if not extend:
+        while _PINNED_SIGS:
+            _PINNED_SIGS.pop().unpersist(blocking=True)
     out: list[DataFrame] = []
     for f in frames:
         f = f.persist()
@@ -325,9 +336,13 @@ def ngram_jaccard_pairs(
     sh = arr.select(
         "id", *bc, F.size("__a").alias("n"), F.explode("__a").alias("shingle")
     )
-    sh = sh.cache()
-    sh.count()  # pin: 2 consumer legs below share one job; a lazy cache
-    # would recompute the shingle expansion per leg
+    sh = _pin_frame(sh)  # 2 consumer legs below share one job; a lazy
+    # cache would recompute the shingle expansion per leg.  Routed
+    # through the pin rotation (r12): a bare cache() was never
+    # released, so every plan-identical re-run read the previous
+    # invocation's cache instead of recomputing (cold 3.15 s vs warm
+    # ~1.3-2.2 s in the r11 bench audit trail) and long sessions
+    # accumulated blocks
     # Candidates come from the shingle-equality join (pairs with zero
     # overlap have Jaccard 0 and can never pass threshold > 0), so
     # cost is O(sum per-shingle doc-count^2) — sparse — rather than
@@ -881,8 +896,10 @@ def semdedup(
     assigned = _assign_clusters(base, k, iters, seed_ids, centroid_mode)
     # three consumers below (both pair legs + the verdict join-back):
     # without the persist each re-runs the full assignment — for the
-    # vectorized path that is three scan+matmul passes
-    assigned = assigned.persist()
+    # vectorized path that is three scan+matmul passes.  Pinned via the
+    # rotation (r12) instead of a bare never-released persist, so
+    # re-runs recompute honestly and sessions don't accumulate blocks
+    assigned = _pin_frame(assigned)
 
     a = assigned.select(
         F.col("id").alias("x"), F.col("v").alias("vx"),
@@ -1513,9 +1530,11 @@ def minhash_incremental_pairs(
     )
     # pin the batch-side frames: nb feeds the candidate join twice
     # (directly and inside the unioned bucket view) and ns feeds the
-    # verification legs — without the pin the batch re-shingles per leg
-    nb = nb.cache()
-    nb.count()
+    # verification legs — without the pin the batch re-shingles per
+    # leg.  All three pins go through the rotation (r12): the bare
+    # cand/sh_needed caches were never released, leaking blocks across
+    # ingest batches in a long session
+    nb = _pin_frame(nb)
     all_bkts = index_buckets.unionByName(nb)
     other = all_bkts.select(F.col("id").alias("oid"), "bkt")
     cand = (
@@ -1526,9 +1545,10 @@ def minhash_incremental_pairs(
             F.greatest("id", "oid").alias("y"),
         )
         .distinct()
-        .cache()
     )
-    cand.count()  # pin: consumed by the id set below + the inter join
+    # pin (extend: nb's pin is feeding this very plan): consumed by
+    # the id set below + the inter join
+    cand = _pin_frames(cand, extend=True)[0]
     # verification must stay BATCH-sized: semi-join the shingle tables
     # down to candidate ids before the three Jaccard legs — without
     # this the per-doc size aggregation runs over the whole indexed
@@ -1542,12 +1562,12 @@ def minhash_incremental_pairs(
         index_shingles.unionByName(ns)
         .join(cand_ids, "id", "left_semi")
         .withColumnRenamed("sk", "shingle")
-        .cache()
     )
-    sh_needed.count()  # pin: sizes + both join legs
-    out = _pair_jaccard(sh_needed, cand).filter(F.col("jacc") >= threshold)
-    nb.unpersist()
-    return out
+    # pin (extend): sizes + both join legs; nb's bucket job is done by
+    # now but its pin stays in the set — the whole invocation's set is
+    # released together at the next operator's rotation
+    sh_needed = _pin_frames(sh_needed, extend=True)[0]
+    return _pair_jaccard(sh_needed, cand).filter(F.col("jacc") >= threshold)
 
 
 # --------------------------------------------- cross-document line dedup

@@ -302,6 +302,151 @@ def run_streams_to_memory(
     return [spark.table(name) for _, name, _ in jobs]
 
 
+def merge_session_fragments(frags: DataFrame) -> DataFrame:
+    """Merge per-batch session fragments into corpus-wide sessions.
+
+    Each fragment is a valid session over ONE micro-batch's events:
+    ``(user_id, session_start, session_end, n_events)`` with
+    ``session_end = last_event_ts + gap``.  Sessionization over the
+    union of all batches equals interval-merging the per-event windows
+    ``[ts, ts+gap]``, and interval merging is associative — so merging
+    the already-merged fragment intervals reproduces it exactly, for
+    ANY assignment of events to micro-batches (files can interleave
+    timestamps arbitrarily).  Merge rule matches the batch oracle: a
+    fragment joins the current session iff its start is <= the running
+    max end (an event exactly ``gap`` after the previous one continues
+    the session).
+
+    Cost shape: one shuffle on user_id, per-user windows over FRAGMENT
+    rows (already aggregated — bounded by sessions, not events)."""
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("session_start", "session_end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = frags.select(
+        "*",
+        F.when(
+            F.col("session_start") > F.max("session_end").over(w_prev), 1
+        )
+        .otherwise(0)  # first row: max over empty frame is NULL -> 0;
+        # island ids then start at 0, which groupBy handles fine
+        .alias("__new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("session_start", "session_end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "*", F.sum("__new").over(w_run).alias("__island")
+    )
+    return (
+        islands.groupBy("user_id", "__island")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .drop("__island")
+    )
+
+
+_BASE_SCHEMA = (
+    "event_type string, bucket_start timestamp, n bigint, total_raw double"
+)
+_SESS_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp,"
+    " n_events bigint"
+)
+
+
+def run_windowed_sinks_fused(
+    stream: DataFrame,
+    bucket: str = "30 minutes",
+    gap: str = "10 minutes",
+    shuffle_partitions: int | None = 8,
+) -> "tuple[DataFrame, DataFrame]":
+    """ONE availableNow query feeding BOTH window sinks via
+    foreachBatch: per micro-batch, the 30-minute tumbling base buckets
+    and the per-user session windows are computed as batch
+    aggregations of the batch frame and appended to two parquet sinks;
+    batch results merge algebraically afterwards (bucket counts/sums
+    re-aggregate by key; session fragments interval-merge in
+    :func:`merge_session_fragments`, exact for any batch split).
+
+    Replaces two CONCURRENT stateful availableNow queries (complete
+    mode: memory sink + state store + maintenance thread EACH): the
+    micro-batch machinery, source log and state-store lifecycle are
+    paid once, and the per-batch aggregations carry no streaming state
+    at all — the standard foreachBatch multi-sink idiom.  Returns
+    ``(base_buckets, sessions)`` as batch frames.
+
+    The two sink writes run CONCURRENTLY from a 2-thread pool (guide
+    §2.6 job overlap: each is a small agg+commit whose tail leaves the
+    executors idle; overlapping them hides one commit behind the
+    other — A/B'd 1.5 s sequential vs ~0.9 s overlapped per batch at
+    sf0.1).  The batch frame is deliberately NOT persisted: each write
+    re-scans the micro-batch's files, and two scans of a batch are
+    cheaper than the cache-materialization lock the concurrent writes
+    would otherwise serialize on (A/B'd: persist=True 1.9-2.4 s,
+    persist=False 1.0-1.3 s stream phase)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    spark = stream.sparkSession
+    out_root = tempfile.mkdtemp(prefix="samyama_wsink_")
+    base_dir = os.path.join(out_root, "base")
+    sess_dir = os.path.join(out_root, "sess")
+    os.makedirs(base_dir)
+    os.makedirs(sess_dir)
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        def _wbase() -> None:
+            tumbling_base(batch_df, bucket).write.mode("append").parquet(
+                base_dir
+            )
+
+        def _wsess() -> None:
+            session_windows(batch_df, gap).write.mode("append").parquet(
+                sess_dir
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for _ in pool.map(
+                lambda f: inheritable_thread_target(f)(), [_wbase, _wsess]
+            ):
+                pass
+
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option(
+                "checkpointLocation", os.path.join(out_root, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    _unload_idle_state_stores(spark)
+    base = (
+        spark.read.schema(_BASE_SCHEMA)
+        .parquet(base_dir)
+        .groupBy("event_type", "bucket_start")
+        .agg(F.sum("n").alias("n"), F.sum("total_raw").alias("total_raw"))
+    )
+    sess = merge_session_fragments(
+        spark.read.schema(_SESS_SCHEMA).parquet(sess_dir)
+    )
+    return base, sess
+
+
 def stream_dedup(
     events: DataFrame,
     key_cols: list[str] | tuple[str, ...] = ("event_id",),

@@ -589,7 +589,14 @@ GATE_ORDER: list[str] = [
     # exists gate rows; pattern comprehension stays pytest-oracled)
     "cypher_wcoj_triangle",
     "cypher_write_pipeline",
-    "cypher_knn",
+    # r12 rotation: cypher_knn left the gate to restore
+    # text_fingerprints (the r11 rotation dropped a gate query without
+    # reconciling it with the driver; the fingerprint family returns to
+    # live gate coverage).  cypher_knn is the Cypher twin of
+    # knn_ivf_top10 — the ANN family keeps live gate coverage through
+    # that row — and it stays REGISTRY+pytest DuckDB-oracled AND stays
+    # a timed bench entry via BENCH_EXTRAS (the bench line never drops
+    # a key; the gate window alone is contract-capped at 50).
     # LDBC SNB golden corpus on the TPC-H projection (benches/
     # ldbc_benchmark.rs, ldbc_bi_benchmark.rs; the other 13 IS/IC/BI
     # entries are pytest-oracled in workloads_ldbc.py).  Families they
@@ -629,12 +636,14 @@ GATE_ORDER: list[str] = [
     # bucketing (exact percentile boundaries + per-doc buckets
     # hash-checked; BPE merge training stays pytest-pinned — its
     # per-round argmax is not SQL-expressible).
-    # r11 rotation: text_fingerprints left the gate for dsir_weights
-    # (DSIR importance resampling, Xie et al. 2023 — data selection is
-    # a first-hit operator for a pretraining-data user; the
-    # fingerprint family keeps live gate coverage via text_metrics and
-    # stays REGISTRY+pytest DuckDB-oracled)
+    # r11 rotation: dsir_weights entered the gate (DSIR importance
+    # resampling, Xie et al. 2023 — data selection is a first-hit
+    # operator for a pretraining-data user); r12 restores
+    # text_fingerprints (dropped by the r11 rotation without driver
+    # reconciliation) by merging the cypher_knn/knn_ivf_top10
+    # duplicate pair instead (see the Cypher block above)
     "text_metrics",
+    "text_fingerprints",
     "dsir_weights",
     "quality_quantile_buckets",
     # training-data pipeline end-to-end: gate -> exact dedup -> MinHash
@@ -677,6 +686,16 @@ GATE_ORDER: list[str] = [
     "streaming_windows",
     "streaming_stateful_totals",
     "streaming_dedup",
+]
+
+# Bench-only additions: rows rotated OUT of the 50-entry gate window
+# whose timings must never disappear from the bench line (the perf
+# record is additions-only — a key that vanishes reads as a dropped
+# query).  Correctness for these stays pytest-oracled in REGISTRY.
+BENCH_EXTRAS: list[str] = [
+    # r12: merged out of the gate for text_fingerprints' return; the
+    # DF-API twin knn_ivf_top10 keeps the ANN family's gate row
+    "cypher_knn",
 ]
 
 

@@ -1501,6 +1501,8 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from samyama_graph_spark.datapipe.dedup import apply_dedup, exact_dedup
     from samyama_graph_spark.datapipe.sampling import assign_split
 
+    from samyama_graph_spark.datapipe.dedup import _pin_frames
+
     docs = _docs(spark, sf_dir)
     gate = corpus_filter(docs)
     kept = docs.select("doc_id", "text", "lang").join(
@@ -1516,8 +1518,14 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivor anti-join) — without the persist the parquet scan +
     # gate regexes + two joins recompute per consumer.  At warehouse
     # scale this materialization is the pipeline's intermediate table
-    # write; locally MEMORY_AND_DISK carries it.
-    d2 = kept.join(survivors, "doc_id").persist()
+    # write; locally MEMORY_AND_DISK carries it.  LIFECYCLE (r12): d2
+    # rides the pin rotation (released by the next pinned operator —
+    # the r11 bare persists leaked across the whole session and let
+    # re-runs read the previous invocation's cache); kept only feeds
+    # d2's one materialization, so it is released as soon as d2 is
+    # pinned (blocking: a re-run re-persists the identical plan).
+    d2 = _pin_frames(kept.join(survivors, "doc_id"))[0]
+    kept.unpersist(blocking=True)
     pairs = minhash_lsh_pairs(
         d2, "text", "doc_id",
         k=3, num_hashes=_MH_HASHES, bands=_MH_BANDS,

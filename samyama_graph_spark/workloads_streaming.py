@@ -78,31 +78,21 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming correctness contract).  The per-operator REGISTRY twins
     stay for pytest."""
     from samyama_graph_spark.streaming.windows import (
-        run_streams_to_memory,
-        session_windows,
-        tumbling_base,
+        run_windowed_sinks_fused,
     )
 
     path = f"{sf_dir}/events.parquet"
-    # TWO streaming queries, not three: the tumbling and sliding views
-    # both re-aggregate from one 30-minute base-bucket stream (their
-    # size/slide are bucket multiples), so only the base aggregation
-    # and the session windows (different key + session_window state)
-    # pay micro-batch machinery; the rollups are batch reads of the
-    # sink.  Concurrent availableNow queries: wall time = max, not sum.
-    base_t, sess_t = run_streams_to_memory(
-        [
-            (
-                tumbling_base(events_stream(spark, path)),
-                _qname("wm_base"),
-                "complete",
-            ),
-            (
-                session_windows(events_stream(spark, path), gap="10 minutes"),
-                _qname("wm_sess"),
-                "complete",
-            ),
-        ]
+    # ONE streaming query, not three (r11: two, r12: one): the
+    # tumbling and sliding views both re-aggregate from one 30-minute
+    # base-bucket view (their size/slide are bucket multiples), and
+    # the base buckets + session windows are now BOTH fed by a single
+    # availableNow query whose foreachBatch appends each micro-batch's
+    # batch-mode aggregates to two sinks (exact algebraic /
+    # interval-merge recombination — see run_windowed_sinks_fused).
+    # r11 measured ~1.3-1.8 s of micro-batch + state-store machinery
+    # PER availableNow query; this halves that bill.
+    base_t, sess_t = run_windowed_sinks_fused(
+        events_stream(spark, path), bucket="30 minutes", gap="10 minutes"
     )
     tumb = (
         base_t.groupBy(

@@ -940,4 +940,7 @@ def test_minhash_pairs_carry_sizes_no_size_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 0
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
-    assert n_scans == 4, plan[:2000]
+    # upper bound, not equality: the intent is "the size joins' extra
+    # scan subtrees are gone"; a Catalyst/AQE planning change that
+    # merges scans further should not fail the test
+    assert n_scans <= 4, plan[:2000]

@@ -157,3 +157,83 @@ def test_watermark_append_finalization_contract(spark, tmp_path):
     # the beyond-horizon row may or may not have merged (permitted)
     n0 = dict(emitted)[0]
     assert n0 in (1, 2)
+
+
+def test_fused_window_sinks_multibatch_parity(spark, tmp_path):
+    """run_windowed_sinks_fused must reproduce batch sessionization and
+    bucket aggregation EXACTLY across micro-batch splits: three parquet
+    files force three batches (maxFilesPerTrigger=1) whose timestamps
+    interleave, so session fragments from different batches overlap,
+    abut exactly at the gap (same-session per the oracle's <= rule),
+    and nest — the cases the interval merge must get right."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from samyama_graph_spark.streaming.windows import (
+        events_stream,
+        run_windowed_sinks_fused,
+        session_windows,
+        tumbling_base,
+    )
+
+    t = lambda h, m=0, s=0: dt.datetime(2024, 1, 1, h, m, s)  # noqa: E731
+    cols = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    files = [
+        # user 1: fragment [0:10]; user 2: one lone event
+        [
+            (1, t(0, 10), 1, "click", 1.0, "{}"),
+            (2, t(0, 14), 1, "click", 2.0, "{}"),
+            (3, t(3, 0), 2, "view", 1.5, "{}"),
+        ],
+        # user 1: event at 0:24 — exactly gap (10m) after 0:14: SAME
+        # session per the oracle's <= rule; plus a far-away session
+        [
+            (4, t(0, 24), 1, "click", 1.0, "{}"),
+            (5, t(6, 0), 1, "view", 1.0, "{}"),
+        ],
+        # user 1: event at 0:12 NESTS inside the merged fragment span;
+        # user 2: event within gap of 3:00 extends that session
+        [
+            (6, t(0, 12), 1, "view", 4.0, "{}"),
+            (7, t(3, 9), 2, "click", 1.0, "{}"),
+            (8, t(23, 59), 3, "click", 1.0, "{}"),
+        ],
+    ]
+    src = str(tmp_path / "fused_events")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+        part = glob.glob(f"{src}/f{i}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/b{i}.parquet")
+        os.utime(
+            f"{src}/b{i}.parquet",
+            (time.time() + i * 10, time.time() + i * 10),
+        )
+        shutil.rmtree(f"{src}/f{i}")
+
+    base, sess = run_windowed_sinks_fused(events_stream(spark, src))
+    all_rows = spark.createDataFrame(
+        [r for f in files for r in f], cols
+    )
+    exp_base = tumbling_base(all_rows)
+    exp_sess = session_windows(all_rows)
+    gb = {tuple(r) for r in base.collect()}
+    eb = {tuple(r) for r in exp_base.collect()}
+    gs = {tuple(r) for r in sess.collect()}
+    es = {tuple(r) for r in exp_sess.collect()}
+    assert gb == eb and len(gb) > 0
+    assert gs == es and len(gs) > 0
+    # the cross-batch merge actually exercised: user 1's first three
+    # events (two batches apart, one exactly-at-gap, one nested) are
+    # ONE session of 4 events
+    assert max(
+        r["n_events"] for r in sess.collect() if r["user_id"] == 1
+    ) == 4
