@@ -336,13 +336,15 @@ def ngram_jaccard_pairs(
     sh = arr.select(
         "id", *bc, F.size("__a").alias("n"), F.explode("__a").alias("shingle")
     )
-    sh = _pin_frame(sh)  # 2 consumer legs below share one job; a lazy
-    # cache would recompute the shingle expansion per leg.  Routed
-    # through the pin rotation (r12): a bare cache() was never
-    # released, so every plan-identical re-run read the previous
-    # invocation's cache instead of recomputing (cold 3.15 s vs warm
-    # ~1.3-2.2 s in the r11 bench audit trail) and long sessions
-    # accumulated blocks
+    # Deliberately UNPINNED (r12), like minhash_lsh_pairs: both join
+    # legs recompute the shingle expansion inside ONE job, and an
+    # interleaved A/B measured that strictly faster than pinning at
+    # gate scale (no-pin 1.13 s vs pin 1.92 s median, sf0.1) AND at
+    # 10x data (10.7 vs 22.1 s) — the cache materialization is a sync
+    # point plus a full write of the exploded strings, while the
+    # redundant explode subtrees run in parallel on idle cores.  (The
+    # pre-r12 bare `cache()` here was also never released, so its
+    # warm numbers were cross-run cache reads, not evidence.)
     # Candidates come from the shingle-equality join (pairs with zero
     # overlap have Jaccard 0 and can never pass threshold > 0), so
     # cost is O(sum per-shingle doc-count^2) — sparse — rather than
@@ -406,7 +408,19 @@ def substring_span_pairs(
     8-byte shuffle keys — with the shingle strings compared inside
     the join condition (matches are verified, never hash-only).  No
     all-pairs stage; density is the ``sample`` knob, exactly how the
-    reference corpora runs control suffix-array granularity."""
+    reference corpora runs control suffix-array granularity.
+
+    Deliberately UNPINNED, like minhash_lsh_pairs: an r12 interleaved
+    A/B of pinning the hashed-window stream measured the pin STRICTLY
+    WORSE at BOTH gate scale (sf0.1: pin ~6.0-6.8 s vs recompute
+    median ~1.1-3.6 s) and 10x data (pin median 5.0 s vs recompute
+    3.25 s) — caching the exploded window strings costs more than the
+    second explode leg, whose subtree runs in parallel on idle cores.
+    The join strategy is also a measured choice: Catalyst broadcasts
+    the exploded leg off an underestimate, and forcing SMJ was ~1.6x
+    slower warm (1.7 vs 1.08 median, interleaved) — at warehouse
+    scale the (input-proportional) estimate crosses the broadcast
+    threshold and the same plan degrades gracefully to SMJ."""
     words = F.split(F.col(text_col), " ")
     idx = F.when(
         F.size(words) >= k, F.sequence(F.lit(0), F.size(words) - k)
@@ -659,10 +673,14 @@ def simhash_near_dups(
     chunk catches pairs differing in fewer than ``chunks`` chunks.
     Bucket-join per chunk, then exact popcount(xor) verification.
     """
-    # pin the signature frame: the bucket self-join consumes it on BOTH
-    # legs (measured: without the pin the full pipeline paid the
-    # 60-column signature pass twice)
-    sig = _pin_frame(simhash(df, text_col, id_col))
+    # Deliberately UNPINNED (r12): the bucket self-join computes the
+    # signature fold on both legs inside ONE job, which an interleaved
+    # A/B measured strictly faster than pinning (sf0.1: 0.98 vs
+    # 1.32 s median; 10x data: 5.7 vs 7.8 s) — the r11 single-fold
+    # signature is collapse-safe (one evaluation per row), so the
+    # old 80 s inline-per-reference hazard the pin guarded against is
+    # gone, and the cache build cost more than the second map leg.
+    sig = simhash(df, text_col, id_col)
     cand = _simhash_candidates(sig, chunks).select(
         "x", "y", "sx", "sy"
     ).distinct()
@@ -1317,8 +1335,8 @@ def simhash_dup_stats(
     """
     import math
 
-    # pinned for the same two-leg reuse as simhash_near_dups
-    sig = _pin_frame(simhash(df, text_col, id_col))
+    # UNPINNED for the same measured reason as simhash_near_dups (r12)
+    sig = simhash(df, text_col, id_col)
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
     cand = (

@@ -1498,7 +1498,7 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup running on the filtered set, splits assigned post-dedup)
     are value-checked, not just each stage in isolation."""
     from samyama_graph_spark.datapipe.corpus import corpus_filter
-    from samyama_graph_spark.datapipe.dedup import apply_dedup, exact_dedup
+    from samyama_graph_spark.datapipe.dedup import apply_dedup
     from samyama_graph_spark.datapipe.sampling import assign_split
 
     from samyama_graph_spark.datapipe.dedup import _pin_frames
@@ -1510,22 +1510,36 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("doc_id"), "n_tokens"
         ),
         "doc_id",
-    ).persist()
-    survivors = exact_dedup(kept, "text", "doc_id").select(
-        F.col("keep_id").alias("doc_id")
+    )
+    # exact dedup FUSED into one aggregation (r12): the survivor row
+    # per content-hash group IS min(struct(doc_id, ...)) — doc_id is
+    # unique, so the struct-min is exactly the min-doc_id row that
+    # exact_dedup's (groupBy min + join-back) selected.  One shuffle
+    # replaces agg + join-back, and `kept` (scan + gate regexes +
+    # gate join) is consumed ONCE, so its former persist/unpersist
+    # cycle is gone entirely.  Same argmin-carries-the-row idiom as
+    # dedup_lines_corpuswide (r11); exact_dedup itself is unchanged
+    # for its standalone gate row.
+    from samyama_graph_spark.datapipe.common import hash60
+
+    d2 = (
+        kept.groupBy(hash60(F.col("text")).alias("__ch"))
+        .agg(
+            F.min(
+                F.struct("doc_id", "text", "lang", "n_tokens")
+            ).alias("__r")
+        )
+        .select("__r.doc_id", "__r.text", "__r.lang", "__r.n_tokens")
     )
     # d2 feeds three consumers (shingling, candidate verification,
     # survivor anti-join) — without the persist the parquet scan +
-    # gate regexes + two joins recompute per consumer.  At warehouse
+    # gate regexes + joins recompute per consumer.  At warehouse
     # scale this materialization is the pipeline's intermediate table
     # write; locally MEMORY_AND_DISK carries it.  LIFECYCLE (r12): d2
     # rides the pin rotation (released by the next pinned operator —
     # the r11 bare persists leaked across the whole session and let
-    # re-runs read the previous invocation's cache); kept only feeds
-    # d2's one materialization, so it is released as soon as d2 is
-    # pinned (blocking: a re-run re-persists the identical plan).
-    d2 = _pin_frames(kept.join(survivors, "doc_id"))[0]
-    kept.unpersist(blocking=True)
+    # re-runs read the previous invocation's cache).
+    d2 = _pin_frames(d2)[0]
     pairs = minhash_lsh_pairs(
         d2, "text", "doc_id",
         k=3, num_hashes=_MH_HASHES, bands=_MH_BANDS,
