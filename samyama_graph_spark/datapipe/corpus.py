@@ -339,15 +339,13 @@ def unigram_logprob(
     # cached vocab's known (small) size also lets the planner broadcast
     # it, so the token stream is never shuffled for the join.
     # LIFECYCLE (r12): the histogram is released as soon as the scored
-    # frame materializes (nothing reads it afterwards), and the scored
-    # frame itself goes through the pin ROTATION — the next pinned
-    # operator releases it — so a re-run recomputes honestly instead of
-    # reading the previous invocation's cache (Spark's CacheManager
-    # keys on the canonicalized plan, so an unreleased persist turns
-    # every plan-identical re-run into a cache read), and a long
-    # session never accumulates blocks.
-    from samyama_graph_spark.datapipe.dedup import _pin_frames
-
+    # frame materializes (nothing reads it afterwards); the scored
+    # frame is an eager localCheckpoint (below) — a fresh RDD per
+    # invocation, so a re-run recomputes honestly instead of reading
+    # the previous invocation's cache (Spark's CacheManager keys on
+    # the canonicalized plan, so an unreleased persist turns every
+    # plan-identical re-run into a cache read), and a long session
+    # never accumulates blocks.
     counts = (
         tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
     )
@@ -356,17 +354,25 @@ def unigram_logprob(
         "term",
         F.log(F.col("cnt") / F.lit(float(total))).alias("logp"),
     )
-    # per-doc frame (tiny next to the corpus) pinned: callers that act
-    # twice — quantile boundaries then bucket projection — reuse the
-    # scored rows instead of re-running the explode + join
-    scored = _pin_frames(
+    # per-doc frame (tiny next to the corpus) materialized with an
+    # EAGER localCheckpoint: callers that act twice — quantile
+    # boundaries then bucket projection — reuse the scored rows
+    # instead of re-running the explode + join, and the lineage
+    # truncation means both downstream plans analyze against a tiny
+    # LogicalRDD instead of the full explode+join subplan (r12
+    # interleaved A/B vs the pin rotation: 1.27 s vs 2.08 s median
+    # for quality_quantile_buckets).  A NEW RDD per invocation —
+    # re-runs recompute honestly, nothing keyed on the canonicalized
+    # plan survives the call.
+    scored = (
         tok.join(logp, "term")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
-    )[0]
+        .localCheckpoint(eager=True)
+    )
     # blocking: a re-run persists a plan-identical histogram, and an
     # async release could drop the entry the new persist attached to
     counts.unpersist(blocking=True)

@@ -1501,8 +1501,6 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from samyama_graph_spark.datapipe.dedup import apply_dedup
     from samyama_graph_spark.datapipe.sampling import assign_split
 
-    from samyama_graph_spark.datapipe.dedup import _pin_frames
-
     docs = _docs(spark, sf_dir)
     gate = corpus_filter(docs)
     kept = docs.select("doc_id", "text", "lang").join(
@@ -1532,14 +1530,19 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("__r.doc_id", "__r.text", "__r.lang", "__r.n_tokens")
     )
     # d2 feeds three consumers (shingling, candidate verification,
-    # survivor anti-join) — without the persist the parquet scan +
-    # gate regexes + joins recompute per consumer.  At warehouse
-    # scale this materialization is the pipeline's intermediate table
-    # write; locally MEMORY_AND_DISK carries it.  LIFECYCLE (r12): d2
-    # rides the pin rotation (released by the next pinned operator —
-    # the r11 bare persists leaked across the whole session and let
-    # re-runs read the previous invocation's cache).
-    d2 = _pin_frames(d2)[0]
+    # survivor anti-join) — without a materialization the parquet scan
+    # + gate regexes + dedup aggregation recompute per consumer.  At
+    # warehouse scale this is the pipeline's intermediate table write;
+    # locally an EAGER localCheckpoint carries it.  Checkpoint, not
+    # persist (r12, interleaved A/B: 2.2 s vs 5.2 s median): the
+    # lineage truncation makes every downstream stage analyze/build
+    # against a tiny LogicalRDD instead of re-deriving the full
+    # gate+dedup subplan — ~2 s of the entry was pure driver-side
+    # plan analysis of the composed pipeline — and the blocks are a
+    # NEW RDD per invocation, so re-runs recompute honestly (no
+    # canonicalized-plan cache key to hit) and the bench's
+    # post-entry cleanup reclaims them via the ContextCleaner.
+    d2 = d2.localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(
         d2, "text", "doc_id",
         k=3, num_hashes=_MH_HASHES, bands=_MH_BANDS,
