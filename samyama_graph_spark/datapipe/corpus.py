@@ -562,17 +562,19 @@ def dsir_weights(
     adjacent-word bigrams, hash60 % buckets — same md5 family as every
     other operator, so the oracle replays bit-for-bit); BOTH bucket
     histograms are one partial-aggregated groupBy over at most
-    ``buckets`` keys, persisted for the duration of the stats phase so
-    the distribution totals come from ``sum(rc)`` / ``sum(tc)`` of the
-    cached histograms instead of separate full-corpus count jobs (the
-    r10 version re-ran the feature explode twice just to count it; at
-    100 TB that is the difference between reading each corpus once and
-    twice for the stats).  The per-bucket log-likelihood-ratio table
-    (at most ``buckets`` rows — a bounded collect) is rebuilt as a
-    LocalRelation and broadcast-joins back to the feature stream, so
-    the RETURNED plan scans the raw corpus exactly once and the target
-    corpus not at all; one final per-doc aggregation.  Documents with
-    zero features (empty text) are absent from the output.
+    ``buckets`` keys, collected in ONE bounded job per corpus — the
+    distribution totals and the per-bucket log-likelihood ratios are
+    then computed on the driver from the collected rows (r12: the
+    former persist + totals-aggregate + weights-collect sequence was
+    2-3 jobs and a cache lifecycle per histogram for arithmetic over
+    <= ``buckets`` rows; the r10 version before it re-ran the feature
+    explode twice just to count it — at 100 TB the invariant that
+    matters is each corpus is read exactly once for the stats).  The
+    LLR table is rebuilt as a LocalRelation and broadcast-joins back
+    to the feature stream, so the RETURNED plan scans the raw corpus
+    exactly once and the target corpus not at all; one final per-doc
+    aggregation.  Documents with zero features (empty text) are absent
+    from the output.
 
     Weight magnitudes are data-dependent; consumers rank rather than
     threshold (see the source-quota / quality-bucket operators for the
@@ -608,67 +610,70 @@ def dsir_weights(
             keep.append(F.col("tgt"))
         return out.select(*keep)
 
+    import math
+
     raw_f = feats(df)
+    # Stats phase (r12): the histograms are <= ``buckets`` rows by
+    # construction, so they are collected ONCE and the totals + LLR
+    # arithmetic runs on the driver — the former persist + totals
+    # aggregate + weights collect (2-3 jobs and a cached frame per
+    # histogram) collapses to one bounded collect per corpus and no
+    # cache lifecycle at all.  Totals are exact integer sums either
+    # way; ln() on IEEE doubles matches the previous in-plan F.log to
+    # the 6-decimal rounding the contract hashes (oracle-verified).
     if target_filter is not None:
         # one histogram job covers BOTH distributions: rc counts every
         # feature row, tc only the rows whose source doc passes the
         # target predicate (count(when) skips false AND null, exactly
         # like the filter would)
-        hist = (
+        hist_rows = (
             feats(df, flag=target_filter)
             .groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).alias("rc"),
                 F.count(F.when(F.col("tgt"), 1)).alias("tc"),
             )
-            .persist()
+            .collect()
         )
-        try:
-            tot = hist.agg(F.sum("rc"), F.sum("tc")).collect()[0]
-            rt = float(tot[0] or 0)
-            tt = float(tot[1] or 0)
-            llr = (
-                F.log((F.col("tc") + 1.0) / (tt + buckets))
-                - F.log((F.col("rc") + 1.0) / (rt + buckets))
+        rt = float(sum(r["rc"] for r in hist_rows))
+        tt = float(sum(r["tc"] for r in hist_rows))
+        weight_rows = [
+            (
+                r["bucket"],
+                math.log((r["tc"] + 1.0) / (tt + buckets))
+                - math.log((r["rc"] + 1.0) / (rt + buckets)),
             )
-            weight_rows = hist.select("bucket", llr.alias("llr")).collect()
-        finally:
-            hist.unpersist()
+            for r in hist_rows
+        ]
     else:
-        tgt_f = feats(target)
-        raw_h = (
+        raw_rows = (
             raw_f.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("rc"))
-            .persist()
+            .collect()
         )
-        tgt_h = (
-            tgt_f.groupBy("bucket")
+        tgt_rows = (
+            feats(target)
+            .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("tc"))
-            .persist()
+            .collect()
         )
-        try:
-            # totals are exactly the histogram masses; summing the
-            # cached <=buckets-row aggregates costs no corpus re-scan
-            rt = float(raw_h.agg(F.sum("rc")).collect()[0][0] or 0)
-            tt = float(tgt_h.agg(F.sum("tc")).collect()[0][0] or 0)
-            # every bucket a raw doc references has rc >= 1, so a left
-            # join from the raw histogram covers all lookups; absent
-            # target mass smooths to +1
-            llr = (
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+        rt = float(sum(r["rc"] for r in raw_rows))
+        tt = float(sum(r["tc"] for r in tgt_rows))
+        # every bucket a raw doc references has rc >= 1, so iterating
+        # the raw histogram covers all lookups; absent target mass
+        # smooths to +1
+        tc_by_bucket = {r["bucket"]: r["tc"] for r in tgt_rows}
+        weight_rows = [
+            (
+                r["bucket"],
+                math.log(
+                    (tc_by_bucket.get(r["bucket"], 0) + 1.0)
                     / (tt + buckets)
                 )
-                - F.log((F.col("rc") + 1.0) / (rt + buckets))
+                - math.log((r["rc"] + 1.0) / (rt + buckets)),
             )
-            weight_rows = (
-                raw_h.join(tgt_h, "bucket", "left")
-                .select("bucket", llr.alias("llr"))
-                .collect()
-            )
-        finally:
-            raw_h.unpersist()
-            tgt_h.unpersist()
+            for r in raw_rows
+        ]
     spark = df.sparkSession
     if weight_rows:
         # an inline VALUES table compiles to a LocalRelation (no
@@ -676,7 +681,7 @@ def dsir_weights(
         # free to broadcast); repr() doubles with the D suffix
         # round-trip bit-exactly through the SQL parser
         vals = ",".join(
-            f"({int(r['bucket'])}L,{r['llr']!r}D)" for r in weight_rows
+            f"({int(b)}L,{llr!r}D)" for b, llr in weight_rows
         )
         weights = spark.sql(
             f"SELECT * FROM VALUES {vals} AS t(bucket, llr)"
