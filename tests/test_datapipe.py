@@ -863,6 +863,36 @@ def test_semdedup_vectorized_matches_broadcast_and_literal(spark):
     assert verdicts(256, 2, "vectorized") == verdicts(256, 2, "broadcast")
 
 
+def test_vectorized_lloyd_round_literal_matches_broadcast_path(
+    spark, monkeypatch
+):
+    """The r12 Lloyd-round fast path (codebook inlined as a SQL-literal
+    fold when k*dim <= _LITERAL_ROUND_MAX) must produce the same final
+    assignment as the above-threshold fallback (mapInPandas matmul
+    round) — forced here by shrinking the threshold to 0 so the SAME
+    k runs both round implementations."""
+    from samyama_graph_spark.datapipe import dedup as dd
+    from samyama_graph_spark.loaders import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])[
+        "embeddings"
+    ]
+
+    def clusters():
+        return {
+            (r["id"], r["cluster"])
+            for r in dd.kmeans(
+                emb, "embedding", "vec_id", k=8, iters=2,
+                centroid_mode="vectorized",
+            ).collect()
+        }
+
+    fast = clusters()  # threshold default: literal-fold rounds
+    monkeypatch.setattr(dd, "_LITERAL_ROUND_MAX", 0)
+    slow = clusters()  # forced broadcast+matmul rounds
+    assert fast == slow and len(fast) > 0
+
+
 def test_semdedup_vectorized_scales_in_k(spark):
     """k=4096 smoke: plan size stays O(1) in k (no literal blow-up)
     and every row lands in a real cluster."""
