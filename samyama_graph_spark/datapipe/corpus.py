@@ -116,8 +116,15 @@ def repetition_metrics(
 
     Highly repetitive documents (boilerplate, keyword stuffing, broken
     crawls) score low distinct_ratio / high top_bigram_frac and are
-    filtered before training.  One explode + two hash aggregations,
-    shuffled on doc id only.
+    filtered before training.  MAP-ONLY (r12): the top-bigram
+    multiplicity is the longest equal-run of the doc's SORTED bigram
+    array — one ``array_sort`` + one ``aggregate`` fold per row — so
+    the whole operator is a single scan-speed projection with ZERO
+    shuffles (the previous shape exploded every bigram through two
+    hash aggregations and joined the result back on doc id; at 100 TB
+    that shuffled the corpus' full bigram stream just to find each
+    row's own mode count).  Values are identical: max multiplicity of
+    a multiset equals the longest run after sorting.
     """
     toks = df.select(
         F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("ws")
@@ -128,46 +135,51 @@ def repetition_metrics(
         F.size(F.array_distinct("ws")).alias("n_distinct"),
         word_shingles_from_tokens("ws", 2).alias("bigrams"),
     )
-    # plain explode: a <2-token doc has an EMPTY bigram array, and an
-    # explode_outer null row would be counted as a real bigram (frac
-    # 1.0 for one-word docs); the left join below restores such docs
-    # with top_bigram_frac 0.0
-    bg = base.select("id", F.explode("bigrams").alias("bg"))
-    top = (
-        bg.groupBy("id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("id")
-        .agg(
-            F.max(
-                F.struct(F.col("c").alias("c"), F.col("bg").alias("neg"))
-            ).alias("m"),
-            F.sum("c").alias("total_bg"),
+
+    def _run_merge(acc, x):
+        # state (prev, run, best): run = current equal-run length,
+        # best = longest run seen; eqNullSafe keeps the initial NULL
+        # prev from matching any real bigram
+        run_new = (
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("long")
         )
-        .select(
-            "id",
-            F.col("m.c").alias("top_bg_count"),
-            F.col("total_bg"),
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            F.greatest(acc["best"], run_new).alias("best"),
         )
+
+    top_bg_count = F.aggregate(
+        F.array_sort(F.col("bigrams")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _run_merge,
+        lambda acc: acc["best"],
     )
-    return (
-        base.select("id", "n_tokens", "n_distinct")
-        .join(top, "id", "left")
-        .select(
-            "id",
-            F.col("n_tokens").cast("long"),
-            F.when(
-                F.col("n_tokens") > 0,
-                F.round(F.col("n_distinct") / F.col("n_tokens"), 6),
-            )
-            .otherwise(0.0)
-            .alias("distinct_ratio"),
-            F.when(
-                F.coalesce(F.col("total_bg"), F.lit(0)) > 0,
-                F.round(F.col("top_bg_count") / F.col("total_bg"), 6),
-            )
-            .otherwise(0.0)
-            .alias("top_bigram_frac"),
+    total_bg = F.size("bigrams")
+    return base.select(
+        "id",
+        F.col("n_tokens").cast("long"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6),
         )
+        .otherwise(0.0)
+        .alias("distinct_ratio"),
+        # a <2-token doc has an EMPTY bigram array -> fold returns 0,
+        # size 0 -> frac 0.0 (the rule the old explode + left-join
+        # restore implemented)
+        F.when(
+            total_bg > 0,
+            F.round(top_bg_count / total_bg, 6),
+        )
+        .otherwise(0.0)
+        .alias("top_bigram_frac"),
     )
 
 
@@ -283,8 +295,9 @@ def corpus_filter(
     the audit shape a data pipeline needs (you report WHY documents
     died, not just how many).
 
-    One pass: repetition_metrics' two aggregations, then a pure
-    projection — no additional shuffle for the rule evaluation.
+    One pass: repetition_metrics is a map-only projection (r12), so
+    the whole gate — signals plus rule evaluation — runs at scan speed
+    with zero shuffles.
     """
     rep = repetition_metrics(df, text_col, id_col)
     reason = (
